@@ -1,0 +1,54 @@
+"""LAM-TPU: TPU-native dense conjugate-gradient linear-algebra framework.
+
+A ground-up JAX/XLA/Pallas/shard_map rebuild of the capabilities of the
+"LAM — Linear Algebra for MeluXina" student-challenge library
+(reference: /root/reference, C++17/CUDA/MPI/NCCL). The reference's six
+hand-written parallel backends (OpenMP; MPI+OpenMP; single-GPU CUDA;
+single-node multi-GPU CUDA; multi-node CUDA+MPI; multi-node CUDA+NCCL —
+see challenge/main/LAM/include/LAM.hpp:1-16) collapse here into ONE
+CG engine over ONE kernel set with placement expressed as sharding:
+
+==============================================================================
+reference backend (file)                          LAM-TPU configuration
+------------------------------------------------------------------------------
+ConjugateGradient_CPU_OMP.hpp                     backend="local"  (1 device)
+ConjugateGradient_GPU_CUDA.cu                     backend="local"  (1 device)
+ConjugateGradient_CPU_MPI_OMP.hpp                 backend="sharded" (mesh)
+ConjugateGradient_MultiGPUS_CUDA.cu               backend="sharded" (mesh)
+ConjugateGradient_MultiGPUS_CUDA_MPI.cu           backend="sharded" (mesh)
+ConjugateGradient_MultiGPUS_CUDA_NCCL.cu          backend="sharded" (mesh)
+==============================================================================
+
+fp64 story (TPU has no native f64): vectors/scalars use XLA's emulated
+float64 (cheap — O(N) data); the hot dense matvec runs as a Pallas
+float-float ("df64": two-f32 compensated) kernel at HBM speed-of-light,
+or in f32 for the mixed-precision iterative-refinement solver.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# The whole problem domain is fp64 (the reference instantiates <double>
+# everywhere, e.g. ConjugateGradient_GPU_CUDA.cu:408). Enable x64 unless
+# the embedding application opts out.
+if not _os.environ.get("LAM_TPU_NO_X64"):
+    _jax.config.update("jax_enable_x64", True)
+
+from lam_tpu.solver.cg import CGResult, cg_solve, cg_solve_ir  # noqa: E402
+from lam_tpu.solver.operators import (  # noqa: E402
+    DenseOperator,
+    LinearOperator,
+)
+from lam_tpu.solver.api import ConjugateGradient  # noqa: E402
+
+__all__ = [
+    "CGResult",
+    "cg_solve",
+    "cg_solve_ir",
+    "DenseOperator",
+    "LinearOperator",
+    "ConjugateGradient",
+]
+
+__version__ = "0.1.0"

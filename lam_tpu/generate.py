@@ -1,0 +1,123 @@
+"""Problem generators: tridiagonal benchmark systems and random SPD systems.
+
+Covers both reference generators:
+  * the built-in "gen mode" dense tridiagonal (2 on the diagonal, 1 on the
+    off-diagonals) with an all-ones rhs — the fixture-free benchmark mode
+    (ConjugateGradient_CPU_MPI_OMP.hpp:237-247 and :159-164);
+  * the offline MKL random-SPD-system tool (random_spd_system.cpp): random
+    orthogonal Q via Gram-Schmidt, eigenvalues D = exp(3.5 * U(-1, 1)),
+    A = (Q sqrt(D)) (Q sqrt(D))^T, random U(-1,1) rhs.
+
+The MKL recursive blocked Gram-Schmidt (random_spd_system.cpp:41-62) is an
+orthonormalization of a random square matrix; here numpy's Householder QR
+produces the same distribution class (Haar-like orthogonal factor) without
+MKL. A Householder-product variant generates the identical *spectrum*
+(which is what controls CG iteration counts) in O(k N^2) for large N where
+the O(N^3) orthonormalization would be prohibitive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def tridiagonal_rows(row_start, num_rows, n, dtype=np.float64):
+    """Dense row-block of the gen-mode tridiagonal matrix.
+
+    Entry (i, j) = 2 if i == j, 1 if |i - j| == 1, else 0 — exactly the
+    generator at ConjugateGradient_CPU_MPI_OMP.hpp:237-247. Producing an
+    arbitrary row block makes this directly usable for sharded/multi-host
+    construction (each host builds only its shard).
+    """
+    block = np.zeros((num_rows, n), dtype=dtype)
+    for local in range(num_rows):
+        i = row_start + local
+        block[local, i] = 2
+        if i > 0:
+            block[local, i - 1] = 1
+        if i + 1 < n:
+            block[local, i + 1] = 1
+    return block
+
+
+def tridiagonal_matrix(n, dtype=np.float64):
+    """Full dense gen-mode tridiagonal matrix."""
+    return tridiagonal_rows(0, n, n, dtype=dtype)
+
+
+def ones_rhs(n, dtype=np.float64):
+    """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
+    return np.ones(n, dtype=dtype)
+
+
+def random_eigenvalues(n, rng):
+    """Reference eigenvalue law: exp(3.5 * U(-1, 1)).
+
+    (random_spd_system.cpp:83-87; gives condition number up to ~e^7.)
+    """
+    return np.exp(3.5 * rng.uniform(-1.0, 1.0, size=n))
+
+
+def random_spd_matrix(n, seed=0, dtype=np.float64):
+    """Random SPD matrix with the reference's construction.
+
+    A = (Q sqrt(D)) (Q sqrt(D))^T with Q orthogonal from QR of a random
+    U(-1,1) matrix and D = exp(3.5 * U(-1,1))
+    (random_spd_system.cpp:66-101). O(N^3) — use for N up to a few
+    thousand; see random_spd_matrix_fast for benchmark-scale systems.
+    """
+    rng = np.random.default_rng(seed)
+    m = rng.uniform(-1.0, 1.0, size=(n, n))
+    q, r = np.linalg.qr(m)
+    # Fix the sign ambiguity so Q is Haar-distributed.
+    q = q * np.sign(np.diagonal(r))
+    d = random_eigenvalues(n, rng)
+    qd = q * np.sqrt(d)
+    a = qd @ qd.T
+    return a.astype(dtype, copy=False)
+
+
+def random_spd_matrix_fast(n, seed=0, num_reflectors=4, dtype=np.float64):
+    """Random SPD matrix with the reference's exact spectrum in O(k N^2).
+
+    Same eigenvalue law D = exp(3.5 * U(-1,1)) as random_spd_system.cpp:83-87
+    but the orthogonal similarity uses a product of `num_reflectors`
+    Householder reflections H = H_k ... H_1 instead of a full dense Q:
+    A = H diag(D) H^T. CG convergence depends only on the spectrum, so this
+    reproduces the reference systems' ~320-360-iteration behavior
+    (TESTS/BEST_RESULTS) at any N without the O(N^3) orthonormalization.
+    """
+    rng = np.random.default_rng(seed)
+    d = random_eigenvalues(n, rng).astype(dtype)
+    a = np.diag(d)
+    for _ in range(num_reflectors):
+        v = rng.standard_normal(n).astype(dtype)
+        v /= np.linalg.norm(v)
+        # A <- (I - 2 v v^T) A (I - 2 v v^T), applied in O(N^2).
+        w = a @ v
+        a -= 2.0 * np.outer(w, v)
+        w = v @ a
+        a -= 2.0 * np.outer(v, w)
+    # Symmetrize away rounding asymmetry.
+    a += a.T
+    a *= 0.5
+    return a
+
+
+def random_rhs(n, seed=0, dtype=np.float64):
+    """Random U(-1, 1) rhs (random_spd_system.cpp:164-167)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, size=n).astype(dtype)
+
+
+def random_spd_system(n, seed=0, fast=None, dtype=np.float64):
+    """(A, b) pair as produced by the reference random_spd_system tool.
+
+    `fast=None` auto-selects the O(k N^2) spectrum-exact construction
+    above N=4096.
+    """
+    if fast is None:
+        fast = n > 4096
+    gen = random_spd_matrix_fast if fast else random_spd_matrix
+    return gen(n, seed=seed, dtype=dtype), random_rhs(n, seed=seed + 10,
+                                                      dtype=dtype)

@@ -1,0 +1,124 @@
+"""Binary matrix/vector file format, byte-compatible with the reference.
+
+Format (written by the reference generator at random_spd_system.cpp:105-121
+and read by every backend, e.g. ConjugateGradient_CPU_OMP.hpp:138-197):
+
+    uint64 num_rows   (little-endian size_t)
+    uint64 num_cols
+    float64 data[num_rows * num_cols]   (row-major)
+
+A file written by the reference loads here bit-exactly and vice versa.
+Notes on deliberate divergences from reference bugs (SURVEY.md §8):
+  * the reference's save_result_to_file writes an `int` with
+    sizeof(size_t) for num_cols (ConjugateGradient_CPU_OMP.hpp:208-210) —
+    works only on little-endian with the adjacent zero bytes; we write a
+    genuine uint64.
+  * the CPU-MPI backend saves the RHS instead of the solution
+    (ConjugateGradient_CPU_MPI_OMP.hpp:436-439); we save the solution.
+
+A threaded C++ loader (native/lam_native.cpp) accelerates large reads and
+the f64 -> (hi, lo) f32 split; this module falls back to numpy when the
+native library is not built.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+_HEADER = struct.Struct("<QQ")
+
+
+def read_header(path):
+    """Return (num_rows, num_cols) from a reference-format binary file."""
+    with open(path, "rb") as f:
+        return _HEADER.unpack(f.read(_HEADER.size))
+
+
+def read_matrix(path, dtype=np.float64):
+    """Read a full matrix (or column vector) into a numpy array.
+
+    Mirrors load_matrix_from_file (ConjugateGradient_CPU_OMP.hpp:138-197)
+    but returns shape (rows, cols); vectors come back as (rows, 1).
+    """
+    rows, cols = read_header(path)
+    native = _native()
+    if native is not None and dtype == np.float64:
+        return native.read_rows(path, 0, rows, cols)
+    data = np.fromfile(path, dtype=np.float64, count=rows * cols,
+                       offset=_HEADER.size)
+    if data.size != rows * cols:
+        raise IOError(f"{path}: truncated payload "
+                      f"({data.size} of {rows * cols} elements)")
+    return np.ascontiguousarray(data.reshape(rows, cols).astype(dtype, copy=False))
+
+
+def read_vector(path, dtype=np.float64):
+    """Read an (N, 1) file as a 1-D vector, validating cols == 1.
+
+    Mirrors load_rhs_from_file (ConjugateGradient_CPU_OMP.hpp:94-135).
+    """
+    rows, cols = read_header(path)
+    if cols != 1:
+        raise ValueError(f"{path}: not a vector (cols={cols})")
+    return read_matrix(path, dtype=dtype).reshape(rows)
+
+
+def read_matrix_rows(path, row_start, num_rows, dtype=np.float64):
+    """Read a row-block [row_start, row_start+num_rows) of a matrix file.
+
+    The sharded-loading analog of the reference's MPI-IO per-rank seek+read
+    (ConjugateGradient_CPU_MPI_OMP.hpp:325-363): each host reads only its
+    block of the row-sharded matrix.
+    """
+    rows, cols = read_header(path)
+    if row_start + num_rows > rows:
+        raise ValueError(f"row block [{row_start}, {row_start + num_rows}) "
+                         f"out of range for {rows}-row matrix")
+    native = _native()
+    if native is not None and dtype == np.float64:
+        return native.read_rows(path, row_start, num_rows, cols)
+    offset = _HEADER.size + row_start * cols * 8
+    data = np.fromfile(path, dtype=np.float64, count=num_rows * cols,
+                       offset=offset)
+    return np.ascontiguousarray(
+        data.reshape(num_rows, cols).astype(dtype, copy=False))
+
+
+def write_matrix(path, array):
+    """Write a matrix/vector in the reference binary format.
+
+    Byte-compatible with write_matrix_to_file (random_spd_system.cpp:105-121).
+    1-D arrays are written as (N, 1) column vectors, matching how the
+    reference stores rhs and solution files.
+    """
+    a = np.asarray(array, dtype=np.float64)
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    if a.ndim != 2:
+        raise ValueError(f"expected 1-D or 2-D array, got shape {a.shape}")
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(a.shape[0], a.shape[1]))
+        np.ascontiguousarray(a).tofile(f)
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native():
+    """Lazily load the optional C++ fast-IO library (native/)."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        if not os.environ.get("LAM_TPU_NO_NATIVE"):
+            try:
+                from lam_tpu import _native_io
+                _NATIVE = _native_io if _native_io.available() else None
+            except Exception:
+                _NATIVE = None
+    return _NATIVE

@@ -1,0 +1,186 @@
+"""Pallas TPU dense-matvec kernels.
+
+TPU-native replacement for the reference's hand-written CUDA kernel suite
+(`gemv` one-block-per-row + shared-memory tree reduction, `partialDot`,
+`reduce`, chunked `gemv_host` launcher — ConjugateGradient_GPU_CUDA.cu:16-223,
+copy-pasted into all four GPU backends). Design differences, deliberately
+TPU-first (SURVEY.md §2.4):
+
+  * ONE kernel set shared by every solver configuration; sharding maps the
+    same kernel over mesh shards (the reference re-declares the kernels
+    per backend).
+  * The grid streams (TM, TK) tiles of A HBM->VMEM with Pallas's implicit
+    double buffering; output row-blocks accumulate across the K grid
+    dimension in VMEM. No kernel-launch storm (the reference launches
+    ceil(N/1000) sequential kernels per matvec, .cu:214-223).
+  * f64 capability on an f32 machine: `gemv_df64` consumes the matrix as
+    two f32 planes (hi+lo = exactly f64's 8 bytes/element -> HBM-bandwidth
+    parity with an fp64 GPU) and compensates EVERY multiply (Dekker
+    two_prod) and EVERY add (Knuth two_sum lane accumulators), yielding
+    ~2^-48 relative error -- f64 quality at f32 speed. The VPU does the
+    compensated arithmetic; it stays under the HBM roofline.
+
+Shapes must be pre-padded: n % TILE_K == 0 (operators pad with zeros,
+which is exact for CG -- lam_tpu/solver/operators.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lam_tpu.precision import fast_two_sum, two_prod, two_sum
+
+# Default tiles: A tile = TILE_M x TILE_K f32 (512 KB); double-buffered
+# pipelining keeps the DMA engine saturated. PAD_MULTIPLE in operators.py
+# is the lcm of these.
+TILE_M = 256
+TILE_K = 512
+_LANES = 128
+
+
+def _use_interpret():
+    # Pallas TPU kernels run compiled on TPU; everywhere else (CPU CI,
+    # the 8-device virtual mesh in tests) they run in interpreter mode.
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# f32 gemv
+# ---------------------------------------------------------------------------
+
+def _gemv_f32_kernel(a_ref, p_ref, o_ref):
+    part = jax.lax.dot_general(
+        a_ref[:], p_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, 1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
+def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K):
+    """y = A @ p for f32 A (m, n), p (n,); m, n divisible by the tiles.
+
+    A may be a row-block of a larger matrix (the sharded local matvec)."""
+    m, n = a.shape
+    tile_m = min(tile_m, m)
+    tile_k = min(tile_k, n)
+    grid = (m // tile_m, n // tile_k)
+    out = pl.pallas_call(
+        _gemv_f32_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k), lambda i, k: (i * 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        interpret=_use_interpret(),
+    )(a, p.reshape(1, n))
+    return out.reshape(m)
+
+
+# ---------------------------------------------------------------------------
+# df64 (float-float) gemv with fully compensated accumulation
+# ---------------------------------------------------------------------------
+
+def _gemv_df64_kernel(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
+                      acc_s, acc_c):
+    """Grid (rows, cols): per step, fold a (TM, TK) tile of exact products
+    into 128 compensated lane-accumulators per row; on the last K step,
+    tree-reduce the lanes (compensated) and emit (y_hi, y_lo)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_c[:] = jnp.zeros_like(acc_c)
+
+    ah = ah_ref[:]          # (TM, TK)
+    al = al_ref[:]
+    ph = ph_ref[:]          # (1, TK) broadcasts over rows
+    plo = pl_ref[:]
+
+    # Exact product: a*p = t_hi + t_lo with a = ah+al, p = ph+plo.
+    t_hi, t_err = two_prod(ah, ph)
+    t_lo = t_err + (ah * plo + al * ph + al * plo)
+
+    # Fold TK columns into the 128 lane accumulators, compensating every
+    # add: (s, c) += slab  =>  s, e = two_sum(s, slab); c += e + slab_lo.
+    tm, tk = t_hi.shape
+    s = acc_s[:]
+    c = acc_c[:]
+    for j in range(tk // _LANES):
+        sl = slice(j * _LANES, (j + 1) * _LANES)
+        s, e = two_sum(s, t_hi[:, sl])
+        c = c + (e + t_lo[:, sl])
+    acc_s[:] = s
+    acc_c[:] = c
+
+    @pl.when(k == nk - 1)
+    def _():
+        # Compensated binary tree across the 128 lanes.
+        s_ = acc_s[:]
+        c_ = acc_c[:]
+        width = _LANES
+        while width > 1:
+            half = width // 2
+            s2, e = two_sum(s_[:, :half], s_[:, half:width])
+            c_ = c_[:, :half] + c_[:, half:width] + e
+            s_ = s2
+            width = half
+        hi, lo = fast_two_sum(s_, c_)
+        yh_ref[:] = hi
+        yl_ref[:] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
+def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
+    """(y_hi, y_lo) = A @ p in float-float; all inputs f32, n % tiles == 0.
+
+    A = a_hi + a_lo (two planes), p = p_hi + p_lo. Result is the
+    correctly-rounded-to-~2^-48 product — the TPU answer to the
+    reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
+    """
+    m, n = a_hi.shape
+    tile_m = min(tile_m, m)
+    tile_k = min(tile_k, n)
+    grid = (m // tile_m, n // tile_k)
+    vec_spec = pl.BlockSpec((1, tile_k), lambda i, k: (i * 0, k),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((tile_m, tile_k), lambda i, k: (i, k),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
+                            memory_space=pltpu.VMEM)
+    yh, yl = pl.pallas_call(
+        _gemv_df64_kernel,
+        grid=grid,
+        in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, _LANES), jnp.float32),
+            pltpu.VMEM((tile_m, _LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(a_hi, a_lo, p_hi.reshape(1, n), p_lo.reshape(1, n))
+    return yh.reshape(m), yl.reshape(m)

@@ -1,0 +1,263 @@
+"""Sharded CG: one mesh program replacing four reference backends.
+
+The reference implements distributed CG four times (single-node multi-GPU
+P2P, CUDA-aware MPI, NCCL, CPU MPI+OpenMP — SURVEY.md §2.3), all with the
+same 1-D row decomposition and, on the GPU paths, a rank-0 bottleneck:
+every iteration broadcasts p from rank 0, gathers partial Ap back to rank
+0, and runs ALL vector algebra on rank 0's device alone
+(ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:355-396).
+
+Here the entire solve is ONE `shard_map` program over a 1-D mesh:
+
+  * A row-sharded P('rows', None); x/r/p/b row-sharded P('rows').
+  * matvec: all_gather(p) over ICI (the dual of the reference's
+    Allgatherv on Ap, ConjugateGradient_CPU_MPI_OMP.hpp:505) then the
+    local Pallas gemv on the shard's row-block.
+  * dot products: local partial + lax.psum — replacing MPI_Allreduce
+    (CPU_MPI_OMP.hpp:464) and the NCCL send/recv gather (..._NCCL.cu:365-372).
+  * vector updates: local on every shard. No rank-0 serialization; every
+    chip computes 1/G of everything.
+  * the whole while_loop lives on-device: no per-iteration host sync, no
+    MPI_Bcast(stop) control plane (..._NCCL.cu:407).
+
+Per-iteration communication: 1 all-gather of p (N values) + 2 scalar
+psums, vs. the reference GPU backends' broadcast(N) + gather(N) + bcast(1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lam_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+from lam_tpu.solver.cg import CGResult
+from lam_tpu.solver.operators import (
+    MATVEC,
+    LinearOperator,
+    padded_size,
+)
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
+    """Compile-once factory for the sharded CG program."""
+
+    operand_spec = P(axis, None)
+    if operand_is_pair:
+        operand_spec = (operand_spec, operand_spec)
+
+    def local_loop(operand, b, max_iters, rel_error):
+        # Runs per-shard: b, x, r, p are the local row-blocks.
+        def pdot(u, v):
+            return jax.lax.psum(jnp.vdot(u, v), axis)
+
+        dtype = b.dtype
+        eps = jnp.asarray(rel_error, dtype)
+        bb = pdot(b, b)
+        x0 = jnp.zeros_like(b)
+
+        def cond(carry):
+            _, _, _, rr, k = carry
+            return jnp.logical_and(k < max_iters,
+                                   jnp.sqrt(rr / bb) >= eps)
+
+        def body(carry):
+            x, r, p, rr, k = carry
+            p_full = jax.lax.all_gather(p, axis, tiled=True)
+            ap = matvec_local(operand, p_full)
+            alpha = rr / pdot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = pdot(r, r)
+            beta = rr_new / rr
+            p = r + beta * p
+            return (x, r, p, rr_new, k + 1)
+
+        init = (x0, b, b, bb, jnp.int32(0))
+        x, _, _, rr, k = jax.lax.while_loop(cond, body, init)
+        rel = jnp.sqrt(rr / bb)
+        converged = rel < eps
+        num_iters = jnp.where(converged, k, max_iters).astype(jnp.int32)
+        return CGResult(x=x, num_iters=num_iters, rel_residual=rel,
+                        converged=converged)
+
+    mapped = shard_map(
+        local_loop,
+        mesh=mesh,
+        in_specs=(operand_spec, P(axis), P(), P()),
+        out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class ShardedDenseOperator(LinearOperator):
+    """Row-sharded HBM-resident dense matrix over a 1-D mesh.
+
+    Subsumes ConjugateGradient_MultiGPUS_CUDA{,_MPI,_NCCL} and
+    ConjugateGradient_CPU_MPI_OMP: the device count of the mesh is the
+    only "backend" knob left.
+    """
+
+    def __init__(self, operand, n, n_padded, vector_dtype, precision,
+                 engine, mesh, axis=ROWS_AXIS):
+        key = (precision, engine)
+        super().__init__(None, operand, n, n_padded, vector_dtype)
+        self.precision = precision
+        self.engine = engine
+        self.mesh = mesh
+        self.axis = axis
+        self._mv_local = MATVEC[key]
+        self._b_sharding = NamedSharding(mesh, P(axis))
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def shard_padded_size(n, mesh, engine):
+        """Pad so every shard is tile-aligned for the Pallas kernels."""
+        g = mesh.devices.size
+        if engine == "pallas":
+            from lam_tpu.ops.gemv import TILE_K, TILE_M
+            mult = max(TILE_K, TILE_M * g)
+        else:
+            mult = g
+        return padded_size(n, mult)
+
+    @staticmethod
+    def from_row_block_fn(row_block_fn, n, mesh=None, precision="auto",
+                          engine="auto", axis=ROWS_AXIS):
+        """Build from a function row_block_fn(row_start, num_rows) -> f64
+        ndarray of shape (num_rows, n_padded_cols... ) — actually (num_rows,
+        n) source rows; padding is applied here.
+
+        This is the TPU analog of the reference's per-rank MPI-IO reads /
+        per-rank generation (ConjugateGradient_CPU_MPI_OMP.hpp:325-363,
+        :237-247): each shard's rows are produced independently, so no
+        host ever materializes the full matrix.
+        """
+        if mesh is None:
+            mesh = make_mesh()
+        if precision == "auto":
+            precision = "df64" if jax.default_backend() == "tpu" else "f64"
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if precision == "f64" and engine == "pallas":
+            engine = "xla"
+
+        n_p = ShardedDenseOperator.shard_padded_size(n, mesh, engine)
+        a_sharding = NamedSharding(mesh, P(axis, None))
+
+        def padded_block(row_start, num_rows):
+            src_rows = max(0, min(n - row_start, num_rows))
+            block = np.zeros((num_rows, n_p), dtype=np.float64)
+            if src_rows > 0:
+                block[:src_rows, :n] = row_block_fn(row_start, src_rows)
+            return block
+
+        def make(cb):
+            return jax.make_array_from_callback(
+                (n_p, n_p), a_sharding,
+                lambda idx: cb(idx[0].start or 0,
+                               (idx[0].stop or n_p) - (idx[0].start or 0)))
+
+        if precision == "f64":
+            operand = make(lambda s, m: padded_block(s, m))
+            vdtype = jnp.float64
+        elif precision == "f32":
+            operand = make(
+                lambda s, m: padded_block(s, m).astype(np.float32))
+            vdtype = jnp.float32
+        elif precision == "df64":
+            def hi_block(s, m):
+                return padded_block(s, m).astype(np.float32)
+
+            def lo_block(s, m):
+                b64 = padded_block(s, m)
+                hi = b64.astype(np.float32)
+                return (b64 - hi.astype(np.float64)).astype(np.float32)
+
+            operand = (make(hi_block), make(lo_block))
+            vdtype = jnp.float64
+        else:
+            raise ValueError(f"unknown precision {precision!r}")
+
+        return ShardedDenseOperator(operand, n, n_p, vdtype, precision,
+                                    engine, mesh, axis)
+
+    @staticmethod
+    def from_dense(a, mesh=None, precision="auto", engine="auto",
+                   axis=ROWS_AXIS):
+        a = np.asarray(a, dtype=np.float64)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        return ShardedDenseOperator.from_row_block_fn(
+            lambda s, m: a[s:s + m, :], n, mesh=mesh, precision=precision,
+            engine=engine, axis=axis)
+
+    @staticmethod
+    def from_file(path, mesh=None, precision="auto", engine="auto",
+                  axis=ROWS_AXIS):
+        """Shard-wise file load: each shard reads only its row block,
+        like the reference's MPI-IO seek+read per rank."""
+        from lam_tpu import io as lio
+        rows, cols = lio.read_header(path)
+        if rows != cols:
+            raise ValueError(f"{path}: matrix must be square "
+                             f"({rows}x{cols})")
+        return ShardedDenseOperator.from_row_block_fn(
+            lambda s, m: lio.read_matrix_rows(path, s, m), rows,
+            mesh=mesh, precision=precision, engine=engine, axis=axis)
+
+    # -- solve path --------------------------------------------------------
+
+    def prepare_b(self, b):
+        b = np.asarray(b, dtype=self.vector_dtype)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, expected ({self.n},)")
+        if self.n_padded != self.n:
+            b = np.pad(b, (0, self.n_padded - self.n))
+        return jax.device_put(b, self._b_sharding)
+
+    def matvec(self, p_padded):
+        def local(operand, p_local):
+            p_full = jax.lax.all_gather(p_local, self.axis, tiled=True)
+            return self._mv_local(operand, p_full)
+
+        operand_spec = P(self.axis, None)
+        if self.precision == "df64":
+            operand_spec = (operand_spec, operand_spec)
+        fn = shard_map(local, mesh=self.mesh,
+                       in_specs=(operand_spec, P(self.axis)),
+                       out_specs=P(self.axis), check_vma=False)
+        return fn(self.operand, p_padded)
+
+    def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
+        del loop_fn  # the sharded program is the loop
+        solver = _build_sharded_cg(self._mv_local, self.mesh, self.axis,
+                                   self.precision == "df64")
+        return solver(self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
+
+    def as_f32(self):
+        if self.precision == "f32":
+            return self
+        if self.precision == "df64":
+            a32 = self.operand[0]
+        else:
+            a32 = None
+        if a32 is None:
+            raise NotImplementedError(
+                "as_f32 for sharded f64 operators: rebuild with df64")
+        return ShardedDenseOperator(a32, self.n, self.n_padded, jnp.float32,
+                                    "f32", self.engine, self.mesh, self.axis)

@@ -1,0 +1,177 @@
+"""The four-method solver facade, interface-compatible with the reference.
+
+The reference's abstract base (challenge/main/LAM/src/ConjugateGradient.hpp:9-28)
+defines: solve(max_iters, rel_error), load_matrix_from_file,
+load_rhs_from_file, save_result_to_file; the distributed backends add
+generate_matrix / generate_rhs (ConjugateGradient_CPU_MPI_OMP.hpp:145-256).
+This class implements all six with the backend collapsed to a config:
+
+    backend:   'local'   one device (reference CPU_OMP / GPU_CUDA)
+               'sharded' row-sharded mesh (reference MultiGPUS_*/CPU_MPI)
+               'auto'    sharded iff >1 device visible
+    precision: 'f64' | 'f32' | 'df64' | 'ir' | 'auto'
+               (see lam_tpu/solver/operators.py; 'ir' = f32 iterations +
+               f64 iterative refinement, the fastest path to 1e-9)
+    engine:    'pallas' | 'xla' | 'auto'
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lam_tpu import generate as gen
+from lam_tpu import io as lio
+from lam_tpu.solver.cg import cg_solve, cg_solve_ir
+from lam_tpu.solver.operators import DenseOperator
+
+
+class ConjugateGradient:
+    def __init__(self, backend="auto", precision="auto", engine="auto",
+                 n_devices=None, mesh=None):
+        if backend == "auto":
+            n = n_devices or len(jax.devices())
+            backend = "sharded" if n > 1 else "local"
+        self.backend = backend
+        self.precision = precision
+        self.engine = engine
+        self.n_devices = n_devices
+        self._mesh = mesh
+        self.op = None
+        self.rhs = None
+        self.result = None
+        self.timings = {}
+        self.n = None
+
+    # -- internal ----------------------------------------------------------
+
+    def _base_precision(self):
+        # 'ir' runs on a df64 base operator plus its f32 sibling.
+        if self.precision == "ir":
+            return "df64"
+        return self.precision
+
+    def _mesh_or_make(self):
+        if self._mesh is None:
+            from lam_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(self.n_devices)
+        return self._mesh
+
+    def _build_operator(self, row_block_fn, n, full_matrix=None):
+        if self.backend == "sharded":
+            from lam_tpu.parallel.pcg import ShardedDenseOperator
+            return ShardedDenseOperator.from_row_block_fn(
+                row_block_fn, n, mesh=self._mesh_or_make(),
+                precision=self._base_precision(), engine=self.engine)
+        a = full_matrix if full_matrix is not None else row_block_fn(0, n)
+        return DenseOperator.from_dense(
+            a, precision=self._base_precision(), engine=self.engine)
+
+    # -- reference interface -------------------------------------------------
+
+    def load_matrix_from_file(self, filename):
+        """Sharded per-row-block read (the MPI-IO analog); times the load
+        like the reference drivers (test_CG_CPU_MPI_OMP.cpp:50-53)."""
+        t0 = time.perf_counter()
+        rows, cols = lio.read_header(filename)
+        if rows != cols:
+            raise ValueError(f"{filename}: matrix must be square")
+        self.n = rows
+        self.op = self._build_operator(
+            lambda s, m: lio.read_matrix_rows(filename, s, m), rows)
+        jax.block_until_ready(self.op.operand)
+        self.timings["load_s"] = time.perf_counter() - t0
+        return True
+
+    def load_rhs_from_file(self, filename):
+        b = lio.read_vector(filename)
+        if self.n is not None and b.shape[0] != self.n:
+            raise ValueError(
+                "Size of right hand side does not match the matrix")
+        self.rhs = b
+        return True
+
+    def generate_matrix(self, rows, cols=None):
+        """Gen-mode dense tridiagonal (ConjugateGradient_CPU_MPI_OMP.hpp:237-247),
+        built shard-by-shard."""
+        if cols is not None and cols != rows:
+            raise ValueError("generated matrix must be square")
+        t0 = time.perf_counter()
+        self.n = rows
+        self.op = self._build_operator(
+            lambda s, m: gen.tridiagonal_rows(s, m, rows), rows)
+        jax.block_until_ready(self.op.operand)
+        self.timings["load_s"] = time.perf_counter() - t0
+        return True
+
+    def generate_rhs(self):
+        """Gen-mode rhs of ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
+        if self.n is None:
+            raise RuntimeError("generate_matrix first")
+        self.rhs = gen.ones_rhs(self.n)
+        return True
+
+    def solve(self, max_iters=1000, rel_error=1e-9, warmup=True):
+        """Run CG; returns True iff converged (ConjugateGradient.hpp:14).
+
+        warmup pre-compiles the solve program with max_iters=0 so the
+        reported time is execution, not XLA compilation (the reference has
+        no JIT; its timed region is pure execution).
+        """
+        if self.op is None or self.rhs is None:
+            raise RuntimeError("load/generate a system first")
+        solver = self._solve_once
+        if warmup:
+            solver(0, rel_error)
+        t0 = time.perf_counter()
+        result = solver(max_iters, rel_error)
+        jax.block_until_ready(result.x)
+        dt = time.perf_counter() - t0
+        self.result = result
+        iters = max(int(result.num_iters), 1)
+        self.timings["solve_s"] = dt
+        self.timings["avg_iter_s"] = dt / iters
+        self.timings["num_iters"] = int(result.num_iters)
+        self.timings["rel_residual"] = float(result.rel_residual)
+        return bool(result.converged)
+
+    def _solve_once(self, max_iters, rel_error):
+        if self.precision == "ir":
+            return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
+                               max_iters=max_iters, rel_error=rel_error)
+        return cg_solve(self.op, self.rhs, max_iters=max_iters,
+                        rel_error=rel_error)
+
+    def save_result_to_file(self, filename):
+        """Writes the SOLUTION with the full row count — deliberately
+        fixing the reference bugs of writing the rhs and rank-0's local
+        row count (ConjugateGradient_CPU_MPI_OMP.hpp:436-439, SURVEY §8.3)."""
+        if self.result is None:
+            raise RuntimeError("solve first")
+        lio.write_matrix(filename, np.asarray(self.result.x))
+        return True
+
+    # -- extras ---------------------------------------------------------------
+
+    def measure_gemv(self, repeats=10):
+        """Average matvec wall time — the avg_gemv CSV column. The
+        reference times gemv inside its hot loop (CPU_MPI_OMP.hpp:95-120);
+        with the whole loop fused on-device we measure it separately."""
+        p = self.op.prepare_b(self.rhs)
+        mv = self.op.matvec
+        jax.block_until_ready(mv(p))  # compile
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(repeats):
+            out = mv(p)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / repeats
+        self.timings["avg_gemv_s"] = dt
+        return dt
+
+    @property
+    def x(self):
+        return None if self.result is None else np.asarray(self.result.x)

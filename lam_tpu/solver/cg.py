@@ -1,0 +1,142 @@
+"""The conjugate-gradient engine.
+
+ONE solver loop replaces the reference's six per-backend copies of the CG
+recurrence (the algorithm at ConjugateGradient_CPU_OMP.hpp:50-91 is
+repeated, kernel set and all, in every CUDA backend, e.g.
+ConjugateGradient_GPU_CUDA.cu:226-325). Placement — single device vs. a
+sharded mesh — is the *operator's* concern (lam_tpu/solver/operators.py,
+lam_tpu/parallel/), not the loop's.
+
+TPU-native structure: the entire iteration runs inside `lax.while_loop`
+under `jit`, so there are ZERO host round-trips until convergence — unlike
+the reference, which copies rr/bb device->host and re-launches kernels
+every iteration (ConjugateGradient_GPU_CUDA.cu:285-287).
+
+Semantics parity (required for iteration-count parity with the reference
+corpus, see SURVEY.md §8.7):
+  * update order: gemv; alpha = rr / p.Ap; x += alpha p; r -= alpha Ap;
+    rr_new = r.r; beta = rr_new / rr; CONVERGENCE TEST; p = r + beta p
+    (ConjugateGradient_CPU_OMP.hpp:68-79). The test precedes the p-update,
+    so we run the p-update unconditionally (it cannot affect x, r, or rr
+    once converged) and let the loop condition exit.
+  * stopping rule: sqrt(rr / bb) < rel_error, with bb = b.b computed once
+    up front (ConjugateGradient_CPU_OMP.hpp:65,77).
+  * iteration counting: `num_iters` is the number of completed iterations;
+    convergence at iteration k reports k; non-convergence reports
+    max_iters (ConjugateGradient_CPU_OMP.hpp:81-90).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    """Solve outcome. Fields are device scalars/arrays until read."""
+
+    x: jax.Array
+    num_iters: jax.Array      # int32: completed iterations (see module doc)
+    rel_residual: jax.Array   # sqrt(rr / bb) at exit
+    converged: jax.Array      # bool
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cg_loop(matvec_dot, operand, b, max_iters, rel_error):
+    """Jitted CG on (possibly padded) vectors.
+
+    matvec_dot(operand, p) -> (Ap, p.Ap) — fusing the first dot product
+    into the matvec lets the dense kernels produce it in the same pass
+    over the matrix.
+    """
+    dtype = b.dtype
+    bb = jnp.vdot(b, b)
+    x0 = jnp.zeros_like(b)
+    # x = 0, r = p = b (ConjugateGradient_CPU_OMP.hpp:56-63).
+    eps = jnp.asarray(rel_error, dtype)
+
+    def cond(carry):
+        _, _, _, rr, k = carry
+        unconverged = jnp.sqrt(rr / bb) >= eps
+        return jnp.logical_and(k < max_iters, unconverged)
+
+    def body(carry):
+        x, r, p, rr, k = carry
+        ap, p_ap = matvec_dot(operand, p)
+        alpha = rr / p_ap
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr_new = jnp.vdot(r, r)
+        beta = rr_new / rr
+        p = r + beta * p
+        return (x, r, p, rr_new, k + 1)
+
+    init = (x0, b, b, bb, jnp.int32(0))
+    x, _, _, rr, k = jax.lax.while_loop(cond, body, init)
+    rel = jnp.sqrt(rr / bb)
+    converged = rel < eps
+    num_iters = jnp.where(converged, k, max_iters).astype(jnp.int32)
+    return CGResult(x=x, num_iters=num_iters, rel_residual=rel,
+                    converged=converged)
+
+
+def cg_solve(op, b, *, max_iters=1000, rel_error=1e-9):
+    """Solve A x = b with CG for a LinearOperator `op`.
+
+    `b` may be numpy or jax, length op.n; the result's x has length op.n
+    (padding, sharding, and precision are handled by the operator).
+    """
+    b_dev = op.prepare_b(b)
+    res = op.run_cg(_cg_loop, b_dev, jnp.int32(max_iters), rel_error)
+    return res._replace(x=op.extract_x(res.x))
+
+
+def cg_solve_ir(op32, op_acc, b, *, max_iters=10000, rel_error=1e-9,
+                inner_floor=1e-6, max_cycles=6):
+    """Mixed-precision CG with iterative refinement (the fast TPU path).
+
+    Runs the CG iterations in f32 (half the HBM traffic of the
+    df64/f64 matrix) and periodically restarts from the TRUE residual
+    computed with the accurate operator: solve A d = r in f32, x += d,
+    r = b - A x in df64/f64. Converges to full f64-quality residuals while
+    streaming a 4-byte matrix through the hot loop. This path has no
+    reference analog — it is pure capability surplus; the df64 path is the
+    semantics-parity solver.
+
+    op32 and op_acc must represent the same matrix in f32 and in
+    accurate (f64/df64) form. Returns a CGResult on the accurate dtype;
+    num_iters counts TOTAL inner f32 iterations.
+    """
+    b64 = op_acc.prepare_b(b)
+    bb = jnp.vdot(b64, b64)
+    x = jnp.zeros_like(b64)
+    r = b64
+    total_iters = 0
+    for _ in range(max_cycles):
+        rnorm2 = jnp.vdot(r, r)
+        rel = float(jnp.sqrt(rnorm2 / bb))
+        if rel < rel_error or total_iters >= max_iters:
+            break
+        # Inner tolerance: enough to land under rel_error after this
+        # cycle, but never below what f32 recurrences can deliver.
+        inner_tol = max(rel_error / max(rel, 1e-300), inner_floor)
+        inner_tol = min(inner_tol, 0.99)
+        rnorm = jnp.sqrt(rnorm2)
+        # op32 shares op_acc's padded vector space; only the dtype changes.
+        r32 = (r / rnorm).astype(jnp.float32)
+        inner = op32.run_cg(_cg_loop, r32,
+                            jnp.int32(max_iters - total_iters), inner_tol)
+        total_iters += int(inner.num_iters)
+        d = inner.x.astype(b64.dtype) * rnorm
+        x = x + d
+        r = b64 - op_acc.matvec(x)
+    rel = jnp.sqrt(jnp.vdot(r, r) / bb)
+    return CGResult(
+        x=op_acc.extract_x(x),
+        num_iters=jnp.int32(total_iters),
+        rel_residual=rel,
+        converged=rel < rel_error,
+    )

@@ -1,0 +1,212 @@
+"""Linear operators: the placement/precision layer under the CG engine.
+
+The reference binds the matrix representation, the matvec kernels, and the
+communication strategy into six solver subclasses
+(challenge/main/LAM/include/LAM.hpp:1-16). Here the CG loop is fixed
+(lam_tpu/solver/cg.py) and an *operator* carries everything
+matrix-related: storage precision, padding, which kernel computes A @ p,
+and (in lam_tpu/parallel/) how A is sharded over the mesh.
+
+Padding: TPU kernels want tile-aligned shapes, and `lax.while_loop`
+requires static shapes, so the matrix/vectors are ZERO-padded once at
+construction. Zero padding is exact for CG: padded rows/cols of A are 0,
+padded entries of b are 0, so every padded vector entry stays 0 through
+the recurrence and every dot product is unchanged. This replaces the
+reference's last-rank-takes-the-remainder splitting
+(ConjugateGradient_CPU_MPI_OMP.hpp:180-184).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lam_tpu.precision import join_f64, split_f64
+
+# Pad to the kernel tile LCM (lam_tpu/ops/gemv.py tiles divide this).
+PAD_MULTIPLE = 512
+
+
+def padded_size(n, multiple=PAD_MULTIPLE):
+    return -(-n // multiple) * multiple
+
+
+# ---------------------------------------------------------------------------
+# matvec_dot implementations. Module-level functions so they hash stably as
+# jit static arguments (no retracing across operator instances).
+# ---------------------------------------------------------------------------
+
+def _mv_xla(a, p):
+    """Plain XLA dense matvec (any dtype, any backend). Also the local
+    shard matvec: a may be a row-block (m, n) with p the full vector."""
+    return a @ p
+
+
+def _mv_df64_xla(operand, p):
+    """df64 matrix via emulated-f64 XLA — correctness fallback off-TPU."""
+    hi, lo = operand
+    f64 = p.dtype
+    return hi.astype(f64) @ p + lo.astype(f64) @ p
+
+
+def _mv_f32_pallas(a, p):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32(a, p)
+
+
+def _mv_df64_pallas(operand, p):
+    from lam_tpu.ops import gemv
+    hi, lo = operand
+    ph, pl = split_f64(p)
+    yh, yl = gemv.gemv_df64(hi, lo, ph, pl)
+    return join_f64(yh, yl)
+
+
+@functools.lru_cache(maxsize=None)
+def _wrap_matvec(matvec_fn):
+    """fn(operand, p) -> matvec_dot(operand, p); cached so the wrapper is
+    a stable jit static argument (same fn -> same wrapper -> no retrace)."""
+
+    def matvec_dot(operand, p):
+        ap = matvec_fn(operand, p)
+        return ap, jnp.vdot(p, ap)
+
+    return matvec_dot
+
+
+# Plain local matvec by (precision, engine) — the sharded solver composes
+# these with collectives itself (lam_tpu/parallel/pcg.py).
+MATVEC = {
+    ("f64", "xla"): _mv_xla,
+    ("f32", "xla"): _mv_xla,
+    ("f32", "pallas"): _mv_f32_pallas,
+    ("df64", "xla"): _mv_df64_xla,
+    ("df64", "pallas"): _mv_df64_pallas,
+}
+
+_MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
+
+
+class LinearOperator:
+    """Base operator: anything with a matvec usable by cg_solve.
+
+    Mirrors the role of the abstract solver interface
+    (challenge/main/LAM/src/ConjugateGradient.hpp:9-28) at the layer the
+    TPU design actually varies: the matrix action, not the loop.
+    """
+
+    def __init__(self, matvec_dot_fn, operand, n, n_padded, vector_dtype):
+        self._matvec_dot_fn = matvec_dot_fn
+        self.operand = operand
+        self.n = n
+        self.n_padded = n_padded
+        self.vector_dtype = vector_dtype
+
+    def prepare_b(self, b):
+        """Unpadded host/device vector -> padded device vector."""
+        b = jnp.asarray(b, dtype=self.vector_dtype)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, expected ({self.n},)")
+        if self.n_padded != self.n:
+            b = jnp.pad(b, (0, self.n_padded - self.n))
+        return b
+
+    def extract_x(self, x_padded):
+        return x_padded[: self.n]
+
+    def matvec(self, p_padded):
+        return self._matvec_dot_fn(self.operand, p_padded)[0]
+
+    def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
+        return loop_fn(self._matvec_dot_fn, self.operand, b_padded,
+                       max_iters, rel_error)
+
+
+class MatrixFreeOperator(LinearOperator):
+    """Operator from an arbitrary matvec function (e.g. a stencil).
+
+    Used by the heat-equation demo to apply the 5-point Laplacian without
+    materializing the N^2 matrix — the reference app materializes nothing
+    either, it just runs Jacobi sweeps (heat_equation.cpp:75-89); here the
+    same system is solved by the CG engine (SURVEY.md §3.5 rebuild note).
+    """
+
+    def __init__(self, matvec_fn, operand, n, vector_dtype=jnp.float64):
+        # No padding: matrix-free shapes are whatever the stencil wants.
+        super().__init__(_wrap_matvec(matvec_fn), operand, n, n,
+                         vector_dtype)
+
+
+class DenseOperator(LinearOperator):
+    """HBM-resident dense matrix with a precision/kernel selection.
+
+    precision:
+      'f64'  — XLA matvec on float64 (native on CPU; emulated on TPU).
+               The correctness oracle / parity path.
+      'f32'  — f32 storage and matvec (Pallas kernel on TPU). Inner
+               engine of the mixed-precision solver.
+      'df64' — float-float storage (two f32 planes = 8 B/elem, same
+               HBM bytes as f64) with the compensated Pallas kernel on
+               TPU. The f64-quality fast path.
+    """
+
+    def __init__(self, matvec_dot_fn, operand, n, n_padded, vector_dtype,
+                 precision, engine):
+        super().__init__(matvec_dot_fn, operand, n, n_padded, vector_dtype)
+        self.precision = precision
+        self.engine = engine
+
+    @staticmethod
+    def from_dense(a, precision="auto", engine="auto"):
+        """Build from an (n, n) numpy/jax array (f64 source of truth)."""
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        if precision == "auto":
+            precision = "df64" if jax.default_backend() == "tpu" else "f64"
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if precision == "f64" and engine == "pallas":
+            engine = "xla"  # no f64 in Mosaic; df64 is the pallas answer
+
+        pad = padded_size(n) if engine == "pallas" else n
+        a = np.asarray(a, dtype=np.float64)
+        if pad != n:
+            a_p = np.zeros((pad, pad), dtype=np.float64)
+            a_p[:n, :n] = a
+            a = a_p
+
+        if precision == "f64":
+            operand = jnp.asarray(a, dtype=jnp.float64)
+            vdtype = jnp.float64
+        elif precision == "f32":
+            operand = jnp.asarray(a, dtype=jnp.float32)
+            vdtype = jnp.float32
+        elif precision == "df64":
+            hi = a.astype(np.float32)
+            lo = (a - hi.astype(np.float64)).astype(np.float32)
+            operand = (jnp.asarray(hi), jnp.asarray(lo))
+            vdtype = jnp.float64
+        else:
+            raise ValueError(f"unknown precision {precision!r}")
+
+        fn = _MATVEC_DOT[(precision, engine)]
+        return DenseOperator(fn, operand, n, pad, vdtype, precision, engine)
+
+    def as_f32(self):
+        """Sibling f32 operator sharing this operator's padded space.
+
+        Used to pair with a df64/f64 operator for cg_solve_ir.
+        """
+        if self.precision == "f32":
+            return self
+        if self.precision == "df64":
+            a32 = self.operand[0]
+        else:
+            a32 = self.operand.astype(jnp.float32)
+        fn = _MATVEC_DOT[("f32", self.engine)]
+        return DenseOperator(fn, a32, self.n, self.n_padded, jnp.float32,
+                             "f32", self.engine)

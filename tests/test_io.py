@@ -1,0 +1,61 @@
+"""Binary format: byte-compatibility with the reference's fwrite layout."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from lam_tpu import io as lio
+
+
+def _reference_style_bytes(a):
+    """Bytes exactly as the reference writes them
+    (random_spd_system.cpp:105-121): two size_t + row-major doubles."""
+    a = np.asarray(a, dtype="<f8")
+    return struct.pack("<QQ", a.shape[0], a.shape[1]) + a.tobytes(order="C")
+
+
+def test_roundtrip_matrix(tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((7, 5))
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    back = lio.read_matrix(path)
+    np.testing.assert_array_equal(back, a)
+    # byte-identical to what the reference's fwrite sequence produces
+    assert path.read_bytes() == _reference_style_bytes(a)
+
+
+def test_read_reference_written_file(tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((9, 9))
+    path = tmp_path / "ref.bin"
+    path.write_bytes(_reference_style_bytes(a))
+    np.testing.assert_array_equal(lio.read_matrix(path), a)
+    assert lio.read_header(path) == (9, 9)
+
+
+def test_vector_roundtrip(tmp_path):
+    b = np.arange(11, dtype=np.float64)
+    path = tmp_path / "v.bin"
+    lio.write_matrix(path, b)  # 1-D -> (N, 1) like the reference rhs files
+    assert lio.read_header(path) == (11, 1)
+    np.testing.assert_array_equal(lio.read_vector(path), b)
+
+
+def test_read_vector_rejects_matrix(tmp_path):
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, np.zeros((3, 3)))
+    with pytest.raises(ValueError):
+        lio.read_vector(path)
+
+
+def test_row_block_read(tmp_path):
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((16, 4))
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    blk = lio.read_matrix_rows(path, 5, 7)
+    np.testing.assert_array_equal(blk, a[5:12])
+    with pytest.raises(ValueError):
+        lio.read_matrix_rows(path, 10, 7)

@@ -1,0 +1,71 @@
+"""Pallas gemv kernels (interpreter mode on CPU) vs numpy."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lam_tpu.ops.gemv import gemv_df64, gemv_f32
+from lam_tpu.precision import split_f64
+
+
+def _padded_random(m, n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(m, n)), rng.uniform(-1, 1, size=n)
+
+
+def test_gemv_f32_matches_numpy():
+    m, n = 512, 1024
+    a, p = _padded_random(m, n, 0)
+    a32 = jnp.asarray(a, dtype=jnp.float32)
+    p32 = jnp.asarray(p, dtype=jnp.float32)
+    y = np.asarray(gemv_f32(a32, p32))
+    ref = np.asarray(a32, dtype=np.float64) @ np.asarray(p32,
+                                                         dtype=np.float64)
+    # f32 accumulation differs from numpy's order only at rounding level
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_gemv_f32_rectangular_row_block():
+    m, n = 256, 1536  # a sharded local block shape
+    a, p = _padded_random(m, n, 1)
+    y = np.asarray(gemv_f32(jnp.asarray(a, jnp.float32),
+                            jnp.asarray(p, jnp.float32)))
+    assert y.shape == (m,)
+    ref = (a.astype(np.float32).astype(np.float64)
+           @ p.astype(np.float32).astype(np.float64))
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_gemv_df64_is_f64_quality():
+    m, n = 512, 1024
+    a, p = _padded_random(m, n, 2)
+    a_hi, a_lo = split_f64(jnp.asarray(a))
+    p_hi, p_lo = split_f64(jnp.asarray(p))
+    yh, yl = gemv_df64(a_hi, a_lo, p_hi, p_lo)
+    y = np.asarray(yh, dtype=np.float64) + np.asarray(yl, dtype=np.float64)
+    ref = a @ p
+    err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    import jax
+    if jax.default_backend() == "tpu":
+        # Mosaic preserves the error-free transforms: ~2^-48 accuracy
+        # (measured 7.8e-15 L2 on v5e).
+        assert err < 1e-13, f"df64 gemv error {err:.3e}"
+    else:
+        # XLA:CPU (interpret mode) evaluates fused f32 regions in excess
+        # precision, which silently disables the compensation (the result
+        # is *more* accurate than plain f32 but not exactly-rounded).
+        # Strict verification happens on TPU hardware.
+        assert err < 1e-6, f"df64 gemv error {err:.3e}"
+
+
+def test_gemv_df64_zero_padding_rows_are_zero():
+    m, n = 512, 512
+    a = np.zeros((m, n))
+    a[:100, :100] = np.random.default_rng(3).uniform(-1, 1, (100, 100))
+    p = np.zeros(n)
+    p[:100] = 1.0
+    a_hi, a_lo = split_f64(jnp.asarray(a))
+    p_hi, p_lo = split_f64(jnp.asarray(p))
+    yh, yl = gemv_df64(a_hi, a_lo, p_hi, p_lo)
+    y = np.asarray(yh, dtype=np.float64) + np.asarray(yl, dtype=np.float64)
+    assert np.all(y[100:] == 0.0)
+    np.testing.assert_allclose(y[:100], (a @ p)[:100], rtol=1e-6)
