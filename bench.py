@@ -1,0 +1,109 @@
+"""Headline benchmark: time-to-1e-9 dense CG at N=20000 on one chip.
+
+Reference anchor (BASELINE.md): single A100-40GB solves the N=20000
+random SPD system to 1e-9 in 0.866 s (343 iters, TESTS/BEST_RESULTS:366).
+This benchmark builds an equivalent system (identical eigenvalue law
+exp(3.5*U(-1,1)), random orthogonal similarity -> same CG behavior),
+solves it on one TPU chip with both the df64 (f64-parity) and the
+mixed-precision (f32 + iterative refinement) engines, validates the TRUE
+residual in float-float arithmetic, and reports the better time.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": s, "unit": "s", "vs_baseline": speedup}
+vs_baseline > 1 means faster than the reference A100.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_S = 0.866  # 1x A100, N=20000, tol 1e-9 (TESTS/BEST_RESULTS:366)
+N = 20000
+TOL = 1e-9
+SEED = 2024
+
+
+def main():
+    import jax
+
+    import lam_tpu  # noqa: F401  (x64 on)
+    from lam_tpu import DenseOperator, cg_solve, cg_solve_ir
+    from lam_tpu import generate as gen
+
+    t0 = time.perf_counter()
+    a = gen.random_spd_matrix_fast(N, seed=SEED)
+    b = gen.random_rhs(N, seed=SEED + 10)
+    gen_s = time.perf_counter() - t0
+
+    op = DenseOperator.from_dense(a, precision="df64")
+    op32 = op.as_f32()
+    jax.block_until_ready(op.operand)
+    bnorm = np.linalg.norm(b)
+
+    def true_residual(x):
+        # host-side f64 ground truth, independent of any device kernel
+        r = b - a @ np.asarray(x, dtype=np.float64)
+        return float(np.linalg.norm(r) / bnorm)
+
+    results = {}
+
+    # df64 parity engine: full f64-quality recurrence on device
+    res = cg_solve(op, b, max_iters=0, rel_error=TOL)  # compile
+    jax.block_until_ready(res.x)
+    t1 = time.perf_counter()
+    res = cg_solve(op, b, max_iters=10000, rel_error=TOL)
+    jax.block_until_ready(res.x)
+    df64_s = time.perf_counter() - t1
+    results["df64"] = {
+        "s": df64_s,
+        "iters": int(res.num_iters),
+        "true_rel": true_residual(res.x),
+        "converged": bool(res.converged),
+    }
+
+    # mixed-precision engine: f32 iterations + f64 refinement
+    _ = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)  # compile
+    t2 = time.perf_counter()
+    res_ir = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=TOL)
+    jax.block_until_ready(res_ir.x)
+    ir_s = time.perf_counter() - t2
+    results["ir"] = {
+        "s": ir_s,
+        "iters": int(res_ir.num_iters),
+        "true_rel": true_residual(res_ir.x),
+        "converged": bool(res_ir.converged),
+    }
+
+    valid = {k: v for k, v in results.items()
+             if v["converged"] and v["true_rel"] <= 2e-9}
+    if not valid:
+        print(json.dumps({"metric": f"time_to_1e-9_N{N}_1chip",
+                          "value": None, "unit": "s", "vs_baseline": 0.0,
+                          "error": "no engine reached a validated 1e-9 "
+                                   "true residual",
+                          "detail": results}))
+        return 1
+
+    best = min(valid, key=lambda k: valid[k]["s"])
+    value = valid[best]["s"]
+    out = {
+        "metric": f"time_to_1e-9_N{N}_1chip",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / value, 3),
+        "engine": best,
+        "iters": valid[best]["iters"],
+        "true_rel_residual": valid[best]["true_rel"],
+        "gen_s": round(gen_s, 2),
+        "all": {k: {"s": round(v["s"], 4), "iters": v["iters"],
+                    "true_rel": v["true_rel"]} for k, v in results.items()},
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

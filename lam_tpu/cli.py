@@ -1,0 +1,172 @@
+"""`lam-cg` — the solver CLI, flag- and CSV-compatible with the reference.
+
+One binary replaces the reference's six `test_*` executables
+(challenge/main/test/, SURVEY.md §2.2): the parallelization strategy is a
+`--backend/--precision/--devices` config, not a build target.
+
+Flag surface (getopt `"hvA:b:o:i:e:s:"`, test_CG_CPU_MPI_OMP.cpp:216-280):
+  -A <file>   read matrix (file mode)        -b <file>  read rhs
+  -s <int>    generate NxN tridiagonal (gen mode; excludes -A/-b)
+  -o <file>   write solution                 -i <int>   max iterations
+  -e <float>  relative error                 -v         verbose
+  -h          help
+Defaults: io/matrix.bin io/rhs.bin io/sol.bin, -i 10000, -e 1e-9
+(test_CG_CPU_MPI_OMP.cpp:19-23).
+
+Default (non-verbose) output is the reference CSV contract consumed by
+TESTS/results/clean.sh:
+  N,procs,threads,load_s,avg_gemv_s,avg_iter_s,num_iter,err,total_cg_s
+(column legend: test_CG_CPU_MPI_OMP.cpp:201-204 and
+TESTS/results/STRONG_SCALABILITY_GPU_MPI.txt:1-10). Here `procs` is the
+device count and `threads` is 1 (XLA owns intra-chip parallelism).
+Deliberate fixes vs the reference: the CPU backends' avg_gemv/avg_iter
+double-division bug (CPU_MPI_OMP.hpp:119-124) is not reproduced, and
+gen-mode total time prints as float seconds, not integer-divided.
+
+Extensions beyond the reference surface:
+  --backend local|sharded|auto   --precision f64|f32|df64|ir|auto
+  --engine pallas|xla|auto       --devices N
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="lam-cg", add_help=False,
+        description="TPU-native dense CG solver "
+                    "(LAM reference CLI parity)")
+    p.add_argument("-A", dest="matrix", metavar="<file>",
+                   help="Read matrix from file")
+    p.add_argument("-b", dest="rhs", metavar="<file>",
+                   help="Read right hand side from file")
+    p.add_argument("-o", dest="output", metavar="<file>",
+                   default="io/sol.bin", help="Write solution to file")
+    p.add_argument("-i", dest="max_iters", type=int, default=10000,
+                   metavar="<int>", help="Maximum number of iterations")
+    p.add_argument("-e", dest="rel_error", type=float, default=1e-9,
+                   metavar="<float>", help="Relative error")
+    p.add_argument("-s", dest="size", type=int, metavar="<int>",
+                   help="Generate matrix of size n x n")
+    p.add_argument("-v", dest="verbose", action="store_true",
+                   help="Verbose mode")
+    p.add_argument("-h", dest="help", action="store_true",
+                   help="Show this help message")
+    p.add_argument("--backend", default="auto",
+                   choices=["local", "sharded", "auto"])
+    p.add_argument("--precision", default="auto",
+                   choices=["f64", "f32", "df64", "ir", "auto"])
+    p.add_argument("--engine", default="auto",
+                   choices=["pallas", "xla", "auto"])
+    p.add_argument("--devices", type=int, default=None,
+                   help="Number of mesh devices (default: all)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="Include XLA compile time in the solve timing")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.help:
+        print("Usage: lam-cg [ (-A -b | -s) -o -e -i -h -v]")
+        print("Options:")
+        print("  -A <file>       Read matrix from file")
+        print("  -b <file>       Read right hand side from file")
+        print("  -o <file>       Write solution to file")
+        print("  -i <int>        Maximum number of iterations")
+        print("  -e <float>      Relative error")
+        print("  -s <int>        Generate matrix of size n x n")
+        print("  -v              Verbose mode")
+        print("  -h              Show this help message")
+        print("  [--backend --precision --engine --devices: "
+              "TPU placement config]")
+        return 0
+
+    mode_generate = args.size is not None
+    mode_load = args.matrix is not None or args.rhs is not None
+    if mode_generate and mode_load:
+        print("Option -A and -b cannot be used with -s.", file=sys.stderr)
+        return 1
+    if not mode_generate and not mode_load:
+        # reference defaults to file mode paths when nothing is given
+        mode_load = True
+
+    import time
+
+    import jax
+
+    from lam_tpu.solver.api import ConjugateGradient
+
+    verbose = args.verbose
+    n_devices = args.devices or len(jax.devices())
+
+    def vprint(*a):
+        if verbose:
+            print(*a)
+
+    cg = ConjugateGradient(backend=args.backend, precision=args.precision,
+                           engine=args.engine, n_devices=args.devices)
+
+    vprint("Command line arguments:")
+    if mode_generate:
+        vprint(f"  rows/cols:         {args.size}")
+        size_gb = args.size * args.size * 8 / 1024**3
+        vprint(f"  size of the problem: {size_gb:f} GB")
+    else:
+        vprint(f"  input_file_matrix: {args.matrix or 'io/matrix.bin'}")
+        vprint(f"  input_file_rhs:    {args.rhs or 'io/rhs.bin'}")
+    vprint(f"  output_file_sol:   {args.output}")
+    vprint(f"  max_iters:         {args.max_iters}")
+    vprint(f"  rel_error:         {args.rel_error:e}")
+    vprint(f"  Number of devices: {n_devices}")
+    vprint(f"  backend={cg.backend} precision={cg.precision} "
+           f"engine={cg.engine}")
+    vprint("")
+
+    t0 = time.perf_counter()
+    if mode_generate:
+        vprint("Generating the system ...")
+        cg.generate_matrix(args.size)
+        cg.generate_rhs()
+    else:
+        vprint("Reading matrix from file ...")
+        cg.load_matrix_from_file(args.matrix or "io/matrix.bin")
+        vprint("Reading right hand side from file ...")
+        cg.load_rhs_from_file(args.rhs or "io/rhs.bin")
+    load_s = time.perf_counter() - t0
+    vprint("Done\n")
+
+    vprint("Solving the system ...")
+    converged = cg.solve(args.max_iters, args.rel_error,
+                         warmup=not args.no_warmup)
+    avg_gemv = cg.measure_gemv()
+    t = cg.timings
+    if verbose:
+        if converged:
+            print(f"Converged in {t['num_iters']} iterations, "
+                  f"relative error is {t['rel_residual']:e}")
+        else:
+            print(f"Did not converge in {t['num_iters']} iterations, "
+                  f"relative error is {t['rel_residual']:e}")
+        print(f"Time elapsed: {t['solve_s']:f} s "
+              f"(avg iteration {t['avg_iter_s']:e} s, "
+              f"avg gemv {avg_gemv:e} s)")
+        print("")
+        print("Writing solution to file ...")
+    else:
+        # CSV contract (see module docstring)
+        print(f"{cg.n},{n_devices},1,{load_s:g},{avg_gemv:g},"
+              f"{t['avg_iter_s']:g},{t['num_iters']},"
+              f"{t['rel_residual']:g},{t['solve_s']:g}")
+
+    cg.save_result_to_file(args.output)
+    vprint("Done\n")
+    vprint("Finished successfully")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

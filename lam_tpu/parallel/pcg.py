@@ -101,6 +101,44 @@ def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_matvec(matvec_local, mesh, axis, operand_is_pair):
+    operand_spec = P(axis, None)
+    if operand_is_pair:
+        operand_spec = (operand_spec, operand_spec)
+
+    def local(operand, p_local):
+        p_full = jax.lax.all_gather(p_local, axis, tiled=True)
+        return matvec_local(operand, p_full)
+
+    mapped = shard_map(local, mesh=mesh,
+                       in_specs=(operand_spec, P(axis)),
+                       out_specs=P(axis), check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_chain(matvec_local, mesh, axis, operand_is_pair,
+                         repeats):
+    operand_spec = P(axis, None)
+    if operand_is_pair:
+        operand_spec = (operand_spec, operand_spec)
+
+    def local(operand, p_local):
+        def body(_, v):
+            v_full = jax.lax.all_gather(v, axis, tiled=True)
+            w = matvec_local(operand, v_full)
+            nrm = jnp.sqrt(jax.lax.psum(jnp.vdot(w, w), axis))
+            return w / nrm
+
+        return jax.lax.fori_loop(0, repeats, body, p_local)
+
+    mapped = shard_map(local, mesh=mesh,
+                       in_specs=(operand_spec, P(axis)),
+                       out_specs=P(axis), check_vma=False)
+    return jax.jit(mapped)
+
+
 class ShardedDenseOperator(LinearOperator):
     """Row-sharded HBM-resident dense matrix over a 1-D mesh.
 
@@ -230,16 +268,13 @@ class ShardedDenseOperator(LinearOperator):
         return jax.device_put(b, self._b_sharding)
 
     def matvec(self, p_padded):
-        def local(operand, p_local):
-            p_full = jax.lax.all_gather(p_local, self.axis, tiled=True)
-            return self._mv_local(operand, p_full)
+        fn = _build_sharded_matvec(self._mv_local, self.mesh, self.axis,
+                                   self.precision == "df64")
+        return fn(self.operand, p_padded)
 
-        operand_spec = P(self.axis, None)
-        if self.precision == "df64":
-            operand_spec = (operand_spec, operand_spec)
-        fn = shard_map(local, mesh=self.mesh,
-                       in_specs=(operand_spec, P(self.axis)),
-                       out_specs=P(self.axis), check_vma=False)
+    def matvec_chain(self, p_padded, repeats):
+        fn = _build_sharded_chain(self._mv_local, self.mesh, self.axis,
+                                  self.precision == "df64", repeats)
         return fn(self.operand, p_padded)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):

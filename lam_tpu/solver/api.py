@@ -156,17 +156,15 @@ class ConjugateGradient:
 
     # -- extras ---------------------------------------------------------------
 
-    def measure_gemv(self, repeats=10):
+    def measure_gemv(self, repeats=20):
         """Average matvec wall time — the avg_gemv CSV column. The
         reference times gemv inside its hot loop (CPU_MPI_OMP.hpp:95-120);
-        with the whole loop fused on-device we measure it separately."""
+        with the whole loop fused on-device we time `repeats` chained
+        matvecs in one device program (no per-call dispatch latency)."""
         p = self.op.prepare_b(self.rhs)
-        mv = self.op.matvec
-        jax.block_until_ready(mv(p))  # compile
+        jax.block_until_ready(self.op.matvec_chain(p, repeats))  # compile
         t0 = time.perf_counter()
-        out = None
-        for _ in range(repeats):
-            out = mv(p)
+        out = self.op.matvec_chain(p, repeats)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / repeats
         self.timings["avg_gemv_s"] = dt

@@ -90,6 +90,15 @@ MATVEC = {
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _matvec_chain_jit(matvec_dot, operand, p, repeats):
+    def body(_, v):
+        w = matvec_dot(operand, v)[0]
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    return jax.lax.fori_loop(0, repeats, body, p)
+
+
 class LinearOperator:
     """Base operator: anything with a matvec usable by cg_solve.
 
@@ -119,6 +128,13 @@ class LinearOperator:
 
     def matvec(self, p_padded):
         return self._matvec_dot_fn(self.operand, p_padded)[0]
+
+    def matvec_chain(self, p_padded, repeats):
+        """repeats back-to-back matvecs in ONE device program (normalized
+        each step to stay bounded) — for timing the gemv without paying
+        per-call dispatch latency."""
+        return _matvec_chain_jit(self._matvec_dot_fn, self.operand,
+                                 p_padded, repeats)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         return loop_fn(self._matvec_dot_fn, self.operand, b_padded,

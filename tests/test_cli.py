@@ -1,0 +1,87 @@
+"""CLI: flag surface and CSV output contract parity."""
+
+import numpy as np
+import pytest
+
+from lam_tpu import cli
+from lam_tpu import generate as gen
+from lam_tpu import io as lio
+
+
+def test_gen_mode_csv_contract(capsys):
+    rc = cli.main(["-s", "200", "-i", "15", "-o", "/tmp/lam_cli_sol.bin"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    fields = line.split(",")
+    # N,procs,threads,load_s,avg_gemv_s,avg_iter_s,num_iter,err,total_cg_s
+    assert len(fields) == 9
+    assert int(fields[0]) == 200
+    assert int(fields[6]) == 15          # gen-mode cap: exactly 15 iters
+    assert float(fields[7]) > 1e-9       # and not converged
+    assert float(fields[8]) >= 0
+
+
+def test_file_mode_solves_system(tmp_path, capsys):
+    a = gen.random_spd_matrix(64, seed=1)
+    b = gen.random_rhs(64, seed=11)
+    lio.write_matrix(tmp_path / "m.bin", a)
+    lio.write_matrix(tmp_path / "r.bin", b)
+    sol = tmp_path / "s.bin"
+    rc = cli.main(["-A", str(tmp_path / "m.bin"), "-b",
+                   str(tmp_path / "r.bin"), "-o", str(sol),
+                   "-i", "1000", "-e", "1e-9"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    fields = out.split(",")
+    assert int(fields[0]) == 64
+    assert float(fields[7]) < 1e-9       # converged
+    x = lio.read_vector(sol)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_verbose_mode(tmp_path, capsys):
+    rc = cli.main(["-s", "100", "-i", "5", "-v",
+                   "-o", str(tmp_path / "s.bin")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Did not converge in 5 iterations" in out
+    assert "Finished successfully" in out
+
+
+def test_mutually_exclusive_modes(capsys):
+    rc = cli.main(["-s", "10", "-A", "x.bin"])
+    assert rc == 1
+
+
+def test_help(capsys):
+    rc = cli.main(["-h"])
+    assert rc == 0
+    assert "Usage:" in capsys.readouterr().out
+
+
+def test_spd_gen_tool(tmp_path, capsys):
+    from lam_tpu.tools import spd_gen
+    m = tmp_path / "m.bin"
+    r = tmp_path / "r.bin"
+    rc = spd_gen.main(["48", str(m), str(r), "7"])
+    assert rc == 0
+    a = lio.read_matrix(m)
+    b = lio.read_vector(r)
+    assert a.shape == (48, 48) and b.shape == (48,)
+    w = np.linalg.eigvalsh(a)
+    assert w.min() > 0  # SPD
+
+
+def test_graft_entry_single_chip():
+    import jax
+
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    x = jax.jit(fn)(*args)
+    jax.block_until_ready(x)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
