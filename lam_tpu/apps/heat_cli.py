@@ -1,0 +1,76 @@
+"""`lam-heat` — heat-equation demo CLI (heat_equation.cpp parity).
+
+Positional args `nx ny output_file.bin max_iters`, all optional with the
+reference defaults (heat_equation.cpp:160-173). Extensions:
+  --solver cg|jacobi   (default cg — the BASELINE.json config-#5 mode;
+                        jacobi is the numerics-parity port)
+  --epsilon            Jacobi stop threshold (default 1e-3, :164)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lam-heat")
+    p.add_argument("nx", nargs="?", type=int, default=10)
+    p.add_argument("ny", nargs="?", type=int, default=10)
+    p.add_argument("output_file", nargs="?", default="io/heat.bin")
+    p.add_argument("max_iterations", nargs="?", type=int, default=1000000)
+    p.add_argument("--solver", choices=["cg", "jacobi"], default="cg")
+    p.add_argument("--epsilon", type=float, default=1e-3)
+    p.add_argument("--rel-error", type=float, default=1e-10)
+    args = p.parse_args(argv)
+
+    if args.nx <= 0 or args.ny <= 0 or args.max_iterations < 0:
+        print("Wrong argument value", file=sys.stderr)
+        return 1
+
+    print("Command line arguments:")
+    print(f"  nx:             {args.nx}")
+    print(f"  ny:             {args.ny}")
+    print(f"  output_file:    {args.output_file}")
+    print(f"  max_iterations: {args.max_iterations}")
+    print(f"  solver:         {args.solver}")
+    print("")
+
+    from lam_tpu import io as lio
+    from lam_tpu.apps import heat
+
+    print("Initializing the rectangle ...")
+    grid = heat.initial_grid(args.nx, args.ny)
+    print("Done\n")
+
+    print("Solving the heat equation ...")
+    t0 = time.perf_counter()
+    if args.solver == "jacobi":
+        grid, iters, diff = heat.solve_heat_jacobi(
+            grid, max_iters=args.max_iterations, epsilon=args.epsilon)
+        metric = f"max_diff={diff:e}"
+        converged = diff < args.epsilon
+    else:
+        grid, iters, rel = heat.solve_heat_cg(
+            grid, max_iters=args.max_iterations, rel_error=args.rel_error)
+        metric = f"rel_residual={rel:e}"
+        converged = rel < args.rel_error
+    dt = time.perf_counter() - t0
+    if converged:
+        print(f"Iterations converged in {iters} iterations with {metric}")
+    else:
+        print(f"Iterations did not converge in {iters} iterations, "
+              f"{metric}")
+    print(f"Time elapsed: {dt:f} s")
+    print("Done\n")
+
+    print("Writing matrix to file ...")
+    lio.write_matrix(args.output_file, grid)  # (ny, nx) header, :203
+    print("Done\n")
+    print("Finished successfully")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

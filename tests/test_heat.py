@@ -1,0 +1,105 @@
+"""Heat-equation demo: Jacobi parity, CG equivalence, BMP output."""
+
+import numpy as np
+
+from lam_tpu.apps import bmp, heat
+
+
+def _reference_jacobi(grid, max_iters, eps):
+    """Literal numpy port of solve_heat (heat_equation.cpp:115-148)."""
+    g = grid.copy()
+    for k in range(1, max_iters + 1):
+        new = g.copy()
+        new[1:-1, 1:-1] = (g[2:, 1:-1] + g[:-2, 1:-1]
+                           + g[1:-1, :-2] + g[1:-1, 2:]) / 4.0
+        diff = np.max(np.abs(new[1:-1, 1:-1] - g[1:-1, 1:-1]))
+        g = new
+        if diff < eps:
+            return g, k, diff
+    return g, max_iters, diff
+
+
+def test_initial_grid_matches_reference():
+    g = heat.initial_grid(6, 6)
+    assert g[0, 2] == 100.0       # south
+    assert g[5, 2] == 0.0         # north
+    assert g[2, 0] == 100.0       # west
+    assert g[2, 5] == 100.0       # east
+    assert g[0, 0] == 100.0       # (south+west)/2
+    assert g[5, 0] == 50.0        # (north+west)/2
+    expect_init = (5 * 0 + 5 * 100 + 5 * 100 + 5 * 100) / (2*6 + 2*6 - 4)
+    assert np.allclose(g[2, 2], expect_init)
+
+
+def test_jacobi_matches_reference_port():
+    g0 = heat.initial_grid(12, 10)
+    ours, it1, d1 = heat.solve_heat_jacobi(g0, max_iters=5000, epsilon=1e-3)
+    ref, it2, d2 = _reference_jacobi(g0, 5000, 1e-3)
+    assert it1 == it2
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_cg_agrees_with_converged_jacobi():
+    g0 = heat.initial_grid(16, 14)
+    jac, _, _ = heat.solve_heat_jacobi(g0, max_iters=200000, epsilon=1e-10)
+    cg, iters, rel = heat.solve_heat_cg(g0, rel_error=1e-12)
+    assert rel < 1e-12
+    # both converge to the same steady state; CG in FAR fewer iterations
+    np.testing.assert_allclose(cg, jac, atol=1e-6)
+    assert iters < 200
+
+
+def test_cg_solves_exact_laplace_system():
+    g0 = heat.initial_grid(9, 8)
+    cg, _, _ = heat.solve_heat_cg(g0, rel_error=1e-13)
+    ny, nx = g0.shape
+    # assemble the dense 5-point system and solve directly
+    nyi, nxi = ny - 2, nx - 2
+    n = nyi * nxi
+    a = np.zeros((n, n))
+    b = np.zeros(n)
+    for i in range(nyi):
+        for j in range(nxi):
+            k = i * nxi + j
+            a[k, k] = 4.0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < nyi and 0 <= jj < nxi:
+                    a[k, ii * nxi + jj] = -1.0
+                else:
+                    b[k] += g0[ii + 1, jj + 1]
+    u = np.linalg.solve(a, b)
+    np.testing.assert_allclose(cg[1:-1, 1:-1].reshape(-1), u, rtol=1e-9)
+
+
+def test_bmp_roundtrip_and_colormap(tmp_path):
+    vals = np.array([[0.0, 25.0], [50.0, 100.0]])
+    rgb = bmp.colormap(vals)
+    # reference ramp: T=0 -> blue, T=50 -> green, T=100 -> red
+    assert tuple(rgb[0, 0]) == (0, 0, 255)
+    assert tuple(rgb[1, 0]) == (0, 255, 0)
+    assert tuple(rgb[1, 1]) == (255, 0, 0)
+    path = tmp_path / "t.bmp"
+    bmp.write_bmp(path, rgb)
+    back = bmp.read_bmp(path)
+    np.testing.assert_array_equal(back, rgb)
+    # odd width exercises row padding
+    rgb3 = bmp.colormap(np.random.default_rng(0).uniform(0, 100, (5, 3)))
+    bmp.write_bmp(tmp_path / "t3.bmp", rgb3)
+    np.testing.assert_array_equal(bmp.read_bmp(tmp_path / "t3.bmp"), rgb3)
+
+
+def test_heat_cli_end_to_end(tmp_path, capsys):
+    from lam_tpu.apps import bmp_cli, heat_cli
+    out_bin = tmp_path / "heat.bin"
+    rc = heat_cli.main(["40", "30", str(out_bin), "100000"])
+    assert rc == 0
+    assert "converged" in capsys.readouterr().out
+    from lam_tpu import io as lio
+    grid = lio.read_matrix(out_bin)
+    assert grid.shape == (30, 40)  # (ny, nx) header like the reference
+    out_bmp = tmp_path / "heat.bmp"
+    rc = bmp_cli.main([str(out_bin), str(out_bmp)])
+    assert rc == 0
+    img = bmp.read_bmp(out_bmp)
+    assert img.shape == (30, 40, 3)
