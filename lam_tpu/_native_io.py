@@ -1,0 +1,130 @@
+"""ctypes bindings for the native IO/generator library (native/).
+
+Loads lam_tpu/liblam_native.so if present; if absent and a toolchain is
+available, attempts a one-shot `make -C native` build. All callers
+(lam_tpu/io.py, generate paths) fall back to numpy when unavailable, so
+the native layer is a pure accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SO_PATH = os.path.join(os.path.dirname(__file__), "liblam_native.so")
+_SRC_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+
+
+def _try_build():
+    try:
+        subprocess.run(["make", "-C", _SRC_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        if os.environ.get("LAM_TPU_NO_NATIVE_BUILD") or not _try_build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    u64 = ctypes.c_uint64
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ln_read_rows.argtypes = [ctypes.c_char_p, u64, u64, u64, f64p]
+    lib.ln_read_rows.restype = ctypes.c_int
+    lib.ln_read_rows_split.argtypes = [ctypes.c_char_p, u64, u64, u64,
+                                       f32p, f32p]
+    lib.ln_read_rows_split.restype = ctypes.c_int
+    lib.ln_split_f64.argtypes = [f64p, u64, f32p, f32p]
+    lib.ln_split_f64.restype = None
+    lib.ln_write_matrix.argtypes = [ctypes.c_char_p, u64, u64, f64p]
+    lib.ln_write_matrix.restype = ctypes.c_int
+    lib.ln_tridiagonal_rows.argtypes = [u64, u64, u64, f64p]
+    lib.ln_tridiagonal_rows.restype = None
+    lib.ln_tridiagonal_rows_split.argtypes = [u64, u64, u64, f32p, f32p]
+    lib.ln_tridiagonal_rows_split.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def read_rows(path, row_start, num_rows, cols):
+    lib = _load()
+    out = np.empty((num_rows, cols), dtype=np.float64)
+    rc = lib.ln_read_rows(str(path).encode(), row_start, num_rows, cols,
+                          _f64p(out))
+    if rc != 0:
+        raise IOError(f"native read of {path} failed (rc={rc})")
+    return out
+
+
+def read_rows_split(path, row_start, num_rows, cols):
+    """Row block as (hi, lo) f32 planes, split during the read."""
+    lib = _load()
+    hi = np.empty((num_rows, cols), dtype=np.float32)
+    lo = np.empty((num_rows, cols), dtype=np.float32)
+    rc = lib.ln_read_rows_split(str(path).encode(), row_start, num_rows,
+                                cols, _f32p(hi), _f32p(lo))
+    if rc != 0:
+        raise IOError(f"native split-read of {path} failed (rc={rc})")
+    return hi, lo
+
+
+def split_f64(a):
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    hi = np.empty(a.shape, dtype=np.float32)
+    lo = np.empty(a.shape, dtype=np.float32)
+    lib.ln_split_f64(_f64p(a), a.size, _f32p(hi), _f32p(lo))
+    return hi, lo
+
+
+def write_matrix(path, a):
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    rc = lib.ln_write_matrix(str(path).encode(), a.shape[0], a.shape[1],
+                             _f64p(a))
+    if rc != 0:
+        raise IOError(f"native write of {path} failed (rc={rc})")
+
+
+def tridiagonal_rows(row_start, num_rows, n):
+    lib = _load()
+    out = np.empty((num_rows, n), dtype=np.float64)
+    lib.ln_tridiagonal_rows(row_start, num_rows, n, _f64p(out))
+    return out
+
+
+def tridiagonal_rows_split(row_start, num_rows, n):
+    lib = _load()
+    hi = np.empty((num_rows, n), dtype=np.float32)
+    lo = np.empty((num_rows, n), dtype=np.float32)
+    lib.ln_tridiagonal_rows_split(row_start, num_rows, n, _f32p(hi),
+                                  _f32p(lo))
+    return hi, lo

@@ -29,6 +29,13 @@ def tridiagonal_rows(row_start, num_rows, n, dtype=np.float64):
     arbitrary row block makes this directly usable for sharded/multi-host
     construction (each host builds only its shard).
     """
+    if dtype == np.float64:
+        try:
+            from lam_tpu import _native_io
+            if _native_io.available():
+                return _native_io.tridiagonal_rows(row_start, num_rows, n)
+        except Exception:
+            pass
     block = np.zeros((num_rows, n), dtype=dtype)
     for local in range(num_rows):
         i = row_start + local

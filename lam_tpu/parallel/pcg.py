@@ -39,6 +39,7 @@ from lam_tpu.solver.operators import (
     MATVEC,
     LinearOperator,
     padded_size,
+    split_f64_host,
 )
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
@@ -216,15 +217,21 @@ class ShardedDenseOperator(LinearOperator):
                 lambda s, m: padded_block(s, m).astype(np.float32))
             vdtype = jnp.float32
         elif precision == "df64":
-            def hi_block(s, m):
-                return padded_block(s, m).astype(np.float32)
+            # split each block ONCE (threaded C++ when built); the hi and
+            # lo device-array callbacks arrive separately per shard, so
+            # park the sibling plane until its callback shows up
+            pending = {}
 
-            def lo_block(s, m):
-                b64 = padded_block(s, m)
-                hi = b64.astype(np.float32)
-                return (b64 - hi.astype(np.float64)).astype(np.float32)
+            def plane(s, m, idx):
+                key = (s, m)
+                if key in pending:
+                    return pending.pop(key)[idx]
+                planes = split_f64_host(padded_block(s, m))
+                pending[key] = planes
+                return planes[idx]
 
-            operand = (make(hi_block), make(lo_block))
+            operand = (make(lambda s, m: plane(s, m, 0)),
+                       make(lambda s, m: plane(s, m, 1)))
             vdtype = jnp.float64
         else:
             raise ValueError(f"unknown precision {precision!r}")

@@ -34,6 +34,19 @@ def padded_size(n, multiple=PAD_MULTIPLE):
     return -(-n // multiple) * multiple
 
 
+def split_f64_host(a):
+    """Host-side f64 -> (hi, lo) f32 split; threaded C++ when built."""
+    try:
+        from lam_tpu import _native_io
+        if _native_io.available():
+            return _native_io.split_f64(a)
+    except Exception:
+        pass
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 # ---------------------------------------------------------------------------
 # matvec_dot implementations. Module-level functions so they hash stably as
 # jit static arguments (no retracing across operator instances).
@@ -202,8 +215,7 @@ class DenseOperator(LinearOperator):
             operand = jnp.asarray(a, dtype=jnp.float32)
             vdtype = jnp.float32
         elif precision == "df64":
-            hi = a.astype(np.float32)
-            lo = (a - hi.astype(np.float64)).astype(np.float32)
+            hi, lo = split_f64_host(a)
             operand = (jnp.asarray(hi), jnp.asarray(lo))
             vdtype = jnp.float64
         else:

@@ -1,0 +1,182 @@
+// lam_native: threaded binary IO + generator kernels for LAM-TPU.
+//
+// Native-code counterpart of the reference's C++ data plane: the MPI-IO
+// sharded matrix reads (ConjugateGradient_CPU_MPI_OMP.hpp:325-363, and the
+// pinned-buffer loads in ConjugateGradient_MultiGPUS_CUDA_MPI.cu:470-516)
+// and the gen-mode tridiagonal fill (CPU_MPI_OMP.hpp:237-247). On TPU the
+// host's job is feeding HBM: these routines stream row-blocks off the
+// filesystem with per-thread pread() and convert f64 -> float-float
+// (hi, lo) planes in the same pass, so the host never materializes a
+// second copy of a multi-GB matrix.
+//
+// Exposed as a plain C ABI consumed via ctypes (lam_tpu/_native_io.py);
+// falls back to numpy transparently when this library is not built.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kHeaderBytes = 16;  // two little-endian uint64
+
+int num_io_threads(uint64_t bytes) {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    // one thread per ~64 MB, capped by cores
+    uint64_t want = bytes / (64ull << 20) + 1;
+    return static_cast<int>(want < hw ? want : hw);
+}
+
+// pread the byte range [off, off+len) into dst, handling short reads.
+bool pread_all(int fd, void* dst, uint64_t len, uint64_t off) {
+    char* p = static_cast<char*>(dst);
+    while (len > 0) {
+        ssize_t got = ::pread(fd, p, len, static_cast<off_t>(off));
+        if (got <= 0) return false;
+        p += got;
+        off += static_cast<uint64_t>(got);
+        len -= static_cast<uint64_t>(got);
+    }
+    return true;
+}
+
+template <typename Fn>
+void parallel_chunks(uint64_t count, uint64_t bytes_hint, Fn fn) {
+    int nt = num_io_threads(bytes_hint);
+    if (nt <= 1 || count < 2) {
+        fn(0, count);
+        return;
+    }
+    std::vector<std::thread> ts;
+    uint64_t chunk = (count + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        uint64_t lo = t * chunk;
+        if (lo >= count) break;
+        uint64_t hi = lo + chunk < count ? lo + chunk : count;
+        ts.emplace_back([=] { fn(lo, hi); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read rows [row_start, row_start+num_rows) of a (rows, cols) f64 matrix
+// file (reference binary format) into out. Returns 0 on success.
+int ln_read_rows(const char* path, uint64_t row_start, uint64_t num_rows,
+                 uint64_t cols, double* out) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return 1;
+    uint64_t row_bytes = cols * sizeof(double);
+    uint64_t base = kHeaderBytes + row_start * row_bytes;
+    bool ok = true;
+    parallel_chunks(num_rows, num_rows * row_bytes,
+                    [&](uint64_t lo, uint64_t hi) {
+        if (!pread_all(fd, out + lo * cols, (hi - lo) * row_bytes,
+                       base + lo * row_bytes))
+            ok = false;
+    });
+    ::close(fd);
+    return ok ? 0 : 2;
+}
+
+// Same read, but emit float-float planes: hi = (float)v,
+// lo = (float)(v - (double)hi). Streams in per-thread row chunks; no
+// full-size f64 buffer is ever allocated.
+int ln_read_rows_split(const char* path, uint64_t row_start,
+                       uint64_t num_rows, uint64_t cols, float* hi,
+                       float* lo) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return 1;
+    uint64_t row_bytes = cols * sizeof(double);
+    uint64_t base = kHeaderBytes + row_start * row_bytes;
+    bool ok = true;
+    parallel_chunks(num_rows, num_rows * row_bytes,
+                    [&](uint64_t r0, uint64_t r1) {
+        std::vector<double> buf(cols);
+        for (uint64_t r = r0; r < r1 && ok; ++r) {
+            if (!pread_all(fd, buf.data(), row_bytes,
+                           base + r * row_bytes)) {
+                ok = false;
+                break;
+            }
+            float* h = hi + r * cols;
+            float* l = lo + r * cols;
+            for (uint64_t c = 0; c < cols; ++c) {
+                float f = static_cast<float>(buf[c]);
+                h[c] = f;
+                l[c] = static_cast<float>(buf[c]
+                                          - static_cast<double>(f));
+            }
+        }
+    });
+    ::close(fd);
+    return ok ? 0 : 2;
+}
+
+// Split an in-memory f64 array into (hi, lo) f32 planes, threaded.
+void ln_split_f64(const double* src, uint64_t n, float* hi, float* lo) {
+    parallel_chunks(n, n * sizeof(double), [&](uint64_t i0, uint64_t i1) {
+        for (uint64_t i = i0; i < i1; ++i) {
+            float f = static_cast<float>(src[i]);
+            hi[i] = f;
+            lo[i] = static_cast<float>(src[i] - static_cast<double>(f));
+        }
+    });
+}
+
+// Write a (rows, cols) f64 matrix in the reference binary format
+// (random_spd_system.cpp:105-121). Returns 0 on success.
+int ln_write_matrix(const char* path, uint64_t rows, uint64_t cols,
+                    const double* data) {
+    FILE* f = ::fopen(path, "wb");
+    if (!f) return 1;
+    uint64_t hdr[2] = {rows, cols};
+    bool ok = ::fwrite(hdr, sizeof(hdr), 1, f) == 1;
+    uint64_t n = rows * cols;
+    ok = ok && ::fwrite(data, sizeof(double), n, f) == n;
+    return ::fclose(f) == 0 && ok ? 0 : 2;
+}
+
+// Gen-mode dense tridiagonal row block: 2 on the diagonal, 1 off
+// (ConjugateGradient_CPU_MPI_OMP.hpp:237-247), threaded fill.
+void ln_tridiagonal_rows(uint64_t row_start, uint64_t num_rows, uint64_t n,
+                         double* out) {
+    parallel_chunks(num_rows, num_rows * n * sizeof(double),
+                    [&](uint64_t r0, uint64_t r1) {
+        std::memset(out + r0 * n, 0, (r1 - r0) * n * sizeof(double));
+        for (uint64_t r = r0; r < r1; ++r) {
+            uint64_t i = row_start + r;
+            if (i >= n) continue;  // padded rows stay zero
+            out[r * n + i] = 2.0;
+            if (i > 0) out[r * n + i - 1] = 1.0;
+            if (i + 1 < n) out[r * n + i + 1] = 1.0;
+        }
+    });
+}
+
+// Tridiagonal row block split directly into (hi, lo) planes (the values
+// 0/1/2 are exact in f32, so lo is zero — kept general anyway).
+void ln_tridiagonal_rows_split(uint64_t row_start, uint64_t num_rows,
+                               uint64_t n, float* hi, float* lo) {
+    parallel_chunks(num_rows, num_rows * n * sizeof(float) * 2,
+                    [&](uint64_t r0, uint64_t r1) {
+        std::memset(hi + r0 * n, 0, (r1 - r0) * n * sizeof(float));
+        std::memset(lo + r0 * n, 0, (r1 - r0) * n * sizeof(float));
+        for (uint64_t r = r0; r < r1; ++r) {
+            uint64_t i = row_start + r;
+            if (i >= n) continue;
+            hi[r * n + i] = 2.0f;
+            if (i > 0) hi[r * n + i - 1] = 1.0f;
+            if (i + 1 < n) hi[r * n + i + 1] = 1.0f;
+        }
+    });
+}
+
+}  // extern "C"

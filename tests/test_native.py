@@ -1,0 +1,74 @@
+"""Native C++ IO/generator library vs the numpy reference paths."""
+
+import numpy as np
+import pytest
+
+from lam_tpu import _native_io
+from lam_tpu import generate as gen
+from lam_tpu import io as lio
+
+pytestmark = pytest.mark.skipif(not _native_io.available(),
+                                reason="native library not built")
+
+
+def test_native_read_rows_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((33, 17))
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    np.testing.assert_array_equal(_native_io.read_rows(path, 0, 33, 17), a)
+    np.testing.assert_array_equal(_native_io.read_rows(path, 5, 9, 17),
+                                  a[5:14])
+
+
+def test_native_split_read(tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-1e3, 1e3, (20, 40))
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    hi, lo = _native_io.read_rows_split(path, 2, 10, 40)
+    expect_hi = a[2:12].astype(np.float32)
+    expect_lo = (a[2:12] - expect_hi.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(hi, expect_hi)
+    np.testing.assert_array_equal(lo, expect_lo)
+    # round trip carries ~2^-48 relative error (lo is itself f32-rounded)
+    np.testing.assert_allclose(
+        hi.astype(np.float64) + lo.astype(np.float64), a[2:12],
+        rtol=2 ** -47)
+
+
+def test_native_split_f64():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(-1e6, 1e6, (100, 100))
+    hi, lo = _native_io.split_f64(a)
+    np.testing.assert_allclose(
+        hi.astype(np.float64) + lo.astype(np.float64), a, rtol=2 ** -47)
+    # and matches the Python split bit-for-bit
+    from lam_tpu.precision import split_f64 as jsplit
+    import jax.numpy as jnp
+    jhi, jlo = jsplit(jnp.asarray(a))
+    np.testing.assert_array_equal(hi, np.asarray(jhi))
+    np.testing.assert_array_equal(lo, np.asarray(jlo))
+
+
+def test_native_write_matches_python_writer(tmp_path):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((7, 5))
+    p1 = tmp_path / "py.bin"
+    p2 = tmp_path / "native.bin"
+    lio.write_matrix(p1, a)
+    _native_io.write_matrix(p2, a)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_native_tridiagonal_matches_python():
+    np.testing.assert_array_equal(
+        _native_io.tridiagonal_rows(3, 4, 10),
+        gen.tridiagonal_rows(3, 4, 10))
+    # padded rows beyond n stay zero
+    blk = _native_io.tridiagonal_rows(8, 4, 10)
+    assert np.all(blk[2:] == 0)
+    hi, lo = _native_io.tridiagonal_rows_split(3, 4, 10)
+    np.testing.assert_array_equal(hi.astype(np.float64),
+                                  gen.tridiagonal_rows(3, 4, 10))
+    assert np.all(lo == 0)
