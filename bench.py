@@ -51,10 +51,12 @@ def main():
 
     # df64 parity engine: full f64-quality recurrence on device
     res = cg_solve(op, b, max_iters=0, rel_error=TOL)  # compile
-    jax.block_until_ready(res.x)
+    float(res.rel_residual)
     t1 = time.perf_counter()
     res = cg_solve(op, b, max_iters=10000, rel_error=TOL)
-    jax.block_until_ready(res.x)
+    # scalar readback, not block_until_ready: the latter can be a no-op
+    # through a remote device tunnel and under-report the time
+    float(res.rel_residual)
     df64_s = time.perf_counter() - t1
     results["df64"] = {
         "s": df64_s,
@@ -67,7 +69,7 @@ def main():
     _ = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)  # compile
     t2 = time.perf_counter()
     res_ir = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=TOL)
-    jax.block_until_ready(res_ir.x)
+    float(res_ir.rel_residual)
     ir_s = time.perf_counter() - t2
     results["ir"] = {
         "s": ir_s,

@@ -1,0 +1,70 @@
+"""Results post-processor: the TESTS/results/clean.sh awk pipeline.
+
+Reproduces the reference tooling (clean.sh:1-44): strip non-data lines,
+sort numerically by (N, procs), then per (N, procs) group keep the row
+with the lowest total CG time, appending per-file sections to a
+BEST_RESULTS file in the reference's layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def is_data(line):
+    line = line.strip()
+    return bool(line) and line[0].isdigit()
+
+
+def clean_rows(lines):
+    rows = []
+    for line in lines:
+        if not is_data(line):
+            continue
+        rows.append(line.strip().split(","))
+    rows.sort(key=lambda r: (float(r[0]), float(r[1])))
+    return rows
+
+
+def best_rows(rows, time_field=-1):
+    """Per (N, procs) group, the row with the lowest time_field value
+    (the reference picks the last column, total_cg_s, for merged files)."""
+    best = {}
+    for r in rows:
+        key = (r[0], r[1])
+        t = float(r[time_field])
+        if key not in best or t < float(best[key][time_field]):
+            best[key] = r
+    return [best[k] for k in sorted(best, key=lambda k: (float(k[0]),
+                                                         float(k[1])))]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lam-bench-clean")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-o", dest="output", default="BEST_RESULTS")
+    p.add_argument("--time-field", type=int, default=-1,
+                   help="column index used to pick the best row")
+    args = p.parse_args(argv)
+
+    with open(args.output, "w") as out:
+        out.write("\n")
+        for path in args.files:
+            with open(path) as f:
+                rows = clean_rows(f.readlines())
+            # rewrite the source file cleaned+sorted, like clean.sh
+            with open(path, "w") as f:
+                for r in rows:
+                    f.write(",".join(r) + "\n")
+            out.write("-" * 53 + "\n")
+            out.write(f"-----------------File: {path}"
+                      "-------------------------\n")
+            out.write("-" * 53 + "\n")
+            for r in best_rows(rows, args.time_field):
+                out.write(",".join(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

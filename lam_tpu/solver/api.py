@@ -125,17 +125,20 @@ class ConjugateGradient:
             raise RuntimeError("load/generate a system first")
         solver = self._solve_once
         if warmup:
-            solver(0, rel_error)
+            w = solver(0, rel_error)
+            float(w.rel_residual)  # force full execution (readback)
         t0 = time.perf_counter()
         result = solver(max_iters, rel_error)
-        jax.block_until_ready(result.x)
+        # scalar readback: block_until_ready alone can be a no-op on
+        # remote-tunneled platforms, silently under-reporting the time
+        rel = float(result.rel_residual)
         dt = time.perf_counter() - t0
         self.result = result
         iters = max(int(result.num_iters), 1)
         self.timings["solve_s"] = dt
         self.timings["avg_iter_s"] = dt / iters
         self.timings["num_iters"] = int(result.num_iters)
-        self.timings["rel_residual"] = float(result.rel_residual)
+        self.timings["rel_residual"] = rel
         return bool(result.converged)
 
     def _solve_once(self, max_iters, rel_error):
@@ -162,10 +165,10 @@ class ConjugateGradient:
         with the whole loop fused on-device we time `repeats` chained
         matvecs in one device program (no per-call dispatch latency)."""
         p = self.op.prepare_b(self.rhs)
-        jax.block_until_ready(self.op.matvec_chain(p, repeats))  # compile
+        float(self.op.matvec_chain(p, repeats)[0])  # compile + execute
         t0 = time.perf_counter()
         out = self.op.matvec_chain(p, repeats)
-        jax.block_until_ready(out)
+        float(out[0])  # scalar readback: see solve() timing note
         dt = (time.perf_counter() - t0) / repeats
         self.timings["avg_gemv_s"] = dt
         return dt
