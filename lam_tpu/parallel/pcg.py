@@ -48,16 +48,19 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-@functools.lru_cache(maxsize=None)
-def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
-    """Compile-once factory for the sharded CG program."""
+def _operand_spec(axis, is_pair):
+    spec = P(axis, None)
+    return (spec, spec) if is_pair else spec
 
-    operand_spec = P(axis, None)
-    if operand_is_pair:
-        operand_spec = (operand_spec, operand_spec)
+
+def _make_local_cg(matvec_local, axis):
+    """Per-shard CG loop body (runs inside shard_map).
+
+    b, x, r, p are the LOCAL row-blocks; dots are psum'd; the operand
+    vector p is all-gathered for the local matvec. Reused by both the
+    plain solver and the mixed-precision refinement program."""
 
     def local_loop(operand, b, max_iters, rel_error):
-        # Runs per-shard: b, x, r, p are the local row-blocks.
         def pdot(u, v):
             return jax.lax.psum(jnp.vdot(u, v), axis)
 
@@ -91,10 +94,75 @@ def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
         return CGResult(x=x, num_iters=num_iters, rel_residual=rel,
                         converged=converged)
 
+    return local_loop
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
+    """Compile-once factory for the sharded CG program."""
     mapped = shard_map(
-        local_loop,
+        _make_local_cg(matvec_local, axis),
         mesh=mesh,
-        in_specs=(operand_spec, P(axis), P(), P()),
+        in_specs=(_operand_spec(axis, operand_is_pair), P(axis), P(), P()),
+        out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
+                         max_cycles):
+    """Sharded mixed-precision refinement: the sharded twin of
+    lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
+    inner f32 sharded CG, all inside one shard_map program."""
+
+    inner_cg = _make_local_cg(mv32, axis)
+
+    def local_ir(op32, op_acc, b, max_iters, rel_error, inner_floor):
+        def pdot(u, v):
+            return jax.lax.psum(jnp.vdot(u, v), axis)
+
+        dtype = b.dtype
+        bb = pdot(b, b)
+        eps = jnp.asarray(rel_error, dtype)
+        x0 = jnp.zeros_like(b)
+
+        def rel_of(r):
+            return jnp.sqrt(pdot(r, r) / bb)
+
+        def cond(carry):
+            _, r, k, cyc = carry
+            return jnp.logical_and(
+                jnp.logical_and(k < max_iters, cyc < max_cycles),
+                rel_of(r) >= eps)
+
+        def body(carry):
+            x, r, k, cyc = carry
+            rnorm = jnp.sqrt(pdot(r, r))
+            rel = rnorm / jnp.sqrt(bb)
+            inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
+            r32 = (r / rnorm).astype(jnp.float32)
+            inner = inner_cg(op32, r32, max_iters - k,
+                             inner_tol.astype(jnp.float32))
+            x = x + inner.x.astype(dtype) * rnorm
+            x_full = jax.lax.all_gather(x, axis, tiled=True)
+            r = b - mv_acc(op_acc, x_full)
+            return (x, r, k + inner.num_iters, cyc + 1)
+
+        x, r, k, _ = jax.lax.while_loop(
+            cond, body, (x0, b, jnp.int32(0), jnp.int32(0)))
+        rel = rel_of(r)
+        return CGResult(x=x, num_iters=k, rel_residual=rel,
+                        converged=rel < eps)
+
+    mapped = shard_map(
+        local_ir,
+        mesh=mesh,
+        in_specs=(_operand_spec(axis, False),
+                  _operand_spec(axis, acc_is_pair),
+                  P(axis), P(), P(), P()),
         out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -290,6 +358,15 @@ class ShardedDenseOperator(LinearOperator):
                                    self.precision == "df64")
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
+
+    def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
+                  inner_floor):
+        solver = _build_sharded_cg_ir(op32._mv_local, self._mv_local,
+                                      self.mesh, self.axis,
+                                      self.precision == "df64", max_cycles)
+        return solver(op32.operand, self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype),
+                      jnp.asarray(inner_floor, b_padded.dtype))
 
     def as_f32(self):
         if self.precision == "f32":

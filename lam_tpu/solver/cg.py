@@ -94,6 +94,52 @@ def cg_solve(op, b, *, max_iters=1000, rel_error=1e-9):
     return res._replace(x=op.extract_x(res.x))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+def _cg_ir_loop(matvec_dot32, matvec_dot_acc, operand32, operand_acc, b,
+                max_iters, rel_error, max_cycles, inner_floor):
+    """Fully on-device mixed-precision CG with iterative refinement.
+
+    Outer loop (f64): compute the true residual r = b - A x with the
+    accurate operator, normalize it, and hand it to an inner f32 CG
+    (`_cg_loop` on the f32 operand — half the HBM bytes per iteration).
+    Both loops are lax.while_loops inside ONE jit: zero host round trips,
+    unlike a Python refinement driver that syncs every cycle.
+    """
+    dtype = b.dtype
+    bb = jnp.vdot(b, b)
+    eps = jnp.asarray(rel_error, dtype)
+    x0 = jnp.zeros_like(b)
+
+    def rel_of(r):
+        return jnp.sqrt(jnp.vdot(r, r) / bb)
+
+    def cond(carry):
+        _, r, k, cyc = carry
+        return jnp.logical_and(
+            jnp.logical_and(k < max_iters, cyc < max_cycles),
+            rel_of(r) >= eps)
+
+    def body(carry):
+        x, r, k, cyc = carry
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        rel = rnorm / jnp.sqrt(bb)
+        # inner tolerance: enough to land under rel_error this cycle,
+        # floored at what f32 recurrences can actually deliver
+        inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
+        r32 = (r / rnorm).astype(jnp.float32)
+        inner = _cg_loop(matvec_dot32, operand32, r32, max_iters - k,
+                         inner_tol.astype(jnp.float32))
+        x = x + inner.x.astype(dtype) * rnorm
+        r = b - matvec_dot_acc(operand_acc, x)[0]
+        return (x, r, k + inner.num_iters, cyc + 1)
+
+    x, r, k, _ = jax.lax.while_loop(
+        cond, body, (x0, b, jnp.int32(0), jnp.int32(0)))
+    rel = rel_of(r)
+    return CGResult(x=x, num_iters=k, rel_residual=rel,
+                    converged=rel < eps)
+
+
 def cg_solve_ir(op32, op_acc, b, *, max_iters=10000, rel_error=1e-9,
                 inner_floor=1e-6, max_cycles=6):
     """Mixed-precision CG with iterative refinement (the fast TPU path).
@@ -107,36 +153,11 @@ def cg_solve_ir(op32, op_acc, b, *, max_iters=10000, rel_error=1e-9,
     semantics-parity solver.
 
     op32 and op_acc must represent the same matrix in f32 and in
-    accurate (f64/df64) form. Returns a CGResult on the accurate dtype;
-    num_iters counts TOTAL inner f32 iterations.
+    accurate (f64/df64) form and share one padded vector space. Returns a
+    CGResult on the accurate dtype; num_iters counts TOTAL inner f32
+    iterations.
     """
     b64 = op_acc.prepare_b(b)
-    bb = jnp.vdot(b64, b64)
-    x = jnp.zeros_like(b64)
-    r = b64
-    total_iters = 0
-    for _ in range(max_cycles):
-        rnorm2 = jnp.vdot(r, r)
-        rel = float(jnp.sqrt(rnorm2 / bb))
-        if rel < rel_error or total_iters >= max_iters:
-            break
-        # Inner tolerance: enough to land under rel_error after this
-        # cycle, but never below what f32 recurrences can deliver.
-        inner_tol = max(rel_error / max(rel, 1e-300), inner_floor)
-        inner_tol = min(inner_tol, 0.99)
-        rnorm = jnp.sqrt(rnorm2)
-        # op32 shares op_acc's padded vector space; only the dtype changes.
-        r32 = (r / rnorm).astype(jnp.float32)
-        inner = op32.run_cg(_cg_loop, r32,
-                            jnp.int32(max_iters - total_iters), inner_tol)
-        total_iters += int(inner.num_iters)
-        d = inner.x.astype(b64.dtype) * rnorm
-        x = x + d
-        r = b64 - op_acc.matvec(x)
-    rel = jnp.sqrt(jnp.vdot(r, r) / bb)
-    return CGResult(
-        x=op_acc.extract_x(x),
-        num_iters=jnp.int32(total_iters),
-        rel_residual=rel,
-        converged=rel < rel_error,
-    )
+    res = op_acc.run_cg_ir(op32, b64, jnp.int32(max_iters), rel_error,
+                           max_cycles, inner_floor)
+    return res._replace(x=op_acc.extract_x(res.x))

@@ -153,6 +153,13 @@ class LinearOperator:
         return loop_fn(self._matvec_dot_fn, self.operand, b_padded,
                        max_iters, rel_error)
 
+    def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
+                  inner_floor):
+        from lam_tpu.solver.cg import _cg_ir_loop
+        return _cg_ir_loop(op32._matvec_dot_fn, self._matvec_dot_fn,
+                           op32.operand, self.operand, b_padded,
+                           max_iters, rel_error, max_cycles, inner_floor)
+
 
 class MatrixFreeOperator(LinearOperator):
     """Operator from an arbitrary matvec function (e.g. a stencil).

@@ -101,3 +101,15 @@ def test_sharded_file_load(mesh8, tmp_path):
     x_ref, _, _, _ = oracle_cg(a, b, 1000, 1e-9)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
                                atol=1e-9)
+
+
+def test_sharded_ir_reaches_f64_quality(mesh8):
+    from lam_tpu import cg_solve_ir
+    a, b = _spd_system(seed=77)
+    op = ShardedDenseOperator.from_dense(a, mesh=mesh8, precision="df64",
+                                         engine="xla")
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    true_rel = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-9
