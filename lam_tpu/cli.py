@@ -65,6 +65,10 @@ def build_parser():
                    help="Number of mesh devices (default: all)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
+    p.add_argument("--profile", metavar="<dir>", default=None,
+                   help="Capture a jax.profiler trace of the solve "
+                        "(the reference's chrono spans, but a real "
+                        "timeline: CPU_MPI_OMP.hpp:95-120 analog)")
     return p
 
 
@@ -140,8 +144,15 @@ def main(argv=None):
     vprint("Done\n")
 
     vprint("Solving the system ...")
-    converged = cg.solve(args.max_iters, args.rel_error,
-                         warmup=not args.no_warmup)
+    import contextlib
+    if args.profile:
+        import jax.profiler
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        converged = cg.solve(args.max_iters, args.rel_error,
+                             warmup=not args.no_warmup)
     avg_gemv = cg.measure_gemv()
     t = cg.timings
     if verbose:

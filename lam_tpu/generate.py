@@ -96,18 +96,30 @@ def random_spd_matrix_fast(n, seed=0, num_reflectors=4, dtype=np.float64):
     """
     rng = np.random.default_rng(seed)
     d = random_eigenvalues(n, rng).astype(dtype)
-    a = np.diag(d)
+    a = np.zeros((n, n), dtype=dtype)
+    np.fill_diagonal(a, d)
+    block = max(1, (1 << 25) // max(n, 1))  # ~256 MB row blocks
     for _ in range(num_reflectors):
         v = rng.standard_normal(n).astype(dtype)
         v /= np.linalg.norm(v)
-        # A <- (I - 2 v v^T) A (I - 2 v v^T), applied in O(N^2).
+        # A <- (I - 2 v v^T) A (I - 2 v v^T), applied in O(N^2),
+        # row-blocked in place to avoid N^2-sized temporaries.
         w = a @ v
-        a -= 2.0 * np.outer(w, v)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            a[s:e] -= 2.0 * np.outer(w[s:e], v)
         w = v @ a
-        a -= 2.0 * np.outer(v, w)
-    # Symmetrize away rounding asymmetry.
-    a += a.T
-    a *= 0.5
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            a[s:e] -= 2.0 * np.outer(v[s:e], w)
+    # Symmetrize away rounding asymmetry, by block pairs, in place.
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        for s2 in range(s, n, block):
+            e2 = min(s2 + block, n)
+            avg = 0.5 * (a[s:e, s2:e2] + a[s2:e2, s:e].T)
+            a[s:e, s2:e2] = avg
+            a[s2:e2, s:e] = avg.T
     return a
 
 

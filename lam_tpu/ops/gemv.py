@@ -37,9 +37,11 @@ from lam_tpu.precision import fast_two_sum, two_prod, two_sum
 
 # Default tiles: A tile = TILE_M x TILE_K f32 (512 KB); double-buffered
 # pipelining keeps the DMA engine saturated. PAD_MULTIPLE in operators.py
-# is the lcm of these.
-TILE_M = 256
-TILE_K = 512
+# is the lcm of these. Env overrides for tuning sweeps.
+import os as _os
+
+TILE_M = int(_os.environ.get("LAM_TPU_TILE_M", 256))
+TILE_K = int(_os.environ.get("LAM_TPU_TILE_K", 512))
 _LANES = 128
 
 

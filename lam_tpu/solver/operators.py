@@ -26,11 +26,18 @@ import numpy as np
 
 from lam_tpu.precision import join_f64, split_f64
 
-# Pad to the kernel tile LCM (lam_tpu/ops/gemv.py tiles divide this).
-PAD_MULTIPLE = 512
+def _pad_multiple():
+    # Kernel tiles are powers of two, so their lcm is the max; shapes
+    # padded to this are divisible by both TILE_M and TILE_K.
+    from lam_tpu.ops.gemv import TILE_K, TILE_M
+    return max(TILE_M, TILE_K)
 
 
-def padded_size(n, multiple=PAD_MULTIPLE):
+PAD_MULTIPLE = _pad_multiple()
+
+
+def padded_size(n, multiple=None):
+    multiple = multiple or PAD_MULTIPLE
     return -(-n // multiple) * multiple
 
 
