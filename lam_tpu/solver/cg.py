@@ -83,15 +83,118 @@ def _cg_loop(matvec_dot, operand, b, max_iters, rel_error):
                     converged=converged)
 
 
-def cg_solve(op, b, *, max_iters=1000, rel_error=1e-9):
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pcg_loop(matvec_dot, operand, b, inv_diag, max_iters, rel_error):
+    """Jacobi-preconditioned CG (surplus over the reference, which has no
+    preconditioning). Same stopping contract as _cg_loop: the convergence
+    test stays on the UNpreconditioned relative residual sqrt(rr/bb)."""
+    dtype = b.dtype
+    bb = jnp.vdot(b, b)
+    eps = jnp.asarray(rel_error, dtype)
+    x0 = jnp.zeros_like(b)
+    z0 = inv_diag * b
+
+    def cond(carry):
+        _, _, _, _, rr, k = carry
+        return jnp.logical_and(k < max_iters, jnp.sqrt(rr / bb) >= eps)
+
+    def body(carry):
+        x, r, p, rz, rr, k = carry
+        ap, p_ap = matvec_dot(operand, p)
+        alpha = rz / p_ap
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.vdot(r, z)
+        rr_new = jnp.vdot(r, r)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, rr_new, k + 1)
+
+    init = (x0, b, z0, jnp.vdot(b, z0), bb, jnp.int32(0))
+    x, _, _, _, rr, k = jax.lax.while_loop(cond, body, init)
+    rel = jnp.sqrt(rr / bb)
+    converged = rel < eps
+    num_iters = jnp.where(converged, k, max_iters).astype(jnp.int32)
+    return CGResult(x=x, num_iters=num_iters, rel_residual=rel,
+                    converged=converged)
+
+
+def cg_solve(op, b, *, max_iters=1000, rel_error=1e-9,
+             preconditioner=None):
     """Solve A x = b with CG for a LinearOperator `op`.
 
     `b` may be numpy or jax, length op.n; the result's x has length op.n
     (padding, sharding, and precision are handled by the operator).
+    preconditioner="jacobi" uses diagonal scaling (requires the operator
+    to expose a diagonal; surplus over the reference).
     """
     b_dev = op.prepare_b(b)
-    res = op.run_cg(_cg_loop, b_dev, jnp.int32(max_iters), rel_error)
+    if preconditioner is None:
+        res = op.run_cg(_cg_loop, b_dev, jnp.int32(max_iters), rel_error)
+    elif preconditioner == "jacobi":
+        res = op.run_pcg(b_dev, jnp.int32(max_iters), rel_error)
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
     return res._replace(x=op.extract_x(res.x))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cg_block_loop(matvec, operand, b, max_iters, rel_error):
+    """Block CG: k independent vectorized recurrences sharing each A read.
+
+    Solves A X = B for an (n, k) block of right-hand sides with ONE
+    matrix pass per iteration — the matvec becomes an (n,n)@(n,k) matmul
+    that the MXU actually likes, and HBM traffic per system drops by k.
+    Columns converge independently: converged columns freeze (alpha,
+    beta masked to 0) while the rest continue. Surplus capability — the
+    reference is strictly single-RHS.
+    """
+    dtype = b.dtype
+    bb = jnp.sum(b * b, axis=0)                       # (k,)
+    eps = jnp.asarray(rel_error, dtype)
+    x0 = jnp.zeros_like(b)
+
+    def active_mask(rr):
+        return jnp.sqrt(rr / bb) >= eps
+
+    def cond(carry):
+        _, _, _, rr, _, k = carry
+        return jnp.logical_and(k < max_iters, jnp.any(active_mask(rr)))
+
+    def body(carry):
+        x, r, p, rr, iters, k = carry
+        ap = matvec(operand, p)
+        pap = jnp.sum(p * ap, axis=0)
+        active = active_mask(rr)
+        alpha = jnp.where(active, rr / pap, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr_new = jnp.sum(r * r, axis=0)
+        beta = jnp.where(active, rr_new / rr, 0.0)
+        rr = jnp.where(active, rr_new, rr)
+        p = jnp.where(active, r + beta * p, p)
+        iters = jnp.where(active, k + 1, iters)
+        return (x, r, p, rr, iters, k + 1)
+
+    init = (x0, b, b, bb, jnp.zeros(b.shape[1], jnp.int32), jnp.int32(0))
+    x, _, _, rr, iters, _ = jax.lax.while_loop(cond, body, init)
+    rel = jnp.sqrt(rr / bb)
+    converged = rel < eps
+    return CGResult(x=x, num_iters=iters, rel_residual=rel,
+                    converged=converged)
+
+
+def cg_solve_block(op, b_block, *, max_iters=1000, rel_error=1e-9):
+    """Solve A X = B for an (n, k) block of right-hand sides.
+
+    Per-column CGResult fields (num_iters/rel_residual/converged are
+    (k,) arrays). Uses the operator's XLA matvec on the same operand (a
+    block matvec is a matmul; the single-RHS Pallas kernels don't apply).
+    """
+    b_dev = op.prepare_b_block(b_block)
+    res = op.run_cg_block(b_dev, jnp.int32(max_iters), rel_error)
+    return res._replace(x=res.x[: op.n])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 7))

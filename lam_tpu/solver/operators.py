@@ -167,6 +167,42 @@ class LinearOperator:
                            op32.operand, self.operand, b_padded,
                            max_iters, rel_error, max_cycles, inner_floor)
 
+    def prepare_b_block(self, b_block):
+        """(n, k) block of right-hand sides -> padded device array."""
+        b = jnp.asarray(b_block, dtype=self.vector_dtype)
+        if b.ndim != 2 or b.shape[0] != self.n:
+            raise ValueError(f"rhs block must be ({self.n}, k), "
+                             f"got {b.shape}")
+        if self.n_padded != self.n:
+            b = jnp.pad(b, ((0, self.n_padded - self.n), (0, 0)))
+        return b
+
+    def run_cg_block(self, b_block_padded, max_iters, rel_error):
+        from lam_tpu.solver.cg import _cg_block_loop
+        mv = getattr(self, "_mv_block", None)
+        if mv is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} has no block matvec")
+        return _cg_block_loop(mv, self.operand, b_block_padded, max_iters,
+                              rel_error)
+
+    def diagonal(self):
+        """Matrix diagonal in the vector dtype (for preconditioning).
+
+        Operators that cannot provide one raise; matrix-free operators
+        may override."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose a diagonal")
+
+    def run_pcg(self, b_padded, max_iters, rel_error):
+        from lam_tpu.solver.cg import _pcg_loop
+        d = self.diagonal()
+        # padded entries have d == 0; their residual is 0 anyway, so any
+        # finite inverse works — use 1 to avoid inf*0
+        inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+        return _pcg_loop(self._matvec_dot_fn, self.operand, b_padded,
+                         inv_d, max_iters, rel_error)
+
 
 class MatrixFreeOperator(LinearOperator):
     """Operator from an arbitrary matvec function (e.g. a stencil).
@@ -236,7 +272,18 @@ class DenseOperator(LinearOperator):
             raise ValueError(f"unknown precision {precision!r}")
 
         fn = _MATVEC_DOT[(precision, engine)]
-        return DenseOperator(fn, operand, n, pad, vdtype, precision, engine)
+        out = DenseOperator(fn, operand, n, pad, vdtype, precision, engine)
+        # block matvec = matmul on the same operand; the XLA variant
+        # handles (n, k) blocks for every precision's storage layout
+        out._mv_block = MATVEC[(precision, "xla")]
+        return out
+
+    def diagonal(self):
+        if self.precision == "df64":
+            hi, lo = self.operand
+            return (jnp.diagonal(hi).astype(jnp.float64)
+                    + jnp.diagonal(lo).astype(jnp.float64))
+        return jnp.diagonal(self.operand)
 
     def as_f32(self):
         """Sibling f32 operator sharing this operator's padded space.
@@ -250,5 +297,7 @@ class DenseOperator(LinearOperator):
         else:
             a32 = self.operand.astype(jnp.float32)
         fn = _MATVEC_DOT[("f32", self.engine)]
-        return DenseOperator(fn, a32, self.n, self.n_padded, jnp.float32,
-                             "f32", self.engine)
+        out = DenseOperator(fn, a32, self.n, self.n_padded, jnp.float32,
+                            "f32", self.engine)
+        out._mv_block = MATVEC[("f32", "xla")]
+        return out
