@@ -65,6 +65,12 @@ def build_parser():
                    help="Number of mesh devices (default: all)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
+    p.add_argument("--checkpoint", metavar="<dir>", default=None,
+                   help="Persist solver state every --checkpoint-every "
+                        "iterations (resumable with --resume)")
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from --checkpoint state")
     p.add_argument("--profile", metavar="<dir>", default=None,
                    help="Capture a jax.profiler trace of the solve "
                         "(the reference's chrono spans, but a real "
@@ -151,8 +157,26 @@ def main(argv=None):
     else:
         profile_cm = contextlib.nullcontext()
     with profile_cm:
-        converged = cg.solve(args.max_iters, args.rel_error,
-                             warmup=not args.no_warmup)
+        if args.checkpoint:
+            import time as _time
+
+            from lam_tpu.solver import checkpoint as ckpt
+            t0 = _time.perf_counter()
+            result, _ = ckpt.cg_solve_resumable(
+                cg.op, cg.rhs, max_iters=args.max_iters,
+                rel_error=args.rel_error, segment=args.checkpoint_every,
+                checkpoint_path=args.checkpoint, resume=args.resume)
+            dt = _time.perf_counter() - t0
+            cg.result = result
+            converged = bool(result.converged)
+            iters = max(int(result.num_iters), 1)
+            cg.timings.update(
+                solve_s=dt, avg_iter_s=dt / iters,
+                num_iters=int(result.num_iters),
+                rel_residual=float(result.rel_residual))
+        else:
+            converged = cg.solve(args.max_iters, args.rel_error,
+                                 warmup=not args.no_warmup)
     avg_gemv = cg.measure_gemv()
     t = cg.timings
     if verbose:

@@ -219,7 +219,13 @@ class ShardedDenseOperator(LinearOperator):
     def __init__(self, operand, n, n_padded, vector_dtype, precision,
                  engine, mesh, axis=ROWS_AXIS):
         key = (precision, engine)
-        super().__init__(None, operand, n, n_padded, vector_dtype)
+        # default matvec_dot operates on the GLOBAL sharded arrays and
+        # lets GSPMD insert the collectives — used by the generic paths
+        # (segmented/checkpoint solves); the hot solve paths below use
+        # explicit shard_map programs instead.
+        from lam_tpu.solver.operators import _MATVEC_DOT
+        super().__init__(_MATVEC_DOT[(precision, "xla")], operand, n,
+                         n_padded, vector_dtype)
         self.precision = precision
         self.engine = engine
         self.mesh = mesh

@@ -1,0 +1,149 @@
+"""Solver-state checkpoint / resume and segmented solving.
+
+The reference has NO mid-solve persistence (SURVEY.md §5: the only state
+ever written is the final solution). For production runs at
+N=hundreds-of-thousands (the reference stress-tests N=560000 across 64
+GPUs) a lost job means restarting a multi-minute solve from scratch —
+this module adds the missing capability:
+
+  * the CG state (x, r, p, rr, k) is a well-defined restart point: CG
+    continues exactly (same recurrence, same convergence contract);
+  * `cg_solve_resumable` runs the on-device loop in segments, optionally
+    persisting state every segment (reference binary format per vector +
+    a JSON sidecar), and can resume from a checkpoint file;
+  * per-segment wall times give honest in-loop avg-iteration numbers
+    (the reference times every iteration on the host; we keep the loop
+    on device and sample at segment granularity).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lam_tpu import io as lio
+from lam_tpu.solver.cg import CGResult
+
+
+class CGState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rr: jax.Array
+    bb: jax.Array
+    k: jax.Array  # completed iterations (int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _cg_segment(matvec_dot, operand, state, k_stop, rel_error):
+    """Continue the reference-order CG recurrence until k_stop or
+    convergence, starting from an arbitrary CGState."""
+    eps = jnp.asarray(rel_error, state.x.dtype)
+    bb = state.bb
+
+    def cond(s):
+        return jnp.logical_and(s.k < k_stop,
+                               jnp.sqrt(s.rr / bb) >= eps)
+
+    def body(s):
+        ap, p_ap = matvec_dot(operand, s.p)
+        alpha = s.rr / p_ap
+        x = s.x + alpha * s.p
+        r = s.r - alpha * ap
+        rr_new = jnp.vdot(r, r)
+        beta = rr_new / s.rr
+        p = r + beta * s.p
+        return CGState(x=x, r=r, p=p, rr=rr_new, bb=bb, k=s.k + 1)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def initial_state(op, b_padded):
+    bb = jnp.vdot(b_padded, b_padded)
+    return CGState(x=jnp.zeros_like(b_padded), r=b_padded, p=b_padded,
+                   rr=bb, bb=bb, k=jnp.int32(0))
+
+
+def save_state(path, state, n):
+    """Persist a CGState: vectors in the reference binary format plus a
+    JSON sidecar with the scalars."""
+    os.makedirs(path, exist_ok=True)
+    for name in ("x", "r", "p"):
+        lio.write_matrix(os.path.join(path, f"{name}.bin"),
+                         np.asarray(getattr(state, name)))
+    with open(os.path.join(path, "state.json"), "w") as f:
+        json.dump({"rr": float(state.rr), "bb": float(state.bb),
+                   "k": int(state.k), "n": int(n),
+                   "n_padded": int(state.x.shape[0])}, f)
+
+
+def load_state(path, op):
+    with open(os.path.join(path, "state.json")) as f:
+        meta = json.load(f)
+    if meta["n"] != op.n or meta["n_padded"] != op.n_padded:
+        raise ValueError(
+            f"checkpoint is for n={meta['n']}/pad={meta['n_padded']}, "
+            f"operator has n={op.n}/pad={op.n_padded}")
+    vecs = {}
+    for name in ("x", "r", "p"):
+        v = lio.read_vector(os.path.join(path, f"{name}.bin"))
+        vecs[name] = jnp.asarray(v, dtype=op.vector_dtype)
+    dt = op.vector_dtype
+    return CGState(x=vecs["x"], r=vecs["r"], p=vecs["p"],
+                   rr=jnp.asarray(meta["rr"], dt),
+                   bb=jnp.asarray(meta["bb"], dt), k=jnp.int32(meta["k"]))
+
+
+def cg_solve_resumable(op, b, *, max_iters=1000, rel_error=1e-9,
+                       segment=100, checkpoint_path=None, resume=False,
+                       on_segment=None):
+    """Segmented CG with optional checkpointing.
+
+    Runs `segment` iterations per device call; after each segment the
+    state may be persisted (`checkpoint_path`) and `on_segment(state,
+    seg_seconds)` is invoked (timing hook). `resume=True` restarts from
+    the checkpoint. Returns the usual CGResult plus per-segment timings.
+    """
+    b_padded = op.prepare_b(b)
+    if resume:
+        if not checkpoint_path:
+            raise ValueError("resume=True requires checkpoint_path")
+        state = load_state(checkpoint_path, op)
+    else:
+        state = initial_state(op, b_padded)
+
+    seg_times = []
+    matvec_dot = op._matvec_dot_fn
+    while True:
+        k_now = int(state.k)
+        if k_now >= max_iters:
+            break
+        rel_now = float(jnp.sqrt(state.rr / state.bb))
+        if rel_now < rel_error:
+            break
+        k_stop = jnp.int32(min(k_now + segment, max_iters))
+        t0 = time.perf_counter()
+        state = _cg_segment(matvec_dot, op.operand, state, k_stop,
+                            rel_error)
+        float(state.rr)  # force execution before timing
+        dt = time.perf_counter() - t0
+        seg_times.append((int(state.k) - k_now, dt))
+        if checkpoint_path:
+            save_state(checkpoint_path, state, op.n)
+        if on_segment is not None:
+            on_segment(state, dt)
+
+    rel = jnp.sqrt(state.rr / state.bb)
+    converged = rel < rel_error
+    num_iters = jnp.where(converged, state.k,
+                          jnp.int32(max_iters)).astype(jnp.int32)
+    result = CGResult(x=op.extract_x(state.x), num_iters=num_iters,
+                      rel_residual=rel, converged=converged)
+    return result, seg_times

@@ -1,0 +1,63 @@
+"""Checkpoint/resume and segmented solving."""
+
+import numpy as np
+
+from lam_tpu import DenseOperator, cg_solve
+from lam_tpu import generate as gen
+from lam_tpu.solver import checkpoint as ckpt
+
+
+def _system(n=96, seed=31):
+    return gen.random_spd_matrix(n, seed=seed), gen.random_rhs(n, seed + 1)
+
+
+def test_segmented_equals_monolithic():
+    a, b = _system()
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    mono = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    seg, seg_times = ckpt.cg_solve_resumable(op, b, max_iters=1000,
+                                             rel_error=1e-9, segment=17)
+    # identical recurrence -> identical trajectory (same op order)
+    assert int(seg.num_iters) == int(mono.num_iters)
+    np.testing.assert_allclose(np.asarray(seg.x), np.asarray(mono.x),
+                               rtol=1e-12, atol=1e-14)
+    assert sum(k for k, _ in seg_times) == int(seg.num_iters)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    a, b = _system(seed=37)
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    ck = str(tmp_path / "ck")
+
+    # run only 30 iterations, checkpointing
+    partial, _ = ckpt.cg_solve_resumable(op, b, max_iters=30,
+                                         rel_error=1e-9, segment=10,
+                                         checkpoint_path=ck)
+    assert not bool(partial.converged)
+
+    # resume to completion from the on-disk state
+    resumed, _ = ckpt.cg_solve_resumable(op, b, max_iters=1000,
+                                         rel_error=1e-9, segment=50,
+                                         checkpoint_path=ck, resume=True)
+    assert bool(resumed.converged)
+
+    # must match an uninterrupted solve (same recurrence modulo the f64
+    # roundtrip through the checkpoint files, which is exact)
+    mono = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    assert int(resumed.num_iters) == int(mono.num_iters)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(mono.x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_checkpoint_rejects_wrong_size(tmp_path):
+    import pytest
+    a, b = _system(seed=41)
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    ck = str(tmp_path / "ck")
+    ckpt.cg_solve_resumable(op, b, max_iters=10, rel_error=1e-9,
+                            segment=10, checkpoint_path=ck)
+    a2, b2 = _system(n=64, seed=43)
+    op2 = DenseOperator.from_dense(a2, precision="f64", engine="xla")
+    with pytest.raises(ValueError):
+        ckpt.cg_solve_resumable(op2, b2, max_iters=10, rel_error=1e-9,
+                                checkpoint_path=ck, resume=True)

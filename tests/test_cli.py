@@ -85,3 +85,20 @@ def test_graft_entry_single_chip():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_cli_checkpoint_resume(tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    sol = str(tmp_path / "s.bin")
+    # run capped at 20 iterations with checkpointing
+    rc = cli.main(["-s", "300", "-i", "20", "-o", sol,
+                   "--checkpoint", ck, "--checkpoint-every", "10"])
+    assert rc == 0
+    first = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert int(first[6]) == 20
+    # resume and give it room to converge further
+    rc = cli.main(["-s", "300", "-i", "100", "-o", sol,
+                   "--checkpoint", ck, "--resume"])
+    assert rc == 0
+    second = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert float(second[7]) < float(first[7])  # residual decreased
