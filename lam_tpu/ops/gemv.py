@@ -35,13 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lam_tpu.precision import fast_two_sum, two_prod, two_sum
 
-# Default tiles: A tile = TILE_M x TILE_K f32 (512 KB); double-buffered
+# Default tiles: A tile = TILE_M x TILE_K f32 (1 MB); double-buffered
 # pipelining keeps the DMA engine saturated. PAD_MULTIPLE in operators.py
 # is the lcm of these. Env overrides for tuning sweeps.
+# Sweep on v5e @ N=20000 (full ir solves): (256,1024) 0.899 s beats
+# (512,512) 0.905 s and (256,512) 0.983 s; (512,1024) fails to compile
+# (VMEM).
 import os as _os
 
 TILE_M = int(_os.environ.get("LAM_TPU_TILE_M", 256))
-TILE_K = int(_os.environ.get("LAM_TPU_TILE_K", 512))
+TILE_K = int(_os.environ.get("LAM_TPU_TILE_K", 1024))
 _LANES = 128
 
 
