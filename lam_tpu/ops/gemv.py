@@ -54,6 +54,22 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _fit_tile(dim, preferred, name):
+    """Largest power-of-two tile <= preferred that divides dim.
+
+    Shapes are zero-padded by the operator layer, but arbitrary callers
+    (sharded local blocks, tests) may pass any multiple of 128 — fit the
+    tile rather than silently truncating the grid."""
+    t = min(preferred, dim)
+    while t >= _LANES:
+        if dim % t == 0:
+            return t
+        t //= 2
+    raise ValueError(
+        f"{name}={dim} is not a multiple of any usable tile (min "
+        f"{_LANES}); pad the operand (see lam_tpu/solver/operators.py)")
+
+
 # ---------------------------------------------------------------------------
 # f32 gemv
 # ---------------------------------------------------------------------------
@@ -80,8 +96,8 @@ def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K):
 
     A may be a row-block of a larger matrix (the sharded local matvec)."""
     m, n = a.shape
-    tile_m = min(tile_m, m)
-    tile_k = min(tile_k, n)
+    tile_m = _fit_tile(m, tile_m, "rows")
+    tile_k = _fit_tile(n, tile_k, "cols")
     grid = (m // tile_m, n // tile_k)
     out = pl.pallas_call(
         _gemv_f32_kernel,
@@ -164,8 +180,8 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
     reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
     """
     m, n = a_hi.shape
-    tile_m = min(tile_m, m)
-    tile_k = min(tile_k, n)
+    tile_m = _fit_tile(m, tile_m, "rows")
+    tile_k = _fit_tile(n, tile_k, "cols")
     grid = (m // tile_m, n // tile_k)
     vec_spec = pl.BlockSpec((1, tile_k), lambda i, k: (i * 0, k),
                             memory_space=pltpu.VMEM)

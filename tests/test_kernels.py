@@ -69,3 +69,13 @@ def test_gemv_df64_zero_padding_rows_are_zero():
     y = np.asarray(yh, dtype=np.float64) + np.asarray(yl, dtype=np.float64)
     assert np.all(y[100:] == 0.0)
     np.testing.assert_allclose(y[:100], (a @ p)[:100], rtol=1e-6)
+
+
+def test_gemv_tile_fitting_and_rejection():
+    import pytest
+    from lam_tpu.ops.gemv import _fit_tile
+    assert _fit_tile(1536, 1024, "cols") == 512   # falls back to a divisor
+    assert _fit_tile(2048, 1024, "cols") == 1024
+    assert _fit_tile(128, 1024, "cols") == 128
+    with pytest.raises(ValueError):
+        _fit_tile(1000, 1024, "cols")             # not 128-aligned: loud
