@@ -59,8 +59,10 @@ def _fit_tile(dim, preferred, name):
 
     Shapes are zero-padded by the operator layer, but arbitrary callers
     (sharded local blocks, tests) may pass any multiple of 128 — fit the
-    tile rather than silently truncating the grid."""
-    t = min(preferred, dim)
+    tile rather than silently truncating the grid. Tiles must be
+    power-of-two multiples of the 128-lane width (the df64 kernel's slab
+    loop and lane tree assume it)."""
+    t = 1 << (min(preferred, dim).bit_length() - 1)  # largest pow2 <= min
     while t >= _LANES:
         if dim % t == 0:
             return t
