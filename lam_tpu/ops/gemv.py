@@ -122,11 +122,20 @@ def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K):
 # df64 (float-float) gemv with fully compensated accumulation
 # ---------------------------------------------------------------------------
 
-def _gemv_df64_kernel(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
-                      acc_s, acc_c):
+def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
+                      acc_s, acc_c, product_mode):
     """Grid (rows, cols): per step, fold a (TM, TK) tile of exact products
     into 128 compensated lane-accumulators per row; on the last K step,
-    tree-reduce the lanes (compensated) and emit (y_hi, y_lo)."""
+    tree-reduce the lanes (compensated) and emit (y_hi, y_lo).
+
+    product_mode selects the exact-product transform:
+      'dekker' — branch-free Veltkamp/Dekker split (always correct,
+                 ~17 VPU ops/product);
+      'fma'    — err = ah*ph - t_hi, exact iff the compiler contracts it
+                 to a fused multiply-add (2 ops/product). Verified exact
+                 on Mosaic/v5e by scripts/tpu_smoke.py before being
+                 selectable; NEVER exact without contraction (it would
+                 evaluate to 0)."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -141,7 +150,11 @@ def _gemv_df64_kernel(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
     plo = pl_ref[:]
 
     # Exact product: a*p = t_hi + t_lo with a = ah+al, p = ph+plo.
-    t_hi, t_err = two_prod(ah, ph)
+    if product_mode == "fma":
+        t_hi = ah * ph
+        t_err = ah * ph - t_hi  # exact iff contracted to FMA
+    else:
+        t_hi, t_err = two_prod(ah, ph)
     t_lo = t_err + (ah * plo + al * ph + al * plo)
 
     # Fold TK columns into the 128 lane accumulators, compensating every
@@ -173,14 +186,21 @@ def _gemv_df64_kernel(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
         yl_ref[:] = lo
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
-def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
+_PRODUCT_MODE = _os.environ.get("LAM_TPU_DF64_PRODUCT", "dekker")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_k", "product_mode"))
+def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
+              product_mode=None):
     """(y_hi, y_lo) = A @ p in float-float; all inputs f32, n % tiles == 0.
 
     A = a_hi + a_lo (two planes), p = p_hi + p_lo. Result is the
     correctly-rounded-to-~2^-48 product — the TPU answer to the
     reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
     """
+    if product_mode is None:
+        product_mode = _PRODUCT_MODE
     m, n = a_hi.shape
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(n, tile_k, "cols")
@@ -191,8 +211,10 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_df64_kernel_body,
+                               product_mode=product_mode)
     yh, yl = pl.pallas_call(
-        _gemv_df64_kernel,
+        kernel,
         grid=grid,
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=(out_spec, out_spec),
