@@ -35,7 +35,12 @@ import jax as _jax
 if not _os.environ.get("LAM_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
-from lam_tpu.solver.cg import CGResult, cg_solve, cg_solve_ir  # noqa: E402
+from lam_tpu.solver.cg import (  # noqa: E402
+    CGResult,
+    cg_solve,
+    cg_solve_block,
+    cg_solve_ir,
+)
 from lam_tpu.solver.operators import (  # noqa: E402
     DenseOperator,
     LinearOperator,
@@ -45,6 +50,7 @@ from lam_tpu.solver.api import ConjugateGradient  # noqa: E402
 __all__ = [
     "CGResult",
     "cg_solve",
+    "cg_solve_block",
     "cg_solve_ir",
     "DenseOperator",
     "LinearOperator",

@@ -119,6 +119,8 @@ def main(argv=None):
 
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
                            engine=args.engine, n_devices=args.devices)
+    if cg.backend == "local":
+        n_devices = 1  # the CSV procs column counts devices actually used
 
     vprint("Command line arguments:")
     if mode_generate:
