@@ -58,33 +58,43 @@ def main():
 
     results = {}
 
-    # df64 parity engine: full f64-quality recurrence on device
-    res = cg_solve(op, b, max_iters=0, rel_error=TOL)  # compile
-    float(res.rel_residual)
-    t1 = time.perf_counter()
-    res = cg_solve(op, b, max_iters=10000, rel_error=TOL)
-    # scalar readback, not block_until_ready: the latter can be a no-op
-    # through a remote device tunnel and under-report the time
-    float(res.rel_residual)
-    df64_s = time.perf_counter() - t1
-    results["df64"] = {
-        "s": df64_s,
-        "iters": int(res.num_iters),
-        "true_rel": true_residual(res.x),
-        "converged": bool(res.converged),
-    }
+    # Each engine: warm up (compile + buffer placement), then time the
+    # solve twice and keep the faster run — the remote-tunnel TPU shows
+    # sporadic multi-x slowdowns, and min-of-2 rejects those outliers.
+    # Timing uses a scalar readback, not block_until_ready (which can be
+    # a no-op through the tunnel and under-report).
+    def timed(fn):
+        best, best_res = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = fn()
+            float(r.rel_residual)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best, best_res = dt, r
+        return best, best_res
 
-    # mixed-precision engine: f32 iterations + f64 refinement
+    # mixed-precision engine (the headline path)
     _ = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)  # compile
-    t2 = time.perf_counter()
-    res_ir = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=TOL)
-    float(res_ir.rel_residual)
-    ir_s = time.perf_counter() - t2
+    ir_s, res_ir = timed(lambda: cg_solve_ir(op32, op, b, max_iters=10000,
+                                             rel_error=TOL))
     results["ir"] = {
         "s": ir_s,
         "iters": int(res_ir.num_iters),
         "true_rel": true_residual(res_ir.x),
         "converged": bool(res_ir.converged),
+    }
+
+    # df64 parity engine: full f64-quality recurrence on device
+    r0 = cg_solve(op, b, max_iters=0, rel_error=TOL)  # compile
+    float(r0.rel_residual)
+    df64_s, res = timed(lambda: cg_solve(op, b, max_iters=10000,
+                                         rel_error=TOL))
+    results["df64"] = {
+        "s": df64_s,
+        "iters": int(res.num_iters),
+        "true_rel": true_residual(res.x),
+        "converged": bool(res.converged),
     }
 
     valid = {k: v for k, v in results.items()
