@@ -1,15 +1,22 @@
-"""Headline benchmark: time-to-1e-9 dense CG at N=20000 on one chip.
+"""Headline benchmark: dense-CG time-to-1e-9 on one TPU chip.
 
-Reference anchor (BASELINE.md): single A100-40GB solves the N=20000
-random SPD system to 1e-9 in 0.866 s (343 iters, TESTS/BEST_RESULTS:366).
-This benchmark builds an equivalent system (identical eigenvalue law
-exp(3.5*U(-1,1)), random orthogonal similarity -> same CG behavior),
-solves it on one TPU chip with both the df64 (f64-parity) and the
-mixed-precision (f32 + iterative refinement) engines, validates the TRUE
-residual in float-float arithmetic, and reports the better time.
+BASELINE.json names the metric "time-to-1e-9 residual at N=10k and
+N=70k". N=70000 (39 GB fp64) exceeds one chip's HBM and no multi-chip
+hardware is reachable here, so the headline is the N=10000 solve against
+the reference's single-A100 anchor (0.261 s, 323 iters,
+TESTS/BEST_RESULTS:362), with N=20000 (anchor 0.866 s,
+TESTS/BEST_RESULTS:366) reported alongside.
+
+Systems use the reference construction (eigenvalues exp(3.5*U(-1,1)),
+random orthogonal similarity, random U(-1,1) rhs); every solve's TRUE
+residual is validated host-side in f64. Engines: df64 = float-float
+Pallas (f64-parity), ir = f32 iterations + df64 iterative refinement.
+Each engine is timed best-of-2 (the remote tunnel shows sporadic
+multi-x stalls) with scalar readbacks (block_until_ready can no-op
+through the tunnel).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": s, "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": s, "unit": "s", "vs_baseline": speedup, ...}
 vs_baseline > 1 means faster than the reference A100.
 """
 
@@ -20,109 +27,121 @@ import time
 
 import numpy as np
 
-BASELINE_S = 0.866  # 1x A100, N=20000, tol 1e-9 (TESTS/BEST_RESULTS:366)
-N = 20000
+# 1x A100-40GB fp64 anchors (BASELINE.md)
+BASELINES = {10000: 0.261, 20000: 0.866}
+HEADLINE_N = 10000
 TOL = 1e-9
 SEED = 2024
 
 
-def main():
-    import jax
-
-    import lam_tpu  # noqa: F401  (x64 on)
-    from lam_tpu import DenseOperator, cg_solve, cg_solve_ir
+def _system(n):
     from lam_tpu import generate as gen
-
+    cache = f"/tmp/lam_bench_spd_N{n}_s{SEED}.npy"
     t0 = time.perf_counter()
-    cache = f"/tmp/lam_bench_spd_N{N}_s{SEED}.npy"
     if os.path.exists(cache):
-        a = np.load(cache, mmap_mode=None)
+        a = np.load(cache)
     else:
-        a = gen.random_spd_matrix_fast(N, seed=SEED)
+        a = gen.random_spd_matrix_fast(n, seed=SEED)
         try:
             np.save(cache, a)
         except OSError:
             pass
-    b = gen.random_rhs(N, seed=SEED + 10)
-    gen_s = time.perf_counter() - t0
+    b = gen.random_rhs(n, seed=SEED + 10)
+    return a, b, time.perf_counter() - t0
 
+
+def _measure(n):
+    import jax
+
+    from lam_tpu import DenseOperator, cg_solve, cg_solve_ir
+
+    a, b, gen_s = _system(n)
     op = DenseOperator.from_dense(a, precision="df64")
     op32 = op.as_f32()
     jax.block_until_ready(op.operand)
     bnorm = np.linalg.norm(b)
 
     def true_residual(x):
-        # host-side f64 ground truth, independent of any device kernel
         r = b - a @ np.asarray(x, dtype=np.float64)
         return float(np.linalg.norm(r) / bnorm)
 
-    results = {}
-
-    # Each engine: warm up (compile + buffer placement), then time the
-    # solve twice and keep the faster run — the remote-tunnel TPU shows
-    # sporadic multi-x slowdowns, and min-of-2 rejects those outliers.
-    # Timing uses a scalar readback, not block_until_ready (which can be
-    # a no-op through the tunnel and under-report).
     def timed(fn):
         best, best_res = None, None
         for _ in range(2):
             t0 = time.perf_counter()
             r = fn()
-            float(r.rel_residual)
+            float(r.rel_residual)  # scalar readback forces execution
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best, best_res = dt, r
         return best, best_res
 
-    # mixed-precision engine (the headline path)
-    _ = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)  # compile
-    ir_s, res_ir = timed(lambda: cg_solve_ir(op32, op, b, max_iters=10000,
-                                             rel_error=TOL))
-    results["ir"] = {
-        "s": ir_s,
-        "iters": int(res_ir.num_iters),
-        "true_rel": true_residual(res_ir.x),
-        "converged": bool(res_ir.converged),
-    }
+    out = {"gen_s": round(gen_s, 2)}
 
-    # df64 parity engine: full f64-quality recurrence on device
+    _ = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)  # compile
+    ir_s, res = timed(lambda: cg_solve_ir(op32, op, b, max_iters=10000,
+                                          rel_error=TOL))
+    out["ir"] = {"s": round(ir_s, 4), "iters": int(res.num_iters),
+                 "true_rel": true_residual(res.x),
+                 "converged": bool(res.converged)}
+
     r0 = cg_solve(op, b, max_iters=0, rel_error=TOL)  # compile
     float(r0.rel_residual)
-    df64_s, res = timed(lambda: cg_solve(op, b, max_iters=10000,
-                                         rel_error=TOL))
-    results["df64"] = {
-        "s": df64_s,
-        "iters": int(res.num_iters),
-        "true_rel": true_residual(res.x),
-        "converged": bool(res.converged),
-    }
+    df_s, res = timed(lambda: cg_solve(op, b, max_iters=10000,
+                                       rel_error=TOL))
+    out["df64"] = {"s": round(df_s, 4), "iters": int(res.num_iters),
+                   "true_rel": true_residual(res.x),
+                   "converged": bool(res.converged)}
+    return out
 
-    valid = {k: v for k, v in results.items()
-             if v["converged"] and v["true_rel"] <= 2e-9}
-    if not valid:
-        print(json.dumps({"metric": f"time_to_1e-9_N{N}_1chip",
+
+def main():
+    import jax
+
+    import lam_tpu  # noqa: F401  (x64 on)
+
+    all_results = {n: _measure(n) for n in sorted(BASELINES)}
+
+    def best_valid(res):
+        valid = {k: v for k, v in res.items()
+                 if isinstance(v, dict) and v.get("converged")
+                 and v.get("true_rel", 1.0) <= 2e-9}
+        if not valid:
+            return None, None
+        k = min(valid, key=lambda k: valid[k]["s"])
+        return k, valid[k]
+
+    engine, head = best_valid(all_results[HEADLINE_N])
+    if head is None:
+        print(json.dumps({"metric": f"time_to_1e-9_N{HEADLINE_N}_1chip",
                           "value": None, "unit": "s", "vs_baseline": 0.0,
                           "error": "no engine reached a validated 1e-9 "
                                    "true residual",
-                          "detail": results}))
+                          "detail": all_results}))
         return 1
 
-    best = min(valid, key=lambda k: valid[k]["s"])
-    value = valid[best]["s"]
-    out = {
-        "metric": f"time_to_1e-9_N{N}_1chip",
-        "value": round(value, 4),
+    secondary = {}
+    for n, res in all_results.items():
+        eng, v = best_valid(res)
+        if v is not None:
+            secondary[f"N{n}"] = {
+                "s": v["s"], "engine": eng, "iters": v["iters"],
+                "vs_A100": round(BASELINES[n] / v["s"], 3),
+                "true_rel": v["true_rel"],
+                "df64_s": res["df64"]["s"],
+            }
+
+    print(json.dumps({
+        "metric": f"time_to_1e-9_N{HEADLINE_N}_1chip",
+        "value": head["s"],
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / value, 3),
-        "engine": best,
-        "iters": valid[best]["iters"],
-        "true_rel_residual": valid[best]["true_rel"],
-        "gen_s": round(gen_s, 2),
-        "all": {k: {"s": round(v["s"], 4), "iters": v["iters"],
-                    "true_rel": v["true_rel"]} for k, v in results.items()},
+        "vs_baseline": round(BASELINES[HEADLINE_N] / head["s"], 3),
+        "engine": engine,
+        "iters": head["iters"],
+        "true_rel_residual": head["true_rel"],
+        "sizes": secondary,
         "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(out))
+    }))
     return 0
 
 

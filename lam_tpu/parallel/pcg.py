@@ -116,11 +116,12 @@ def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
                          max_cycles):
     """Sharded mixed-precision refinement: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
-    inner f32 sharded CG, all inside one shard_map program."""
+    inner f32 sharded CG, all inside one shard_map program. Both matvecs
+    read ONE shared operand (the f32 view uses the hi plane)."""
 
     inner_cg = _make_local_cg(mv32, axis)
 
-    def local_ir(op32, op_acc, b, max_iters, rel_error, inner_floor):
+    def local_ir(operand, b, max_iters, rel_error, inner_floor):
         def pdot(u, v):
             return jax.lax.psum(jnp.vdot(u, v), axis)
 
@@ -144,11 +145,11 @@ def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
             rel = rnorm / jnp.sqrt(bb)
             inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
             r32 = (r / rnorm).astype(jnp.float32)
-            inner = inner_cg(op32, r32, max_iters - k,
+            inner = inner_cg(operand, r32, max_iters - k,
                              inner_tol.astype(jnp.float32))
             x = x + inner.x.astype(dtype) * rnorm
             x_full = jax.lax.all_gather(x, axis, tiled=True)
-            r = b - mv_acc(op_acc, x_full)
+            r = b - mv_acc(operand, x_full)
             return (x, r, k + inner.num_iters, cyc + 1)
 
         x, r, k, _ = jax.lax.while_loop(
@@ -160,8 +161,7 @@ def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
     mapped = shard_map(
         local_ir,
         mesh=mesh,
-        in_specs=(_operand_spec(axis, False),
-                  _operand_spec(axis, acc_is_pair),
+        in_specs=(_operand_spec(axis, acc_is_pair),
                   P(axis), P(), P(), P()),
         out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
                            converged=P()),
@@ -367,22 +367,30 @@ class ShardedDenseOperator(LinearOperator):
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
                   inner_floor):
+        if op32.operand is not self.operand:
+            raise ValueError(
+                "cg_solve_ir requires the f32 operator to be a VIEW of "
+                "the accurate operator (use op_acc.as_f32())")
         solver = _build_sharded_cg_ir(op32._mv_local, self._mv_local,
                                       self.mesh, self.axis,
                                       self.precision == "df64", max_cycles)
-        return solver(op32.operand, self.operand, b_padded, max_iters,
+        return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 
     def as_f32(self):
+        """f32-view operator SHARING this operator's sharded buffers
+        (the inner engine of the mixed-precision solver)."""
         if self.precision == "f32":
             return self
-        if self.precision == "df64":
-            a32 = self.operand[0]
-        else:
-            a32 = None
-        if a32 is None:
+        if self.precision != "df64":
             raise NotImplementedError(
                 "as_f32 for sharded f64 operators: rebuild with df64")
-        return ShardedDenseOperator(a32, self.n, self.n_padded, jnp.float32,
-                                    "f32", self.engine, self.mesh, self.axis)
+        out = ShardedDenseOperator(self.operand, self.n, self.n_padded,
+                                   jnp.float32, "f32", self.engine,
+                                   self.mesh, self.axis)
+        out._mv_local = MATVEC[("f32@df64", self.engine)]
+        # GSPMD fallback path must also read the pair layout
+        from lam_tpu.solver.operators import _MATVEC_DOT
+        out._matvec_dot_fn = _MATVEC_DOT[("f32@df64", "xla")]
+        return out

@@ -197,16 +197,18 @@ def cg_solve_block(op, b_block, *, max_iters=1000, rel_error=1e-9):
     return res._replace(x=res.x[: op.n])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7))
-def _cg_ir_loop(matvec_dot32, matvec_dot_acc, operand32, operand_acc, b,
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def _cg_ir_loop(matvec_dot32, matvec_dot_acc, operand, b,
                 max_iters, rel_error, max_cycles, inner_floor):
     """Fully on-device mixed-precision CG with iterative refinement.
 
     Outer loop (f64): compute the true residual r = b - A x with the
     accurate operator, normalize it, and hand it to an inner f32 CG
-    (`_cg_loop` on the f32 operand — half the HBM bytes per iteration).
-    Both loops are lax.while_loops inside ONE jit: zero host round trips,
-    unlike a Python refinement driver that syncs every cycle.
+    (`_cg_loop` with an f32-view matvec — half the HBM bytes per
+    iteration). Both matvecs read the SAME operand buffers (the f32 view
+    uses the hi plane of a df64 pair), so the program holds one copy of
+    the matrix; both loops are lax.while_loops inside ONE jit: zero host
+    round trips, unlike a Python refinement driver that syncs every cycle.
     """
     dtype = b.dtype
     bb = jnp.vdot(b, b)
@@ -230,10 +232,10 @@ def _cg_ir_loop(matvec_dot32, matvec_dot_acc, operand32, operand_acc, b,
         # floored at what f32 recurrences can actually deliver
         inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
         r32 = (r / rnorm).astype(jnp.float32)
-        inner = _cg_loop(matvec_dot32, operand32, r32, max_iters - k,
+        inner = _cg_loop(matvec_dot32, operand, r32, max_iters - k,
                          inner_tol.astype(jnp.float32))
         x = x + inner.x.astype(dtype) * rnorm
-        r = b - matvec_dot_acc(operand_acc, x)[0]
+        r = b - matvec_dot_acc(operand, x)[0]
         return (x, r, k + inner.num_iters, cyc + 1)
 
     x, r, k, _ = jax.lax.while_loop(

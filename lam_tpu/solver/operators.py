@@ -85,6 +85,26 @@ def _mv_df64_pallas(operand, p):
     return join_f64(yh, yl)
 
 
+# f32 matvec views over an accurate operand — used by the mixed-precision
+# solver so the inner loop shares the SAME device buffers as the accurate
+# operator (passing the hi plane as a separate jit parameter would
+# double-count it in XLA's HBM planning: observed OOM at N=40000).
+
+def _mv_f32_of_df64_pallas(operand, p):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32(operand[0], p)
+
+
+def _mv_f32_of_df64_xla(operand, p):
+    return operand[0] @ p
+
+
+def _mv_f32_of_f64_xla(operand, p):
+    # the cast is loop-invariant: XLA materializes one f32 copy for the
+    # loop's duration (acceptable on the f64/CPU oracle path)
+    return operand.astype(jnp.float32) @ p
+
+
 @functools.lru_cache(maxsize=None)
 def _wrap_matvec(matvec_fn):
     """fn(operand, p) -> matvec_dot(operand, p); cached so the wrapper is
@@ -105,6 +125,10 @@ MATVEC = {
     ("f32", "pallas"): _mv_f32_pallas,
     ("df64", "xla"): _mv_df64_xla,
     ("df64", "pallas"): _mv_df64_pallas,
+    # f32 views over a shared accurate operand (see note above)
+    ("f32@df64", "pallas"): _mv_f32_of_df64_pallas,
+    ("f32@df64", "xla"): _mv_f32_of_df64_xla,
+    ("f32@f64", "xla"): _mv_f32_of_f64_xla,
 }
 
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
@@ -163,8 +187,13 @@ class LinearOperator:
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
                   inner_floor):
         from lam_tpu.solver.cg import _cg_ir_loop
+        if op32.operand is not self.operand:
+            raise ValueError(
+                "cg_solve_ir requires the f32 operator to be a VIEW of "
+                "the accurate operator (use op_acc.as_f32()); separate "
+                "buffers would double the matrix footprint in HBM")
         return _cg_ir_loop(op32._matvec_dot_fn, self._matvec_dot_fn,
-                           op32.operand, self.operand, b_padded,
+                           self.operand, b_padded,
                            max_iters, rel_error, max_cycles, inner_floor)
 
     def prepare_b_block(self, b_block):
@@ -286,18 +315,18 @@ class DenseOperator(LinearOperator):
         return jnp.diagonal(self.operand)
 
     def as_f32(self):
-        """Sibling f32 operator sharing this operator's padded space.
-
-        Used to pair with a df64/f64 operator for cg_solve_ir.
+        """Sibling f32-view operator SHARING this operator's device
+        buffers (operand identity, not a cast copy) — required so the
+        mixed-precision solver's jit program holds one set of matrix
+        buffers. Used to pair with a df64/f64 operator for cg_solve_ir.
         """
         if self.precision == "f32":
             return self
         if self.precision == "df64":
-            a32 = self.operand[0]
+            key = ("f32@df64", self.engine)
         else:
-            a32 = self.operand.astype(jnp.float32)
-        fn = _MATVEC_DOT[("f32", self.engine)]
-        out = DenseOperator(fn, a32, self.n, self.n_padded, jnp.float32,
-                            "f32", self.engine)
-        out._mv_block = MATVEC[("f32", "xla")]
+            key = ("f32@f64", "xla")
+        out = DenseOperator(_MATVEC_DOT[key], self.operand, self.n,
+                            self.n_padded, jnp.float32, "f32", self.engine)
+        out._mv_local_key = key
         return out
