@@ -34,18 +34,34 @@ TOL = 1e-9
 SEED = 2024
 
 
+def _cache_paths(n):
+    # io/ is gitignored and persists with the repo checkout (survives
+    # session restarts, unlike /tmp) — generation at N=20000 costs ~6 min
+    # on this 1-core host, so the driver's bench run must find a cache.
+    here = os.path.dirname(os.path.abspath(__file__))
+    name = f"lam_bench_spd_N{n}_s{SEED}.npy"
+    return [os.path.join(here, "io", "bench", name),
+            os.path.join("/tmp", name)]
+
+
 def _system(n):
     from lam_tpu import generate as gen
-    cache = f"/tmp/lam_bench_spd_N{n}_s{SEED}.npy"
     t0 = time.perf_counter()
-    if os.path.exists(cache):
-        a = np.load(cache)
-    else:
+    paths = _cache_paths(n)
+    a = None
+    for p in paths:
+        if os.path.exists(p):
+            a = np.load(p)
+            break
+    if a is None:
         a = gen.random_spd_matrix_fast(n, seed=SEED)
-        try:
-            np.save(cache, a)
-        except OSError:
-            pass
+        for p in paths:
+            try:
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                np.save(p, a)
+                break
+            except OSError:
+                continue
     b = gen.random_rhs(n, seed=SEED + 10)
     return a, b, time.perf_counter() - t0
 

@@ -76,7 +76,7 @@ def _fit_tile(dim, preferred, name):
 # f32 gemv
 # ---------------------------------------------------------------------------
 
-def _gemv_f32_kernel(a_ref, p_ref, o_ref):
+def _gemv_f32_kernel_dot(a_ref, p_ref, o_ref):
     part = jax.lax.dot_general(
         a_ref[:], p_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -92,17 +92,55 @@ def _gemv_f32_kernel(a_ref, p_ref, o_ref):
         o_ref[:] = o_ref[:] + part
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
-def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K):
+def _gemv_f32_kernel_vpu(a_ref, p_ref, o_ref, acc):
+    """VPU lane-accumulator variant: a (TM,TK)x(TK,1) dot_general maps to
+    the MXU with 1 of 128 result columns used, and at gemv shapes that
+    wasted MXU time is comparable to the HBM time — the multiply-adds go
+    to the VPU instead (2 ops/element, far under the VPU roofline), same
+    shape as the df64 kernel's accumulation."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    t = a_ref[:] * p_ref[:]        # (TM, TK), p broadcasts over rows
+    tm, tk = t.shape
+    s = acc[:]
+    for j in range(tk // _LANES):
+        s = s + t[:, j * _LANES:(j + 1) * _LANES]
+    acc[:] = s
+
+    @pl.when(k == nk - 1)
+    def _():
+        s_ = acc[:]
+        width = _LANES
+        while width > 1:
+            half = width // 2
+            s_ = s_[:, :half] + s_[:, half:width]
+            width = half
+        o_ref[:] = s_
+
+
+_F32_IMPL = _os.environ.get("LAM_TPU_F32_IMPL", "dot")
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "impl"))
+def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K, impl=None):
     """y = A @ p for f32 A (m, n), p (n,); m, n divisible by the tiles.
 
-    A may be a row-block of a larger matrix (the sharded local matvec)."""
+    A may be a row-block of a larger matrix (the sharded local matvec).
+    impl: 'dot' (dot_general, default) or 'vpu' (lane accumulators)
+    — measured equal in full solves on v5e (both HBM-bound); 'dot' kept
+    as the established default."""
+    if impl is None:
+        impl = _F32_IMPL
     m, n = a.shape
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(n, tile_k, "cols")
     grid = (m // tile_m, n // tile_k)
-    out = pl.pallas_call(
-        _gemv_f32_kernel,
+    common = dict(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, tile_k), lambda i, k: (i, k),
@@ -114,7 +152,83 @@ def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
         interpret=_use_interpret(),
-    )(a, p.reshape(1, n))
+    )
+    if impl == "vpu":
+        out = pl.pallas_call(
+            _gemv_f32_kernel_vpu,
+            scratch_shapes=[pltpu.VMEM((tile_m, _LANES), jnp.float32)],
+            **common,
+        )(a, p.reshape(1, n))
+    else:
+        out = pl.pallas_call(_gemv_f32_kernel_dot, **common)(
+            a, p.reshape(1, n))
+    return out.reshape(m)
+
+
+# ---------------------------------------------------------------------------
+# f32 column-block gemv (ring-overlap building block)
+# ---------------------------------------------------------------------------
+#
+# y_part = A[:, blk*nb : (blk+1)*nb] @ p_blk with blk a RUNTIME index.
+# The block index arrives via scalar prefetch so the BlockSpec index_map
+# steers the DMA engine directly at the selected column stripe — no
+# HBM->HBM copy of the stripe (a dynamic_slice feeding a pallas_call
+# would materialize one, doubling traffic). This is the per-step kernel
+# of the ring matvec (lam_tpu/parallel/pcg.py): while the VPU multiplies
+# the stripe owned p-block, the next p-block rides ICI via ppermute.
+
+
+def _gemv_f32_cols_kernel(blk_ref, a_ref, p_ref, o_ref):
+    del blk_ref  # consumed by the index_map
+    part = jax.lax.dot_general(
+        a_ref[:], p_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
+def gemv_f32_cols(a, p_blk, blk, *, tile_m=TILE_M, tile_k=TILE_K):
+    """Partial matvec against one column block of A (f32).
+
+    a: (m, n); p_blk: (nb,) with n % nb == 0; blk: int32 scalar/array,
+    the block index in units of nb columns. Returns (m,) f32."""
+    m, n = a.shape
+    nb = p_blk.shape[0]
+    tile_m = _fit_tile(m, tile_m, "rows")
+    tile_k = _fit_tile(nb, tile_k, "cols")
+    tiles_per_blk = nb // tile_k
+    grid = (m // tile_m, tiles_per_blk)
+    blk = jnp.asarray(blk, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k),
+                         lambda i, k, blk_ref:
+                         (i, blk_ref[0] * tiles_per_blk + k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k), lambda i, k, blk_ref: (i * 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i, k, blk_ref:
+                               (i, k * 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _gemv_f32_cols_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        interpret=_use_interpret(),
+    )(blk, a, p_blk.reshape(1, nb))
     return out.reshape(m)
 
 
@@ -187,6 +301,63 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
 
 
 _PRODUCT_MODE = _os.environ.get("LAM_TPU_DF64_PRODUCT", "dekker")
+
+
+def _df64_cols_kernel(blk_ref, ah_ref, al_ref, ph_ref, pl_ref, yh_ref,
+                      yl_ref, acc_s, acc_c, product_mode):
+    del blk_ref  # consumed by the index_maps
+    _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
+                      acc_s, acc_c, product_mode)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_k", "product_mode"))
+def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
+                   tile_k=TILE_K, product_mode=None):
+    """Partial float-float matvec against one column block of A.
+
+    Column-block twin of `gemv_df64` (same compensated arithmetic), with
+    the block index scalar-prefetched as in `gemv_f32_cols`. p_hi/p_lo
+    are the (nb,) block of the operand vector."""
+    if product_mode is None:
+        product_mode = _PRODUCT_MODE
+    m, n = a_hi.shape
+    nb = p_hi.shape[0]
+    tile_m = _fit_tile(m, tile_m, "rows")
+    tile_k = _fit_tile(nb, tile_k, "cols")
+    tiles_per_blk = nb // tile_k
+    grid = (m // tile_m, tiles_per_blk)
+    blk = jnp.asarray(blk, jnp.int32).reshape(1)
+    mat_spec = pl.BlockSpec((tile_m, tile_k),
+                            lambda i, k, blk_ref:
+                            (i, blk_ref[0] * tiles_per_blk + k),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, tile_k), lambda i, k, blk_ref: (i * 0, k),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_m, 1), lambda i, k, blk_ref: (i, k * 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, _LANES), jnp.float32),
+            pltpu.VMEM((tile_m, _LANES), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_df64_cols_kernel,
+                               product_mode=product_mode)
+    yh, yl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(blk, a_hi, a_lo, p_hi.reshape(1, nb), p_lo.reshape(1, nb))
+    return yh.reshape(m), yl.reshape(m)
 
 
 @functools.partial(jax.jit,

@@ -37,6 +37,7 @@ from lam_tpu.parallel.mesh import ROWS_AXIS, make_mesh
 from lam_tpu.solver.cg import CGResult
 from lam_tpu.solver.operators import (
     MATVEC,
+    MATVEC_COLS,
     LinearOperator,
     padded_size,
     split_f64_host,
@@ -53,12 +54,55 @@ def _operand_spec(axis, is_pair):
     return (spec, spec) if is_pair else spec
 
 
-def _make_local_cg(matvec_local, axis):
+def _make_apply(matvec_local, matvec_cols, axis, comm, g):
+    """Per-shard distributed matvec: LOCAL p row-block -> LOCAL Ap block.
+
+    comm='gather': all_gather(p) over ICI, then one local gemv over the
+      full row-stripe — the simple program; XLA must finish the gather
+      before any multiply starts.
+    comm='ring': G steps of (partial gemv on the currently-held p block
+      against the matching COLUMN stripe of the local A) interleaved with
+      ppermute of the p block to the ring neighbor — compute hides the
+      transfer (SURVEY.md §7 stage 6; the same pipelining shape as ring
+      attention). Same total comm volume ((G-1)/G of p per chip), but no
+      serialization of gather before gemv. The column stripe is selected
+      inside the Pallas kernel via a scalar-prefetched block index
+      (lam_tpu/ops/gemv.py:gemv_f32_cols) so nothing is copied.
+    """
+    if comm == "gather" or g == 1:
+
+        def apply(operand, p_local):
+            p_full = jax.lax.all_gather(p_local, axis, tiled=True)
+            return matvec_local(operand, p_full)
+
+        return apply
+
+    if comm != "ring":
+        raise ValueError(f"unknown comm strategy {comm!r}")
+    perm = [(i, (i - 1) % g) for i in range(g)]
+
+    def apply(operand, p_local):
+        idx = jax.lax.axis_index(axis)
+        acc = matvec_cols(operand, p_local, idx)
+
+        def step(s, carry):
+            acc, pblk = carry
+            pblk = jax.lax.ppermute(pblk, axis, perm)
+            src = jax.lax.rem(idx + s, jnp.int32(g))
+            return acc + matvec_cols(operand, pblk, src), pblk
+
+        acc, _ = jax.lax.fori_loop(1, g, step, (acc, p_local))
+        return acc
+
+    return apply
+
+
+def _make_local_cg(apply_fn, axis):
     """Per-shard CG loop body (runs inside shard_map).
 
-    b, x, r, p are the LOCAL row-blocks; dots are psum'd; the operand
-    vector p is all-gathered for the local matvec. Reused by both the
-    plain solver and the mixed-precision refinement program."""
+    b, x, r, p are the LOCAL row-blocks; dots are psum'd; the matvec is
+    `apply_fn` (gather- or ring-composed, `_make_apply`). Reused by both
+    the plain solver and the mixed-precision refinement program."""
 
     def local_loop(operand, b, max_iters, rel_error):
         def pdot(u, v):
@@ -76,8 +120,7 @@ def _make_local_cg(matvec_local, axis):
 
         def body(carry):
             x, r, p, rr, k = carry
-            p_full = jax.lax.all_gather(p, axis, tiled=True)
-            ap = matvec_local(operand, p_full)
+            ap = apply_fn(operand, p)
             alpha = rr / pdot(p, ap)
             x = x + alpha * p
             r = r - alpha * ap
@@ -98,10 +141,13 @@ def _make_local_cg(matvec_local, axis):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
+def _build_sharded_cg(matvec_local, matvec_cols, mesh, axis,
+                      operand_is_pair, comm):
     """Compile-once factory for the sharded CG program."""
+    g = mesh.shape[axis]
+    apply_fn = _make_apply(matvec_local, matvec_cols, axis, comm, g)
     mapped = shard_map(
-        _make_local_cg(matvec_local, axis),
+        _make_local_cg(apply_fn, axis),
         mesh=mesh,
         in_specs=(_operand_spec(axis, operand_is_pair), P(axis), P(), P()),
         out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
@@ -112,14 +158,17 @@ def _build_sharded_cg(matvec_local, mesh, axis, operand_is_pair):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
-                         max_cycles):
+def _build_sharded_cg_ir(mv32, mv_acc, cols32, cols_acc, mesh, axis,
+                         acc_is_pair, comm, max_cycles):
     """Sharded mixed-precision refinement: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
     inner f32 sharded CG, all inside one shard_map program. Both matvecs
     read ONE shared operand (the f32 view uses the hi plane)."""
 
-    inner_cg = _make_local_cg(mv32, axis)
+    g = mesh.shape[axis]
+    apply32 = _make_apply(mv32, cols32, axis, comm, g)
+    apply_acc = _make_apply(mv_acc, cols_acc, axis, comm, g)
+    inner_cg = _make_local_cg(apply32, axis)
 
     def local_ir(operand, b, max_iters, rel_error, inner_floor):
         def pdot(u, v):
@@ -148,8 +197,7 @@ def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
             inner = inner_cg(operand, r32, max_iters - k,
                              inner_tol.astype(jnp.float32))
             x = x + inner.x.astype(dtype) * rnorm
-            x_full = jax.lax.all_gather(x, axis, tiled=True)
-            r = b - mv_acc(operand, x_full)
+            r = b - apply_acc(operand, x)
             return (x, r, k + inner.num_iters, cyc + 1)
 
         x, r, k, _ = jax.lax.while_loop(
@@ -171,39 +219,34 @@ def _build_sharded_cg_ir(mv32, mv_acc, mesh, axis, acc_is_pair,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_matvec(matvec_local, mesh, axis, operand_is_pair):
-    operand_spec = P(axis, None)
-    if operand_is_pair:
-        operand_spec = (operand_spec, operand_spec)
-
-    def local(operand, p_local):
-        p_full = jax.lax.all_gather(p_local, axis, tiled=True)
-        return matvec_local(operand, p_full)
-
-    mapped = shard_map(local, mesh=mesh,
-                       in_specs=(operand_spec, P(axis)),
+def _build_sharded_matvec(matvec_local, matvec_cols, mesh, axis,
+                          operand_is_pair, comm):
+    apply_fn = _make_apply(matvec_local, matvec_cols, axis, comm,
+                           mesh.shape[axis])
+    mapped = shard_map(apply_fn, mesh=mesh,
+                       in_specs=(_operand_spec(axis, operand_is_pair),
+                                 P(axis)),
                        out_specs=P(axis), check_vma=False)
     return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_chain(matvec_local, mesh, axis, operand_is_pair,
-                         repeats):
-    operand_spec = P(axis, None)
-    if operand_is_pair:
-        operand_spec = (operand_spec, operand_spec)
+def _build_sharded_chain(matvec_local, matvec_cols, mesh, axis,
+                         operand_is_pair, comm, repeats):
+    apply_fn = _make_apply(matvec_local, matvec_cols, axis, comm,
+                           mesh.shape[axis])
 
     def local(operand, p_local):
         def body(_, v):
-            v_full = jax.lax.all_gather(v, axis, tiled=True)
-            w = matvec_local(operand, v_full)
+            w = apply_fn(operand, v)
             nrm = jnp.sqrt(jax.lax.psum(jnp.vdot(w, w), axis))
             return w / nrm
 
         return jax.lax.fori_loop(0, repeats, body, p_local)
 
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(operand_spec, P(axis)),
+                       in_specs=(_operand_spec(axis, operand_is_pair),
+                                 P(axis)),
                        out_specs=P(axis), check_vma=False)
     return jax.jit(mapped)
 
@@ -217,7 +260,7 @@ class ShardedDenseOperator(LinearOperator):
     """
 
     def __init__(self, operand, n, n_padded, vector_dtype, precision,
-                 engine, mesh, axis=ROWS_AXIS):
+                 engine, mesh, axis=ROWS_AXIS, comm="gather"):
         key = (precision, engine)
         # default matvec_dot operates on the GLOBAL sharded arrays and
         # lets GSPMD insert the collectives — used by the generic paths
@@ -230,7 +273,9 @@ class ShardedDenseOperator(LinearOperator):
         self.engine = engine
         self.mesh = mesh
         self.axis = axis
+        self.comm = comm
         self._mv_local = MATVEC[key]
+        self._mv_cols = MATVEC_COLS[key]
         self._b_sharding = NamedSharding(mesh, P(axis))
 
     # -- construction ------------------------------------------------------
@@ -248,7 +293,7 @@ class ShardedDenseOperator(LinearOperator):
 
     @staticmethod
     def from_row_block_fn(row_block_fn, n, mesh=None, precision="auto",
-                          engine="auto", axis=ROWS_AXIS):
+                          engine="auto", axis=ROWS_AXIS, comm="gather"):
         """Build from a function row_block_fn(row_start, num_rows) -> f64
         ndarray of shape (num_rows, n_padded_cols... ) — actually (num_rows,
         n) source rows; padding is applied here.
@@ -311,22 +356,22 @@ class ShardedDenseOperator(LinearOperator):
             raise ValueError(f"unknown precision {precision!r}")
 
         return ShardedDenseOperator(operand, n, n_p, vdtype, precision,
-                                    engine, mesh, axis)
+                                    engine, mesh, axis, comm)
 
     @staticmethod
     def from_dense(a, mesh=None, precision="auto", engine="auto",
-                   axis=ROWS_AXIS):
+                   axis=ROWS_AXIS, comm="gather"):
         a = np.asarray(a, dtype=np.float64)
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")
         return ShardedDenseOperator.from_row_block_fn(
             lambda s, m: a[s:s + m, :], n, mesh=mesh, precision=precision,
-            engine=engine, axis=axis)
+            engine=engine, axis=axis, comm=comm)
 
     @staticmethod
     def from_file(path, mesh=None, precision="auto", engine="auto",
-                  axis=ROWS_AXIS):
+                  axis=ROWS_AXIS, comm="gather"):
         """Shard-wise file load: each shard reads only its row block,
         like the reference's MPI-IO seek+read per rank."""
         from lam_tpu import io as lio
@@ -336,7 +381,8 @@ class ShardedDenseOperator(LinearOperator):
                              f"({rows}x{cols})")
         return ShardedDenseOperator.from_row_block_fn(
             lambda s, m: lio.read_matrix_rows(path, s, m), rows,
-            mesh=mesh, precision=precision, engine=engine, axis=axis)
+            mesh=mesh, precision=precision, engine=engine, axis=axis,
+            comm=comm)
 
     # -- solve path --------------------------------------------------------
 
@@ -349,19 +395,23 @@ class ShardedDenseOperator(LinearOperator):
         return jax.device_put(b, self._b_sharding)
 
     def matvec(self, p_padded):
-        fn = _build_sharded_matvec(self._mv_local, self.mesh, self.axis,
-                                   self.precision == "df64")
+        fn = _build_sharded_matvec(self._mv_local, self._mv_cols,
+                                   self.mesh, self.axis,
+                                   self.precision == "df64", self.comm)
         return fn(self.operand, p_padded)
 
     def matvec_chain(self, p_padded, repeats):
-        fn = _build_sharded_chain(self._mv_local, self.mesh, self.axis,
-                                  self.precision == "df64", repeats)
+        fn = _build_sharded_chain(self._mv_local, self._mv_cols,
+                                  self.mesh, self.axis,
+                                  self.precision == "df64", self.comm,
+                                  repeats)
         return fn(self.operand, p_padded)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         del loop_fn  # the sharded program is the loop
-        solver = _build_sharded_cg(self._mv_local, self.mesh, self.axis,
-                                   self.precision == "df64")
+        solver = _build_sharded_cg(self._mv_local, self._mv_cols,
+                                   self.mesh, self.axis,
+                                   self.precision == "df64", self.comm)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -372,8 +422,10 @@ class ShardedDenseOperator(LinearOperator):
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_sharded_cg_ir(op32._mv_local, self._mv_local,
+                                      op32._mv_cols, self._mv_cols,
                                       self.mesh, self.axis,
-                                      self.precision == "df64", max_cycles)
+                                      self.precision == "df64", self.comm,
+                                      max_cycles)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
@@ -388,8 +440,9 @@ class ShardedDenseOperator(LinearOperator):
                 "as_f32 for sharded f64 operators: rebuild with df64")
         out = ShardedDenseOperator(self.operand, self.n, self.n_padded,
                                    jnp.float32, "f32", self.engine,
-                                   self.mesh, self.axis)
+                                   self.mesh, self.axis, self.comm)
         out._mv_local = MATVEC[("f32@df64", self.engine)]
+        out._mv_cols = MATVEC_COLS[("f32@df64", self.engine)]
         # GSPMD fallback path must also read the pair layout
         from lam_tpu.solver.operators import _MATVEC_DOT
         out._matvec_dot_fn = _MATVEC_DOT[("f32@df64", "xla")]

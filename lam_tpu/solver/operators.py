@@ -117,6 +117,60 @@ def _wrap_matvec(matvec_fn):
     return matvec_dot
 
 
+# Column-block partial matvecs: y_part = A[:, blk*nb:(blk+1)*nb] @ p_blk
+# with a TRACED block index — the per-step compute of the ring matvec
+# (lam_tpu/parallel/pcg.py). The Pallas variants scalar-prefetch the
+# index (zero-copy column selection); the XLA variants dynamic-slice
+# (materializes the stripe — correctness/dev path only).
+
+def _mv_cols_xla(a, p_blk, blk):
+    nb = p_blk.shape[0]
+    cols = jax.lax.dynamic_slice_in_dim(a, blk * nb, nb, axis=1)
+    return cols @ p_blk
+
+
+def _mv_cols_df64_xla(operand, p_blk, blk):
+    hi, lo = operand
+    f64 = p_blk.dtype
+    nb = p_blk.shape[0]
+    h = jax.lax.dynamic_slice_in_dim(hi, blk * nb, nb, axis=1)
+    lw = jax.lax.dynamic_slice_in_dim(lo, blk * nb, nb, axis=1)
+    return h.astype(f64) @ p_blk + lw.astype(f64) @ p_blk
+
+
+def _mv_cols_f32_pallas(a, p_blk, blk):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_cols(a, p_blk, blk)
+
+
+def _mv_cols_df64_pallas(operand, p_blk, blk):
+    from lam_tpu.ops import gemv
+    hi, lo = operand
+    ph, pl = split_f64(p_blk)
+    yh, yl = gemv.gemv_df64_cols(hi, lo, ph, pl, blk)
+    return join_f64(yh, yl)
+
+
+def _mv_cols_f32_of_df64_pallas(operand, p_blk, blk):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_cols(operand[0], p_blk, blk)
+
+
+def _mv_cols_f32_of_df64_xla(operand, p_blk, blk):
+    return _mv_cols_xla(operand[0], p_blk, blk)
+
+
+MATVEC_COLS = {
+    ("f64", "xla"): _mv_cols_xla,
+    ("f32", "xla"): _mv_cols_xla,
+    ("f32", "pallas"): _mv_cols_f32_pallas,
+    ("df64", "xla"): _mv_cols_df64_xla,
+    ("df64", "pallas"): _mv_cols_df64_pallas,
+    ("f32@df64", "pallas"): _mv_cols_f32_of_df64_pallas,
+    ("f32@df64", "xla"): _mv_cols_f32_of_df64_xla,
+}
+
+
 # Plain local matvec by (precision, engine) — the sharded solver composes
 # these with collectives itself (lam_tpu/parallel/pcg.py).
 MATVEC = {

@@ -113,3 +113,56 @@ def test_sharded_ir_reaches_f64_quality(mesh8):
     x = np.asarray(res.x)
     true_rel = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
     assert true_rel < 1e-9
+
+
+# -- ring-overlap matvec (comm="ring") ---------------------------------------
+
+def test_ring_matvec_matches_gather(mesh8):
+    a, _ = _spd_system(n=64, seed=91)
+    p = gen.random_rhs(64, seed=2)
+    ap_ref = a @ p
+    for precision in ("f64", "df64"):
+        gather = ShardedDenseOperator.from_dense(
+            a, mesh=mesh8, precision=precision, engine="xla")
+        ring = ShardedDenseOperator.from_dense(
+            a, mesh=mesh8, precision=precision, engine="xla", comm="ring")
+        apg = np.asarray(gather.matvec(gather.prepare_b(p)))[:64]
+        apr = np.asarray(ring.matvec(ring.prepare_b(p)))[:64]
+        # ring sums G block-partials in a different order than the full
+        # row gemv: agreement to f64 rounding, not bitwise
+        np.testing.assert_allclose(apr, ap_ref, rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(apr, apg, rtol=1e-10, atol=1e-13)
+
+
+def test_ring_matvec_pallas_interpret(mesh8):
+    # the scalar-prefetch column-block kernels, interpret mode
+    a, _ = _spd_system(n=64, seed=92)
+    p = gen.random_rhs(64, seed=3)
+    ring = ShardedDenseOperator.from_dense(
+        a, mesh=mesh8, precision="df64", engine="pallas", comm="ring")
+    apr = np.asarray(ring.matvec(ring.prepare_b(p)))[:64]
+    np.testing.assert_allclose(apr, a @ p, rtol=1e-12)
+
+
+def test_ring_cg_matches_oracle(mesh8):
+    a, b = _spd_system(seed=93)
+    op = ShardedDenseOperator.from_dense(a, mesh=mesh8, precision="f64",
+                                         engine="xla", comm="ring")
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 1000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_ring_ir_reaches_f64_quality(mesh8):
+    from lam_tpu import cg_solve_ir
+    a, b = _spd_system(seed=94)
+    op = ShardedDenseOperator.from_dense(a, mesh=mesh8, precision="df64",
+                                         engine="xla", comm="ring")
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    true_rel = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-9
