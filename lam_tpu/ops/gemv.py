@@ -237,19 +237,17 @@ def gemv_f32_cols(a, p_blk, blk, *, tile_m=TILE_M, tile_k=TILE_K):
 # ---------------------------------------------------------------------------
 
 def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
-                      acc_s, acc_c, product_mode):
+                      acc_s, acc_c):
     """Grid (rows, cols): per step, fold a (TM, TK) tile of exact products
     into 128 compensated lane-accumulators per row; on the last K step,
     tree-reduce the lanes (compensated) and emit (y_hi, y_lo).
 
-    product_mode selects the exact-product transform:
-      'dekker' — branch-free Veltkamp/Dekker split (always correct,
-                 ~17 VPU ops/product);
-      'fma'    — err = ah*ph - t_hi, exact iff the compiler contracts it
-                 to a fused multiply-add (2 ops/product). Verified exact
-                 on Mosaic/v5e by scripts/tpu_smoke.py before being
-                 selectable; NEVER exact without contraction (it would
-                 evaluate to 0)."""
+    The exact product uses the branch-free Veltkamp/Dekker split. An
+    FMA-contraction shortcut (err = ah*ph - t_hi, 2 ops instead of ~17)
+    was measured on v5e Mosaic and is NOT contracted there: a full
+    N=20000 solve converged by recurrence but its TRUE residual degraded
+    to 2.3e-7 (vs 9.8e-10 with Dekker), i.e. the error term silently
+    evaluated to 0 — so the shortcut is not offered."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -264,11 +262,7 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
     plo = pl_ref[:]
 
     # Exact product: a*p = t_hi + t_lo with a = ah+al, p = ph+plo.
-    if product_mode == "fma":
-        t_hi = ah * ph
-        t_err = ah * ph - t_hi  # exact iff contracted to FMA
-    else:
-        t_hi, t_err = two_prod(ah, ph)
+    t_hi, t_err = two_prod(ah, ph)
     t_lo = t_err + (ah * plo + al * ph + al * plo)
 
     # Fold TK columns into the 128 lane accumulators, compensating every
@@ -300,27 +294,21 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
         yl_ref[:] = lo
 
 
-_PRODUCT_MODE = _os.environ.get("LAM_TPU_DF64_PRODUCT", "dekker")
-
-
 def _df64_cols_kernel(blk_ref, ah_ref, al_ref, ph_ref, pl_ref, yh_ref,
-                      yl_ref, acc_s, acc_c, product_mode):
+                      yl_ref, acc_s, acc_c):
     del blk_ref  # consumed by the index_maps
     _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
-                      acc_s, acc_c, product_mode)
+                      acc_s, acc_c)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_m", "tile_k", "product_mode"))
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
 def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
-                   tile_k=TILE_K, product_mode=None):
+                   tile_k=TILE_K):
     """Partial float-float matvec against one column block of A.
 
     Column-block twin of `gemv_df64` (same compensated arithmetic), with
     the block index scalar-prefetched as in `gemv_f32_cols`. p_hi/p_lo
     are the (nb,) block of the operand vector."""
-    if product_mode is None:
-        product_mode = _PRODUCT_MODE
     m, n = a_hi.shape
     nb = p_hi.shape[0]
     tile_m = _fit_tile(m, tile_m, "rows")
@@ -346,10 +334,8 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
             pltpu.VMEM((tile_m, _LANES), jnp.float32),
         ],
     )
-    kernel = functools.partial(_df64_cols_kernel,
-                               product_mode=product_mode)
     yh, yl = pl.pallas_call(
-        kernel,
+        _df64_cols_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
@@ -360,18 +346,14 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
     return yh.reshape(m), yl.reshape(m)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_m", "tile_k", "product_mode"))
-def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
-              product_mode=None):
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
+def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
     """(y_hi, y_lo) = A @ p in float-float; all inputs f32, n % tiles == 0.
 
     A = a_hi + a_lo (two planes), p = p_hi + p_lo. Result is the
     correctly-rounded-to-~2^-48 product — the TPU answer to the
     reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
     """
-    if product_mode is None:
-        product_mode = _PRODUCT_MODE
     m, n = a_hi.shape
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(n, tile_k, "cols")
@@ -382,10 +364,8 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_df64_kernel_body,
-                               product_mode=product_mode)
     yh, yl = pl.pallas_call(
-        kernel,
+        _df64_kernel_body,
         grid=grid,
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=(out_spec, out_spec),

@@ -69,15 +69,9 @@ def main():
     y32 = np.asarray(gemv_f32(ah, ph))
     assert np.isfinite(y32).all()
 
-    # 5. FMA-contraction product variant: report whether Mosaic contracts
-    # a*b - round(a*b) into an exact fused multiply-add on this chip
-    yh, yl = gemv_df64(ah, al, ph, pl, product_mode="fma")
-    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
-    ref = (np.asarray(ah, np.float64) + np.asarray(al, np.float64)) @ (
-        np.asarray(ph, np.float64) + np.asarray(pl, np.float64))
-    fma_err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
-    print(f"df64 fma-variant rel L2 error: {fma_err:.2e} "
-          f"({'EXACT — usable' if fma_err < 1e-13 else 'NOT contracted — keep dekker'})")
+    # (An FMA-contraction product shortcut was removed 2026-08-16: Mosaic
+    # on v5e does not contract a*b - round(a*b), so its error term was 0
+    # and a full solve's TRUE residual silently degraded to 2.3e-7.)
 
     print("TPU smoke: ALL PASS")
     return 0
