@@ -60,9 +60,17 @@ def build_parser():
     p.add_argument("--precision", default="auto",
                    choices=["f64", "f32", "df64", "ir", "auto"])
     p.add_argument("--engine", default="auto",
-                   choices=["pallas", "xla", "auto"])
+                   choices=["pallas", "pallas_symm", "xla", "auto"],
+                   help="pallas_symm reads only the lower triangle "
+                        "(half the HBM bytes; requires symmetric A, "
+                        "which CG assumes anyway)")
     p.add_argument("--devices", type=int, default=None,
                    help="Number of mesh devices (default: all)")
+    p.add_argument("--comm", default="gather",
+                   choices=["gather", "ring"],
+                   help="Sharded matvec communication: all_gather of p, "
+                        "or a ppermute ring overlapping transfer with "
+                        "column-stripe compute")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--checkpoint", metavar="<dir>", default=None,
@@ -118,7 +126,8 @@ def main(argv=None):
             print(*a)
 
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
-                           engine=args.engine, n_devices=args.devices)
+                           engine=args.engine, n_devices=args.devices,
+                           comm=args.comm)
     if cg.backend == "local":
         n_devices = 1  # the CSV procs column counts devices actually used
 

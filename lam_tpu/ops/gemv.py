@@ -233,6 +233,140 @@ def gemv_f32_cols(a, p_blk, blk, *, tile_m=TILE_M, tile_k=TILE_K):
 
 
 # ---------------------------------------------------------------------------
+# symmetric f32 gemv: read only the lower triangle -> HALF the HBM traffic
+# ---------------------------------------------------------------------------
+#
+# CG matrices are symmetric by contract (SPD), but every reference backend
+# streams all N^2 elements per matvec (ConjugateGradient_GPU_CUDA.cu:171-211
+# and clones). For a bandwidth-bound kernel that's a straight 2x on the
+# table: visit only the nblk(nblk+1)/2 lower-triangle tiles; each
+# off-diagonal tile A_ik contributes BOTH A_ik @ p_k to y_i (direct) and
+# A_ik^T @ p_i to y_k (transpose) while it sits in VMEM. The (i,k) walk
+# is row-major over the triangle, delivered to the index_maps through two
+# scalar-prefetched tables. Direct partials accumulate in a (TB,128) lane
+# scratch flushed at each diagonal tile; transpose partials accumulate in
+# a persistent (1,n) scratch emitted at the last grid step. The operator
+# effect is EXACTLY symmetric (the full-matrix kernel's rounding makes the
+# applied operator slightly non-symmetric) — a mild bonus for CG theory.
+# Storage stays the full square (the upper half is simply never read).
+
+SYMM_TB = int(_os.environ.get("LAM_TPU_SYMM_TB", 512))
+
+
+@functools.lru_cache(maxsize=None)
+def _symm_tables(nblk):
+    iis, kks = [], []
+    for i in range(nblk):
+        for k in range(i + 1):
+            iis.append(i)
+            kks.append(k)
+    import numpy as _np
+    return (_np.asarray(iis, _np.int32), _np.asarray(kks, _np.int32))
+
+
+def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
+                          yd_ref, yt_ref, acc_d, acc_t):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    i = it_ref[t]
+    k = kt_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acc_t[:] = jnp.zeros_like(acc_t)
+
+    @pl.when(k == 0)
+    def _():
+        acc_d[:] = jnp.zeros_like(acc_d)
+
+    a = a_ref[:]                       # (TB, TB)
+    tb = a.shape[0]
+
+    # direct: y_i += A_ik @ p_k, folded into 128 lane accumulators
+    tprod = a * prow_ref[:]            # (TB, TB) * (1, TB)
+    s = acc_d[:]
+    for j in range(tb // _LANES):
+        s = s + tprod[:, j * _LANES:(j + 1) * _LANES]
+    acc_d[:] = s
+
+    @pl.when(k == i)                   # diagonal tile = last of row i
+    def _():
+        s_ = acc_d[:]
+        width = _LANES
+        while width > 1:
+            half = width // 2
+            s_ = s_[:, :half] + s_[:, half:width]
+            width = half
+        yd_ref[:] = s_
+
+    @pl.when(k < i)                    # strictly-lower: transpose term
+    def _():
+        tpart = jnp.sum(a * pcol_ref[:], axis=0, keepdims=True)  # (1, TB)
+        idx = pl.dslice(k * tb, tb)
+        acc_t[:, idx] = acc_t[:, idx] + tpart
+
+    @pl.when(t == nt - 1)
+    def _():
+        yt_ref[:] = acc_t[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def gemv_f32_symm(a, p, *, tb=None):
+    """y = A @ p for SYMMETRIC f32 A (n, n), reading only the lower
+    triangle (~half the HBM bytes of `gemv_f32`). n % tb == 0 required
+    (operators pad); correctness requires A == A.T (CG's contract)."""
+    if tb is None:
+        tb = SYMM_TB
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError(f"symmetric gemv needs a square matrix, "
+                         f"got {a.shape}")
+    tb = _fit_tile(n, tb, "rows")
+    nblk = n // tb
+    it, kt = _symm_tables(nblk)
+    grid = (len(it),)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb),
+                         lambda t, it_ref, kt_ref:
+                         (it_ref[t], kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb),
+                         lambda t, it_ref, kt_ref: (t * 0, kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref: (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref: (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n),
+                         lambda t, it_ref, kt_ref: (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        _gemv_f32_symm_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), a, p.reshape(1, n),
+      p.reshape(n, 1))
+    return yd.reshape(n) + yt.reshape(n)
+
+
+# ---------------------------------------------------------------------------
 # df64 (float-float) gemv with fully compensated accumulation
 # ---------------------------------------------------------------------------
 

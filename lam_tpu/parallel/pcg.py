@@ -309,6 +309,10 @@ class ShardedDenseOperator(LinearOperator):
             precision = "df64" if jax.default_backend() == "tpu" else "f64"
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if engine == "pallas_symm":
+            # row-sharded local blocks are rectangular, not symmetric —
+            # the lower-triangle kernel is a single-device engine
+            engine = "pallas"
         if precision == "f64" and engine == "pallas":
             engine = "xla"
 

@@ -31,7 +31,7 @@ from lam_tpu.solver.operators import DenseOperator
 
 class ConjugateGradient:
     def __init__(self, backend="auto", precision="auto", engine="auto",
-                 n_devices=None, mesh=None):
+                 n_devices=None, mesh=None, comm="gather"):
         if backend == "auto":
             n = n_devices or len(jax.devices())
             backend = "sharded" if n > 1 else "local"
@@ -39,6 +39,7 @@ class ConjugateGradient:
         self.precision = precision
         self.engine = engine
         self.n_devices = n_devices
+        self.comm = comm
         self._mesh = mesh
         self.op = None
         self.rhs = None
@@ -65,7 +66,8 @@ class ConjugateGradient:
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),
-                precision=self._base_precision(), engine=self.engine)
+                precision=self._base_precision(), engine=self.engine,
+                comm=self.comm)
         a = full_matrix if full_matrix is not None else row_block_fn(0, n)
         return DenseOperator.from_dense(
             a, precision=self._base_precision(), engine=self.engine)

@@ -41,6 +41,19 @@ def padded_size(n, multiple=None):
     return -(-n // multiple) * multiple
 
 
+def _samples_symmetric(a, samples=128, rtol=1e-9):
+    """Cheap symmetry probe: compare `samples` random (i, j) pairs with
+    their transposes. Guards the lower-triangle engine against a caller
+    handing CG a non-symmetric matrix (on which plain CG is undefined
+    anyway, but the full kernel would at least apply A as given)."""
+    a = np.asarray(a)
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, n, samples)
+    j = rng.integers(0, n, samples)
+    return bool(np.allclose(a[i, j], a[j, i], rtol=rtol, atol=0.0))
+
+
 def split_f64_host(a):
     """Host-side f64 -> (hi, lo) f32 split; threaded C++ when built."""
     try:
@@ -77,6 +90,11 @@ def _mv_f32_pallas(a, p):
     return gemv.gemv_f32(a, p)
 
 
+def _mv_f32_pallas_symm(a, p):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_symm(a, p)
+
+
 def _mv_df64_pallas(operand, p):
     from lam_tpu.ops import gemv
     hi, lo = operand
@@ -93,6 +111,13 @@ def _mv_df64_pallas(operand, p):
 def _mv_f32_of_df64_pallas(operand, p):
     from lam_tpu.ops import gemv
     return gemv.gemv_f32(operand[0], p)
+
+
+def _mv_f32_of_df64_pallas_symm(operand, p):
+    # the hi plane of a df64 pair is symmetric whenever A is (elementwise
+    # rounding preserves symmetry), so the lower-triangle kernel applies
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_symm(operand[0], p)
 
 
 def _mv_f32_of_df64_xla(operand, p):
@@ -183,6 +208,13 @@ MATVEC = {
     ("f32@df64", "pallas"): _mv_f32_of_df64_pallas,
     ("f32@df64", "xla"): _mv_f32_of_df64_xla,
     ("f32@f64", "xla"): _mv_f32_of_f64_xla,
+    # symmetric engine: f32 matvecs read only the lower triangle (half
+    # the HBM bytes, gemv_f32_symm); the df64 matvec stays the full
+    # kernel (it is VPU-bound, so halving its bytes buys little, and on
+    # the ir path it runs ~4 times per solve vs ~370 f32 matvecs)
+    ("f32", "pallas_symm"): _mv_f32_pallas_symm,
+    ("df64", "pallas_symm"): _mv_df64_pallas,
+    ("f32@df64", "pallas_symm"): _mv_f32_of_df64_pallas_symm,
 }
 
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
@@ -323,18 +355,32 @@ class DenseOperator(LinearOperator):
 
     @staticmethod
     def from_dense(a, precision="auto", engine="auto"):
-        """Build from an (n, n) numpy/jax array (f64 source of truth)."""
+        """Build from an (n, n) numpy/jax array (f64 source of truth).
+
+        engine='auto' on TPU picks 'pallas_symm' (lower-triangle f32
+        matvec, half the HBM bytes) when the matrix samples symmetric —
+        CG's contract anyway — else 'pallas'."""
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")
         if precision == "auto":
             precision = "df64" if jax.default_backend() == "tpu" else "f64"
         if engine == "auto":
-            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if precision == "f64" and engine == "pallas":
+            if jax.default_backend() != "tpu":
+                engine = "xla"
+            elif _samples_symmetric(a):
+                engine = "pallas_symm"
+            else:
+                engine = "pallas"
+        elif engine == "pallas_symm" and not _samples_symmetric(a):
+            raise ValueError(
+                "engine='pallas_symm' requires a symmetric matrix (the "
+                "lower-triangle kernel mirrors A's lower half); sampled "
+                "entries disagree with A.T — use engine='pallas'")
+        if precision == "f64" and engine in ("pallas", "pallas_symm"):
             engine = "xla"  # no f64 in Mosaic; df64 is the pallas answer
 
-        pad = padded_size(n) if engine == "pallas" else n
+        pad = padded_size(n) if engine in ("pallas", "pallas_symm") else n
         a = np.asarray(a, dtype=np.float64)
         if pad != n:
             a_p = np.zeros((pad, pad), dtype=np.float64)

@@ -194,3 +194,27 @@ def test_block_cg_multiple_rhs():
     # independent recurrences)
     single = cg_solve(op, bs[:, 0], max_iters=2000, rel_error=1e-9)
     assert abs(int(np.asarray(res.num_iters)[0]) - int(single.num_iters)) <= 1
+
+
+def test_cg_with_symmetric_engine():
+    """Full solve through the lower-triangle kernel (interpret mode)."""
+    a = gen.random_spd_matrix(96, seed=71)
+    b = gen.random_rhs(96, seed=72)
+    op = DenseOperator.from_dense(a, precision="df64",
+                                  engine="pallas_symm")
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_ir_with_symmetric_engine():
+    from lam_tpu import cg_solve_ir
+    a = gen.random_spd_matrix(96, seed=73)
+    b = gen.random_rhs(96, seed=74)
+    op = DenseOperator.from_dense(a, precision="df64",
+                                  engine="pallas_symm")
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-9

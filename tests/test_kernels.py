@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from lam_tpu.ops.gemv import gemv_df64, gemv_f32
 from lam_tpu.precision import split_f64
@@ -79,3 +80,40 @@ def test_gemv_tile_fitting_and_rejection():
     assert _fit_tile(128, 1024, "cols") == 128
     with pytest.raises(ValueError):
         _fit_tile(1000, 1024, "cols")             # not 128-aligned: loud
+
+
+def test_gemv_f32_symm_matches_full():
+    from lam_tpu.ops.gemv import gemv_f32, gemv_f32_symm
+    rng = np.random.default_rng(5)
+    for n, tb in [(512, 512), (1536, 512), (1024, 256)]:
+        m = rng.standard_normal((n, n)).astype(np.float32)
+        a = m + m.T
+        p = rng.standard_normal(n).astype(np.float32)
+        y_symm = np.asarray(gemv_f32_symm(jnp.asarray(a), jnp.asarray(p),
+                                          tb=tb))
+        ref = a.astype(np.float64) @ p.astype(np.float64)
+        # both are f32-accumulation answers to the same product
+        err = np.linalg.norm(y_symm - ref) / np.linalg.norm(ref)
+        assert err < 1e-5, (n, tb, err)
+        y_full = np.asarray(gemv_f32(jnp.asarray(a), jnp.asarray(p)))
+        err_full = np.linalg.norm(y_full - ref) / np.linalg.norm(ref)
+        assert err < 50 * max(err_full, 1e-8), (err, err_full)
+
+
+def test_gemv_f32_symm_rejects_rectangular():
+    from lam_tpu.ops.gemv import gemv_f32_symm
+    a = jnp.zeros((256, 512), jnp.float32)
+    p = jnp.zeros(512, jnp.float32)
+    with pytest.raises(ValueError):
+        gemv_f32_symm(a, p)
+
+
+def test_symmetry_probe_and_engine_guard():
+    from lam_tpu.solver.operators import DenseOperator, _samples_symmetric
+    rng = np.random.default_rng(6)
+    m = rng.standard_normal((64, 64))
+    assert _samples_symmetric(m + m.T)
+    assert not _samples_symmetric(m + m.T + np.triu(np.ones((64, 64)), 1))
+    with pytest.raises(ValueError, match="symmetric"):
+        DenseOperator.from_dense(m, precision="f32",
+                                 engine="pallas_symm")
