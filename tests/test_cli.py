@@ -102,3 +102,18 @@ def test_cli_checkpoint_resume(tmp_path, capsys):
     assert rc == 0
     second = capsys.readouterr().out.strip().splitlines()[-1].split(",")
     assert float(second[7]) < float(first[7])  # residual decreased
+
+
+def test_cli_comm_ring_and_symm_engine(capsys):
+    # ring comm through the sharded backend on the virtual mesh
+    from lam_tpu.cli import main
+    assert main(["-s", "96", "-i", "10", "--backend", "sharded",
+                 "--devices", "4", "--comm", "ring",
+                 "--precision", "f64"]) == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert row[0] == "96" and row[1] == "4"
+    # pallas_symm engine end-to-end (interpret mode), local backend
+    assert main(["-s", "96", "-i", "10", "--backend", "local",
+                 "--engine", "pallas_symm", "--precision", "df64"]) == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert row[0] == "96" and int(row[6]) == 10
