@@ -246,7 +246,7 @@ def _cg_ir_loop(matvec_dot32, matvec_dot_acc, operand, b,
 
 
 def cg_solve_ir(op32, op_acc, b, *, max_iters=10000, rel_error=1e-9,
-                inner_floor=1e-6, max_cycles=6):
+                inner_floor=1e-5, max_cycles=6):
     """Mixed-precision CG with iterative refinement (the fast TPU path).
 
     Runs the CG iterations in f32 (half the HBM traffic of the
@@ -261,6 +261,12 @@ def cg_solve_ir(op32, op_acc, b, *, max_iters=10000, rel_error=1e-9,
     accurate (f64/df64) form and share one padded vector space. Returns a
     CGResult on the accurate dtype; num_iters counts TOTAL inner f32
     iterations.
+
+    inner_floor=1e-5: the f32 recurrence stagnates near kappa*eps_f32
+    anyway (~7e-5 at the reference spectrum's kappa~e^7), so requesting
+    1e-6 from a cycle just burns iterations at the floor — measured
+    N=10000: 365 total inner iters at 1e-5 vs 372 at 1e-6, same final
+    true residual (9.6e-10 vs 9.5e-10).
     """
     b64 = op_acc.prepare_b(b)
     res = op_acc.run_cg_ir(op32, b64, jnp.int32(max_iters), rel_error,
