@@ -22,14 +22,14 @@ import time
 
 
 def run_one(n, mode, max_iters, rel_error, backend, precision, engine,
-            devices, seed=2024):
+            devices, seed=2024, comm="gather"):
     import jax
 
     from lam_tpu import generate as gen
     from lam_tpu.solver.api import ConjugateGradient
 
     cg = ConjugateGradient(backend=backend, precision=precision,
-                           engine=engine, n_devices=devices)
+                           engine=engine, n_devices=devices, comm=comm)
     t0 = time.perf_counter()
     if mode == "gen":
         cg.generate_matrix(n)
@@ -66,6 +66,7 @@ def main(argv=None):
     p.add_argument("--precision", default="auto")
     p.add_argument("--engine", default="auto")
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--comm", default="gather", choices=["gather", "ring"])
     args = p.parse_args(argv)
 
     max_iters = args.max_iters
@@ -78,7 +79,7 @@ def main(argv=None):
     for n in args.sizes:
         row = run_one(n, args.mode, max_iters, args.rel_error,
                       args.backend, args.precision, args.engine,
-                      args.devices)
+                      args.devices, comm=args.comm)
         print(row, flush=True)
         rows.append(row)
 
