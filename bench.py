@@ -34,6 +34,13 @@ TOL = 1e-9
 SEED = 2024
 
 
+def _try_remove(path):
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
 def _cache_paths(n):
     # io/ is gitignored and persists with the repo checkout (survives
     # session restarts, unlike /tmp) — generation at N=20000 costs ~6 min
@@ -56,12 +63,23 @@ def _system(n):
     if a is None:
         a = gen.random_spd_matrix_fast(n, seed=SEED)
         for p in paths:
+            # atomic publish: a partial write (disk full, Ctrl-C) must
+            # not leave a truncated .npy at the cache path — it persists
+            # (io/bench survives sessions) and would break every later
+            # run at np.load
+            tmp = p + ".tmp"
             try:
                 os.makedirs(os.path.dirname(p), exist_ok=True)
-                np.save(p, a)
+                with open(tmp, "wb") as fh:
+                    np.save(fh, a)
+                os.replace(tmp, p)
                 break
             except OSError:
-                continue
+                _try_remove(tmp)
+                continue  # fall through to the next cache location
+            except BaseException:
+                _try_remove(tmp)  # e.g. Ctrl-C mid-write
+                raise
     b = gen.random_rhs(n, seed=SEED + 10)
     return a, b, time.perf_counter() - t0
 

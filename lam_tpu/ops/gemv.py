@@ -76,6 +76,25 @@ def _fit_tile(dim, preferred, name):
 # f32 gemv
 # ---------------------------------------------------------------------------
 
+
+def _lane_fold(t, acc):
+    """Fold the TK columns of t (TM, TK) into 128-lane accumulators."""
+    s = acc
+    for j in range(t.shape[1] // _LANES):
+        s = s + t[:, j * _LANES:(j + 1) * _LANES]
+    return s
+
+
+def _lane_tree(s):
+    """Halving tree-reduce of (TM, 128) lane accumulators to (TM, 1)."""
+    width = _LANES
+    while width > 1:
+        half = width // 2
+        s = s[:, :half] + s[:, half:width]
+        width = half
+    return s
+
+
 def _gemv_f32_kernel_dot(a_ref, p_ref, o_ref):
     part = jax.lax.dot_general(
         a_ref[:], p_ref[:],
@@ -106,21 +125,11 @@ def _gemv_f32_kernel_vpu(a_ref, p_ref, o_ref, acc):
         acc[:] = jnp.zeros_like(acc)
 
     t = a_ref[:] * p_ref[:]        # (TM, TK), p broadcasts over rows
-    tm, tk = t.shape
-    s = acc[:]
-    for j in range(tk // _LANES):
-        s = s + t[:, j * _LANES:(j + 1) * _LANES]
-    acc[:] = s
+    acc[:] = _lane_fold(t, acc[:])
 
     @pl.when(k == nk - 1)
     def _():
-        s_ = acc[:]
-        width = _LANES
-        while width > 1:
-            half = width // 2
-            s_ = s_[:, :half] + s_[:, half:width]
-            width = half
-        o_ref[:] = s_
+        o_ref[:] = _lane_tree(acc[:])
 
 
 _F32_IMPL = _os.environ.get("LAM_TPU_F32_IMPL", "dot")
@@ -283,21 +292,11 @@ def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
     tb = a.shape[0]
 
     # direct: y_i += A_ik @ p_k, folded into 128 lane accumulators
-    tprod = a * prow_ref[:]            # (TB, TB) * (1, TB)
-    s = acc_d[:]
-    for j in range(tb // _LANES):
-        s = s + tprod[:, j * _LANES:(j + 1) * _LANES]
-    acc_d[:] = s
+    acc_d[:] = _lane_fold(a * prow_ref[:], acc_d[:])
 
     @pl.when(k == i)                   # diagonal tile = last of row i
     def _():
-        s_ = acc_d[:]
-        width = _LANES
-        while width > 1:
-            half = width // 2
-            s_ = s_[:, :half] + s_[:, half:width]
-            width = half
-        yd_ref[:] = s_
+        yd_ref[:] = _lane_tree(acc_d[:])
 
     @pl.when(k < i)                    # strictly-lower: transpose term
     def _():

@@ -83,16 +83,24 @@ def _make_apply(matvec_local, matvec_cols, axis, comm, g):
 
     def apply(operand, p_local):
         idx = jax.lax.axis_index(axis)
-        acc = matvec_cols(operand, p_local, idx)
 
         def step(s, carry):
+            # issue the permute of the block for the NEXT step BEFORE
+            # the gemv that consumes the current block: the transfer has
+            # no data dependence on the in-flight multiply, so the
+            # scheduler can run them concurrently (permute-then-multiply
+            # would chain them: g*(t_mv + t_comm) instead of
+            # ~g*max(t_mv, t_comm))
             acc, pblk = carry
-            pblk = jax.lax.ppermute(pblk, axis, perm)
+            nxt = jax.lax.ppermute(pblk, axis, perm)
             src = jax.lax.rem(idx + s, jnp.int32(g))
-            return acc + matvec_cols(operand, pblk, src), pblk
+            return acc + matvec_cols(operand, pblk, src), nxt
 
-        acc, _ = jax.lax.fori_loop(1, g, step, (acc, p_local))
-        return acc
+        zero = jnp.zeros_like(p_local)  # matvec output dtype == p dtype
+        acc, last = jax.lax.fori_loop(0, g - 1, step, (zero, p_local))
+        # last block: no further permute needed
+        src = jax.lax.rem(idx + jnp.int32(g - 1), jnp.int32(g))
+        return acc + matvec_cols(operand, last, src)
 
     return apply
 

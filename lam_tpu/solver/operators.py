@@ -41,17 +41,26 @@ def padded_size(n, multiple=None):
     return -(-n // multiple) * multiple
 
 
-def _samples_symmetric(a, samples=128, rtol=1e-9):
-    """Cheap symmetry probe: compare `samples` random (i, j) pairs with
-    their transposes. Guards the lower-triangle engine against a caller
-    handing CG a non-symmetric matrix (on which plain CG is undefined
-    anyway, but the full kernel would at least apply A as given)."""
-    a = np.asarray(a)
+def _verifies_symmetric(a, tol=1e-12):
+    """Whole-matrix symmetry check via two random matvecs: A v vs A^T v.
+
+    ||Av - A^T v|| <= tol * ||A||_F * ||v|| catches ANY asymmetry
+    (including a single corrupted entry) with probability 1 over the
+    random v — unlike entry sampling, which almost surely misses sparse
+    corruption. Cost: two streaming passes over A on the host, once per
+    operator build. f64 rounding contributes ~sqrt(N)*eps ~ 1e-13, so
+    tol=1e-12 does not false-positive on genuinely symmetric matrices.
+    Guards the lower-triangle engine (engine='auto'/'pallas_symm')
+    against silently solving with sym(A) when the input is not
+    symmetric."""
+    a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     rng = np.random.default_rng(0)
-    i = rng.integers(0, n, samples)
-    j = rng.integers(0, n, samples)
-    return bool(np.allclose(a[i, j], a[j, i], rtol=rtol, atol=0.0))
+    v = rng.standard_normal(n)
+    av = a @ v
+    atv = v @ a
+    scale = np.linalg.norm(av) + np.linalg.norm(atv)
+    return bool(np.linalg.norm(av - atv) <= tol * max(scale, 1e-300))
 
 
 def split_f64_host(a):
@@ -368,15 +377,16 @@ class DenseOperator(LinearOperator):
         if engine == "auto":
             if jax.default_backend() != "tpu":
                 engine = "xla"
-            elif _samples_symmetric(a):
+            elif _verifies_symmetric(a):
                 engine = "pallas_symm"
             else:
                 engine = "pallas"
-        elif engine == "pallas_symm" and not _samples_symmetric(a):
+        elif engine == "pallas_symm" and not _verifies_symmetric(a):
             raise ValueError(
                 "engine='pallas_symm' requires a symmetric matrix (the "
-                "lower-triangle kernel mirrors A's lower half); sampled "
-                "entries disagree with A.T — use engine='pallas'")
+                "lower-triangle kernel mirrors A's lower half); the "
+                "random-vector check found A v != A^T v — use "
+                "engine='pallas'")
         if precision == "f64" and engine in ("pallas", "pallas_symm"):
             engine = "xla"  # no f64 in Mosaic; df64 is the pallas answer
 

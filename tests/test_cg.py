@@ -197,18 +197,23 @@ def test_block_cg_multiple_rhs():
 
 
 def test_cg_with_symmetric_engine():
-    """Full solve through the lower-triangle kernel (interpret mode)."""
+    """Full f32 solve through the lower-triangle kernel: the
+    ('f32','pallas_symm') MATVEC entry drives gemv_f32_symm directly
+    (with precision='df64' the plain solve would use the FULL df64
+    kernel — by design; see operators.py MATVEC comment)."""
     a = gen.random_spd_matrix(96, seed=71)
     b = gen.random_rhs(96, seed=72)
-    op = DenseOperator.from_dense(a, precision="df64",
+    op = DenseOperator.from_dense(a, precision="f32",
                                   engine="pallas_symm")
-    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-4)
     assert bool(res.converged)
-    x = np.asarray(res.x)
-    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+    x = np.asarray(res.x, np.float64)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-3
 
 
 def test_ir_with_symmetric_engine():
+    """The ir inner loop routes through ('f32@df64','pallas_symm'), i.e.
+    gemv_f32_symm on the shared hi plane — the production fast path."""
     from lam_tpu import cg_solve_ir
     a = gen.random_spd_matrix(96, seed=73)
     b = gen.random_rhs(96, seed=74)

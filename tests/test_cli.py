@@ -112,8 +112,10 @@ def test_cli_comm_ring_and_symm_engine(capsys):
                  "--precision", "f64"]) == 0
     row = capsys.readouterr().out.strip().split(",")
     assert row[0] == "96" and row[1] == "4"
-    # pallas_symm engine end-to-end (interpret mode), local backend
+    # pallas_symm inner kernel end-to-end (interpret mode): precision
+    # ir routes the inner loop through gemv_f32_symm on the hi plane
+    # (plain df64 solves use the full kernel even under pallas_symm)
     assert main(["-s", "96", "-i", "10", "--backend", "local",
-                 "--engine", "pallas_symm", "--precision", "df64"]) == 0
+                 "--engine", "pallas_symm", "--precision", "ir"]) == 0
     row = capsys.readouterr().out.strip().split(",")
     assert row[0] == "96" and int(row[6]) == 10

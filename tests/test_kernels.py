@@ -108,12 +108,16 @@ def test_gemv_f32_symm_rejects_rectangular():
         gemv_f32_symm(a, p)
 
 
-def test_symmetry_probe_and_engine_guard():
-    from lam_tpu.solver.operators import DenseOperator, _samples_symmetric
+def test_symmetry_check_and_engine_guard():
+    from lam_tpu.solver.operators import DenseOperator, _verifies_symmetric
     rng = np.random.default_rng(6)
     m = rng.standard_normal((64, 64))
-    assert _samples_symmetric(m + m.T)
-    assert not _samples_symmetric(m + m.T + np.triu(np.ones((64, 64)), 1))
+    assert _verifies_symmetric(m + m.T)
+    # a SINGLE corrupted entry must be caught (entry sampling would
+    # almost surely miss it; the matvec check cannot)
+    bad = m + m.T
+    bad[13, 57] += 1e-6
+    assert not _verifies_symmetric(bad)
     with pytest.raises(ValueError, match="symmetric"):
         DenseOperator.from_dense(m, precision="f32",
                                  engine="pallas_symm")
