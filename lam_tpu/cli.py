@@ -56,7 +56,9 @@ def build_parser():
     p.add_argument("-h", dest="help", action="store_true",
                    help="Show this help message")
     p.add_argument("--backend", default="auto",
-                   choices=["local", "sharded", "auto"])
+                   choices=["local", "sharded", "sharded2d", "auto"],
+                   help="sharded2d = SUMMA-style R x R block grid "
+                        "(O(N/sqrt(G)) exchange per chip vs 1-D's O(N))")
     p.add_argument("--precision", default="auto",
                    choices=["f64", "f32", "df64", "ir", "auto"])
     p.add_argument("--engine", default="auto",

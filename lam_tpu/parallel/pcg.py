@@ -165,17 +165,14 @@ def _build_sharded_cg(matvec_local, matvec_cols, mesh, axis,
     return jax.jit(mapped)
 
 
-@functools.lru_cache(maxsize=None)
-def _build_sharded_cg_ir(mv32, mv_acc, cols32, cols_acc, mesh, axis,
-                         acc_is_pair, comm, max_cycles):
-    """Sharded mixed-precision refinement: the sharded twin of
+def _make_local_ir(apply32, apply_acc, axis, max_cycles):
+    """Per-shard mixed-precision refinement program: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
-    inner f32 sharded CG, all inside one shard_map program. Both matvecs
-    read ONE shared operand (the f32 view uses the hi plane)."""
+    inner f32 sharded CG. Both matvecs read ONE shared operand (the f32
+    view uses the hi plane). `axis` is the axis (or axes) the VECTORS
+    are sharded over — dots psum over it; the matvecs' own collectives
+    live inside apply32/apply_acc."""
 
-    g = mesh.shape[axis]
-    apply32 = _make_apply(mv32, cols32, axis, comm, g)
-    apply_acc = _make_apply(mv_acc, cols_acc, axis, comm, g)
     inner_cg = _make_local_cg(apply32, axis)
 
     def local_ir(operand, b, max_iters, rel_error, inner_floor):
@@ -214,8 +211,17 @@ def _build_sharded_cg_ir(mv32, mv_acc, cols32, cols_acc, mesh, axis,
         return CGResult(x=x, num_iters=k, rel_residual=rel,
                         converged=rel < eps)
 
+    return local_ir
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_cg_ir(mv32, mv_acc, cols32, cols_acc, mesh, axis,
+                         acc_is_pair, comm, max_cycles):
+    g = mesh.shape[axis]
+    apply32 = _make_apply(mv32, cols32, axis, comm, g)
+    apply_acc = _make_apply(mv_acc, cols_acc, axis, comm, g)
     mapped = shard_map(
-        local_ir,
+        _make_local_ir(apply32, apply_acc, axis, max_cycles),
         mesh=mesh,
         in_specs=(_operand_spec(axis, acc_is_pair),
                   P(axis), P(), P(), P()),

@@ -1,0 +1,300 @@
+"""2-D (SUMMA-style) sharded CG — beyond the reference's 1-D decomposition.
+
+Every reference backend splits A by block-ROWS only (SURVEY.md §2.3), so
+the operand-vector exchange per matvec moves O(N) values per device
+(Allgatherv of p / broadcast from rank 0), independent of device count.
+On a 2-D R×R process grid with A in (N/R, N/R) blocks the exchange is a
+single transpose ppermute of an N/R block plus a psum of an N/R block —
+O(N/R) = O(N/sqrt(G)) per chip per iteration. That asymptotic is what
+makes big meshes (v5p pods) scale; the reference corpus's stress test
+(N=560000 on 64 GPUs) is exactly the regime where 1-D row sharding's
+O(N) exchange dominates.
+
+Layout:
+  * mesh: Mesh(devices[:R*R].reshape(R, R), ('rows', 'cols'))
+  * A: P('rows', 'cols') — chip (i, j) holds block A_ij of (n/R, n/R)
+  * vectors: P('rows') — sharded over rows, REPLICATED over cols, so all
+    vector algebra is local and dots psum over 'rows' only
+  * matvec: chip (i, j) needs p-block j but holds block i — ONE
+    transpose ppermute (i, j) <- (j, i) delivers it; local gemv with the
+    resident Pallas kernels; psum over 'cols' re-replicates y
+  * whole CG loop (and the mixed-precision refinement twin) inside one
+    shard_map program, reusing the 1-D module's local loop builders
+    (lam_tpu/parallel/pcg.py) with apply = the 2-D matvec.
+
+Square grids only (R = isqrt(G)): the transpose exchange needs
+n/R == n/C. Non-square device counts fall back to the 1-D program.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lam_tpu.parallel.pcg import (
+    _make_local_cg,
+    _make_local_ir,
+    shard_map,
+)
+from lam_tpu.solver.cg import CGResult
+from lam_tpu.solver.operators import (
+    MATVEC,
+    LinearOperator,
+    padded_size,
+    split_f64_host,
+)
+
+ROWS, COLS = "rows", "cols"
+AXES = (ROWS, COLS)
+
+
+def make_mesh2d(r=None):
+    """R x R mesh over the first R^2 devices (default: largest square)."""
+    devices = jax.devices()
+    if r is None:
+        r = math.isqrt(len(devices))
+    if r * r > len(devices):
+        raise ValueError(f"need {r * r} devices for a {r}x{r} grid, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[: r * r]).reshape(r, r), AXES)
+
+
+def _transpose_perm(r):
+    # chip (i, j) receives from (j, i); linear index = i * r + j
+    return [(i * r + j, j * r + i) for i in range(r) for j in range(r)]
+
+
+def _make_apply2d(matvec_local, r):
+    perm = _transpose_perm(r)
+
+    def apply(operand, p_blk):
+        # p is P('rows'): chip (i, j) holds block i; the local gemv
+        # against A_ij needs block j -> one transpose exchange
+        pj = jax.lax.ppermute(p_blk, AXES, perm)
+        y = matvec_local(operand, pj)
+        return jax.lax.psum(y, COLS)
+
+    return apply
+
+
+def _operand_spec2d(is_pair):
+    spec = P(ROWS, COLS)
+    return (spec, spec) if is_pair else spec
+
+
+@functools.lru_cache(maxsize=None)
+def _build_2d_cg(matvec_local, mesh, is_pair):
+    r = mesh.shape[ROWS]
+    apply_fn = _make_apply2d(matvec_local, r)
+    mapped = shard_map(
+        _make_local_cg(apply_fn, ROWS),
+        mesh=mesh,
+        in_specs=(_operand_spec2d(is_pair), P(ROWS), P(), P()),
+        out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_2d_cg_ir(mv32, mv_acc, mesh, acc_is_pair, max_cycles):
+    r = mesh.shape[ROWS]
+    apply32 = _make_apply2d(mv32, r)
+    apply_acc = _make_apply2d(mv_acc, r)
+    mapped = shard_map(
+        _make_local_ir(apply32, apply_acc, ROWS, max_cycles),
+        mesh=mesh,
+        in_specs=(_operand_spec2d(acc_is_pair), P(ROWS), P(), P(), P()),
+        out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_2d_matvec(matvec_local, mesh, is_pair):
+    apply_fn = _make_apply2d(matvec_local, mesh.shape[ROWS])
+    mapped = shard_map(apply_fn, mesh=mesh,
+                       in_specs=(_operand_spec2d(is_pair), P(ROWS)),
+                       out_specs=P(ROWS), check_vma=False)
+    return jax.jit(mapped)
+
+
+class Sharded2DOperator(LinearOperator):
+    """Dense SPD matrix in (n/R, n/R) blocks over an R x R mesh."""
+
+    def __init__(self, operand, n, n_padded, vector_dtype, precision,
+                 engine, mesh):
+        from lam_tpu.solver.operators import _MATVEC_DOT
+        super().__init__(_MATVEC_DOT[(precision, "xla")], operand, n,
+                         n_padded, vector_dtype)
+        self.precision = precision
+        self.engine = engine
+        self.mesh = mesh
+        self._mv_local = MATVEC[(precision, engine)]
+        self._b_sharding = NamedSharding(mesh, P(ROWS))
+
+    @staticmethod
+    def block_padded_size(n, mesh, engine):
+        r = mesh.shape[ROWS]
+        if engine == "pallas":
+            from lam_tpu.ops.gemv import TILE_K, TILE_M
+            mult = r * max(TILE_K, TILE_M)
+        else:
+            mult = r
+        return padded_size(n, mult)
+
+    @staticmethod
+    def from_block_fn(block_fn, n, mesh=None, precision="auto",
+                      engine="auto"):
+        """block_fn(row_start, col_start, rows, cols) -> f64 block of the
+        UNPADDED matrix (the 2-D analog of the per-rank MPI-IO read)."""
+        if mesh is None:
+            mesh = make_mesh2d()
+        if precision == "auto":
+            precision = "df64" if jax.default_backend() == "tpu" else "f64"
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if engine == "pallas_symm":
+            engine = "pallas"  # off-diagonal blocks are not symmetric
+        if precision == "f64" and engine == "pallas":
+            engine = "xla"
+
+        n_p = Sharded2DOperator.block_padded_size(n, mesh, engine)
+        a_sharding = NamedSharding(mesh, P(ROWS, COLS))
+
+        def padded_block(r0, c0, h, w):
+            src_h = max(0, min(n - r0, h))
+            src_w = max(0, min(n - c0, w))
+            block = np.zeros((h, w), dtype=np.float64)
+            if src_h > 0 and src_w > 0:
+                block[:src_h, :src_w] = block_fn(r0, c0, src_h, src_w)
+            return block
+
+        def make(transform):
+            def cb(idx):
+                r0 = idx[0].start or 0
+                c0 = idx[1].start or 0
+                h = (idx[0].stop or n_p) - r0
+                w = (idx[1].stop or n_p) - c0
+                return transform(padded_block(r0, c0, h, w))
+
+            return jax.make_array_from_callback((n_p, n_p), a_sharding,
+                                                cb)
+
+        if precision == "f64":
+            operand = make(lambda b: b)
+            vdtype = jnp.float64
+        elif precision == "f32":
+            operand = make(lambda b: b.astype(np.float32))
+            vdtype = jnp.float32
+        elif precision == "df64":
+            pending = {}
+
+            def plane(b, key, idx):
+                if key in pending:
+                    return pending.pop(key)[idx]
+                planes = split_f64_host(b)
+                pending[key] = planes
+                return planes[idx]
+
+            def mk(idx):
+                def cb(slices):
+                    r0 = slices[0].start or 0
+                    c0 = slices[1].start or 0
+                    h = (slices[0].stop or n_p) - r0
+                    w = (slices[1].stop or n_p) - c0
+                    return plane(padded_block(r0, c0, h, w), (r0, c0),
+                                 idx)
+
+                return jax.make_array_from_callback((n_p, n_p),
+                                                    a_sharding, cb)
+
+            operand = (mk(0), mk(1))
+            vdtype = jnp.float64
+        else:
+            raise ValueError(f"unknown precision {precision!r}")
+
+        return Sharded2DOperator(operand, n, n_p, vdtype, precision,
+                                 engine, mesh)
+
+    @staticmethod
+    def from_dense(a, mesh=None, precision="auto", engine="auto"):
+        a = np.asarray(a, dtype=np.float64)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        return Sharded2DOperator.from_block_fn(
+            lambda r0, c0, h, w: a[r0:r0 + h, c0:c0 + w], n, mesh=mesh,
+            precision=precision, engine=engine)
+
+    @staticmethod
+    def from_file(path, mesh=None, precision="auto", engine="auto"):
+        from lam_tpu import io as lio
+        rows, cols = lio.read_header(path)
+        if rows != cols:
+            raise ValueError(f"{path}: matrix must be square "
+                             f"({rows}x{cols})")
+
+        def block(r0, c0, h, w):
+            return lio.read_matrix_rows(path, r0, h)[:, c0:c0 + w]
+
+        return Sharded2DOperator.from_block_fn(
+            block, rows, mesh=mesh, precision=precision, engine=engine)
+
+    # -- solve path ----------------------------------------------------------
+
+    def prepare_b(self, b):
+        b = np.asarray(b, dtype=self.vector_dtype)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, expected "
+                             f"({self.n},)")
+        if self.n_padded != self.n:
+            b = np.pad(b, (0, self.n_padded - self.n))
+        return jax.device_put(b, self._b_sharding)
+
+    def matvec(self, p_padded):
+        fn = _build_2d_matvec(self._mv_local, self.mesh,
+                              self.precision == "df64")
+        return fn(self.operand, p_padded)
+
+    def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
+        del loop_fn
+        solver = _build_2d_cg(self._mv_local, self.mesh,
+                              self.precision == "df64")
+        return solver(self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
+
+    def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
+                  inner_floor):
+        if op32.operand is not self.operand:
+            raise ValueError(
+                "cg_solve_ir requires the f32 operator to be a VIEW of "
+                "the accurate operator (use op_acc.as_f32())")
+        solver = _build_2d_cg_ir(op32._mv_local, self._mv_local,
+                                 self.mesh, self.precision == "df64",
+                                 max_cycles)
+        return solver(self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype),
+                      jnp.asarray(inner_floor, b_padded.dtype))
+
+    def as_f32(self):
+        if self.precision == "f32":
+            return self
+        if self.precision != "df64":
+            raise NotImplementedError(
+                "as_f32 for 2-D f64 operators: rebuild with df64")
+        out = Sharded2DOperator(self.operand, self.n, self.n_padded,
+                                jnp.float32, "f32", self.engine,
+                                self.mesh)
+        out._mv_local = MATVEC[("f32@df64", self.engine)]
+        from lam_tpu.solver.operators import _MATVEC_DOT
+        out._matvec_dot_fn = _MATVEC_DOT[("f32@df64", "xla")]
+        return out

@@ -62,6 +62,20 @@ class ConjugateGradient:
         return self._mesh
 
     def _build_operator(self, row_block_fn, n, full_matrix=None):
+        if self.backend == "sharded2d":
+            import math
+
+            from lam_tpu.parallel.pcg2d import (
+                Sharded2DOperator,
+                make_mesh2d,
+            )
+            if self._mesh is None:
+                r = math.isqrt(self.n_devices or len(jax.devices()))
+                self._mesh = make_mesh2d(r)
+            return Sharded2DOperator.from_block_fn(
+                lambda r0, c0, h, w: row_block_fn(r0, h)[:, c0:c0 + w],
+                n, mesh=self._mesh,
+                precision=self._base_precision(), engine=self.engine)
         if self.backend == "sharded":
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(

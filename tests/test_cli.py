@@ -119,3 +119,11 @@ def test_cli_comm_ring_and_symm_engine(capsys):
                  "--engine", "pallas_symm", "--precision", "ir"]) == 0
     row = capsys.readouterr().out.strip().split(",")
     assert row[0] == "96" and int(row[6]) == 10
+
+
+def test_cli_sharded2d_backend(capsys):
+    from lam_tpu.cli import main
+    assert main(["-s", "96", "-i", "10", "--backend", "sharded2d",
+                 "--devices", "4", "--precision", "f64"]) == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert row[0] == "96" and int(row[6]) == 10

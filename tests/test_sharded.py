@@ -166,3 +166,72 @@ def test_ring_ir_reaches_f64_quality(mesh8):
     x = np.asarray(res.x)
     true_rel = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
     assert true_rel < 1e-9
+
+
+# -- 2-D (SUMMA-style) mesh ---------------------------------------------------
+
+def test_2d_matvec_matches_numpy():
+    from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    mesh = make_mesh2d(2)  # 2x2 grid of the 8 virtual devices
+    a, _ = _spd_system(n=64, seed=101)
+    p = gen.random_rhs(64, seed=4)
+    for precision in ("f64", "df64"):
+        op = Sharded2DOperator.from_dense(a, mesh=mesh,
+                                          precision=precision,
+                                          engine="xla")
+        ap = np.asarray(op.matvec(op.prepare_b(p)))[:64]
+        np.testing.assert_allclose(ap, a @ p, rtol=1e-10, atol=1e-13)
+
+
+def test_2d_cg_matches_oracle():
+    from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    mesh = make_mesh2d(2)
+    a, b = _spd_system(seed=102)
+    op = Sharded2DOperator.from_dense(a, mesh=mesh, precision="f64",
+                                      engine="xla")
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 1000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_2d_ir_reaches_f64_quality():
+    from lam_tpu import cg_solve_ir
+    from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    mesh = make_mesh2d(2)
+    a, b = _spd_system(seed=103)
+    op = Sharded2DOperator.from_dense(a, mesh=mesh, precision="df64",
+                                      engine="xla")
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-9
+
+
+def test_2d_from_file(tmp_path):
+    from lam_tpu import io as lio
+    from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    mesh = make_mesh2d(2)
+    a, b = _spd_system(n=48, seed=104)
+    path = tmp_path / "m2d.bin"
+    lio.write_matrix(path, a)
+    op = Sharded2DOperator.from_file(path, mesh=mesh, precision="f64",
+                                     engine="xla")
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    assert bool(res.converged)
+    x_ref, _, _, _ = oracle_cg(a, b, 1000, 1e-9)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_2d_pallas_interpret():
+    from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    mesh = make_mesh2d(2)
+    a, _ = _spd_system(n=64, seed=105)
+    p = gen.random_rhs(64, seed=5)
+    op = Sharded2DOperator.from_dense(a, mesh=mesh, precision="df64",
+                                      engine="pallas")
+    ap = np.asarray(op.matvec(op.prepare_b(p)))[:64]
+    np.testing.assert_allclose(ap, a @ p, rtol=1e-10, atol=1e-13)
