@@ -27,9 +27,16 @@ import time
 
 import numpy as np
 
-# 1x A100-40GB fp64 anchors (BASELINE.md)
-BASELINES = {10000: 0.261, 20000: 0.866}
-HEADLINE_N = 10000
+# Reference anchors (BASELINE.md): N=10000/20000 are 1x A100-40GB fp64;
+# N=40000 is the 4x A100 NCCL row (8.782 s incl ~7.8 s NCCL init — the
+# smallest reference config that ran this size; see BASELINE.md for the
+# 8-GPU comparison). 40000 is opt-in via LAM_BENCH_SIZES because its
+# 12.8 GB system costs ~7 min of np.load alone on this host.
+BASELINES = {10000: 0.261, 20000: 0.866, 40000: 8.782}
+DEFAULT_SIZES = (10000, 20000)
+SIZES = tuple(int(s) for s in os.environ.get(
+    "LAM_BENCH_SIZES", ",".join(map(str, DEFAULT_SIZES))).split(","))
+HEADLINE_N = SIZES[0]
 TOL = 1e-9
 SEED = 2024
 
@@ -134,7 +141,7 @@ def main():
 
     import lam_tpu  # noqa: F401  (x64 on)
 
-    all_results = {n: _measure(n) for n in sorted(BASELINES)}
+    all_results = {n: _measure(n) for n in sorted(SIZES)}
 
     def best_valid(res):
         valid = {k: v for k, v in res.items()
