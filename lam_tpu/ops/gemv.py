@@ -313,7 +313,13 @@ def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
 def gemv_f32_symm(a, p, *, tb=None):
     """y = A @ p for SYMMETRIC f32 A (n, n), reading only the lower
     triangle (~half the HBM bytes of `gemv_f32`). n % tb == 0 required
-    (operators pad); correctness requires A == A.T (CG's contract)."""
+    (operators pad); correctness requires A == A.T (CG's contract).
+
+    The products stay on the VPU deliberately: an MXU variant (two
+    skinny dot_generals per tile) was measured WORSE on v5e — 0.81 s vs
+    0.49 s for the N=20000 ir solve, needing 642 instead of 365 inner
+    iterations, because the MXU's default-precision f32 matmul is
+    bf16-class and degrades the inner CG's convergence."""
     if tb is None:
         tb = SYMM_TB
     n = a.shape[0]
