@@ -365,6 +365,11 @@ def gemv_f32_symm(a, p, *, tb=None):
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
+        # Mosaic's default scoped-vmem limit is 16 MB; TB=1024 (4 MB
+        # tiles, multi-buffered) needs ~16.4 MB. v5e VMEM is 128 MB —
+        # raise the cap so larger tiles are sweepable.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_use_interpret(),
     )(jnp.asarray(it), jnp.asarray(kt), a, p.reshape(1, n),
       p.reshape(n, 1))
