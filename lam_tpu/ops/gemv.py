@@ -47,6 +47,10 @@ TILE_M = int(_os.environ.get("LAM_TPU_TILE_M", 256))
 TILE_K = int(_os.environ.get("LAM_TPU_TILE_K", 1024))
 _LANES = 128
 
+# Mosaic's default scoped-vmem cap is 16 MB (v5e VMEM is 128 MB); the
+# larger tile shapes need more for multi-buffered pipelining.
+_VMEM_CAP = 64 * 1024 * 1024
+
 
 def _use_interpret():
     # Pallas TPU kernels run compiled on TPU; everywhere else (CPU CI,
@@ -160,6 +164,7 @@ def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K, impl=None):
         out_specs=pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
     )
     if impl == "vpu":
@@ -236,6 +241,7 @@ def gemv_f32_cols(a, p_blk, blk, *, tile_m=TILE_M, tile_k=TILE_K):
         _gemv_f32_cols_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
     )(blk, a, p_blk.reshape(1, nb))
     return out.reshape(m)
@@ -365,11 +371,7 @@ def gemv_f32_symm(a, p, *, tb=None):
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
-        # Mosaic's default scoped-vmem limit is 16 MB; TB=1024 (4 MB
-        # tiles, multi-buffered) needs ~16.4 MB. v5e VMEM is 128 MB —
-        # raise the cap so larger tiles are sweepable.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
     )(jnp.asarray(it), jnp.asarray(kt), a, p.reshape(1, n),
       p.reshape(n, 1))
@@ -481,6 +483,7 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
     yh, yl = pl.pallas_call(
         _df64_cols_kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         out_shape=(
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
@@ -511,6 +514,7 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
     yh, yl = pl.pallas_call(
         _df64_kernel_body,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(
