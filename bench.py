@@ -165,18 +165,23 @@ def main():
     for n, res in all_results.items():
         eng, v = best_valid(res)
         if v is not None:
-            secondary[f"N{n}"] = {
+            entry = {
                 "s": v["s"], "engine": eng, "iters": v["iters"],
-                "vs_A100": round(BASELINES[n] / v["s"], 3),
                 "true_rel": v["true_rel"],
                 "df64_s": res["df64"]["s"],
             }
+            anchor = BASELINES.get(n)
+            if anchor is not None:
+                entry["vs_A100"] = round(anchor / v["s"], 3)
+            secondary[f"N{n}"] = entry
 
+    head_anchor = BASELINES.get(HEADLINE_N)
     print(json.dumps({
         "metric": f"time_to_1e-9_N{HEADLINE_N}_1chip",
         "value": head["s"],
         "unit": "s",
-        "vs_baseline": round(BASELINES[HEADLINE_N] / head["s"], 3),
+        "vs_baseline": (round(head_anchor / head["s"], 3)
+                        if head_anchor else 0.0),
         "engine": engine,
         "iters": head["iters"],
         "true_rel_residual": head["true_rel"],

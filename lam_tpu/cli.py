@@ -13,6 +13,12 @@ Flag surface (getopt `"hvA:b:o:i:e:s:"`, test_CG_CPU_MPI_OMP.cpp:216-280):
 Defaults: io/matrix.bin io/rhs.bin io/sol.bin, -i 10000, -e 1e-9
 (test_CG_CPU_MPI_OMP.cpp:19-23).
 
+Legacy positional form (the three older reference drivers,
+test_CG_CPU_OMP.cpp:17-27):
+  lam-cg [matrix.bin [rhs.bin [sol.bin [max_iters [rel_err]]]]]
+with the positional drivers' defaults (max_iters 1000). Explicit flags
+override positionals.
+
 Default (non-verbose) output is the reference CSV contract consumed by
 TESTS/results/clean.sh:
   N,procs,threads,load_s,avg_gemv_s,avg_iter_s,num_iter,err,total_cg_s
@@ -44,11 +50,15 @@ def build_parser():
     p.add_argument("-b", dest="rhs", metavar="<file>",
                    help="Read right hand side from file")
     p.add_argument("-o", dest="output", metavar="<file>",
-                   default="io/sol.bin", help="Write solution to file")
-    p.add_argument("-i", dest="max_iters", type=int, default=10000,
-                   metavar="<int>", help="Maximum number of iterations")
-    p.add_argument("-e", dest="rel_error", type=float, default=1e-9,
+                   default=None, help="Write solution to file")
+    p.add_argument("-i", dest="max_iters", type=int, default=None,
+                   metavar="<int>", help="Maximum number of iterations "
+                   "(default 10000; 1000 in positional form)")
+    p.add_argument("-e", dest="rel_error", type=float, default=None,
                    metavar="<float>", help="Relative error")
+    p.add_argument("pos", nargs="*", metavar="matrix rhs sol iters err",
+                   help="Legacy positional form "
+                        "(test_CG_CPU_OMP.cpp:17-27)")
     p.add_argument("-s", dest="size", type=int, metavar="<int>",
                    help="Generate matrix of size n x n")
     p.add_argument("-v", dest="verbose", action="store_true",
@@ -75,6 +85,11 @@ def build_parser():
                         "column-stripe compute")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
+    p.add_argument("--init-col", action="store_true",
+                   help="Emit an init-time CSV column after load_s (the "
+                        "nccl_init_s slot of the reference NCCL driver, "
+                        "ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:332-334"
+                        "; here it is XLA compile/warmup seconds)")
     p.add_argument("--checkpoint", metavar="<dir>", default=None,
                    help="Persist solver state every --checkpoint-every "
                         "iterations (resumable with --resume)")
@@ -105,6 +120,28 @@ def main(argv=None):
               "TPU placement config]")
         return 0
 
+    # Legacy positional form (test_CG_CPU_OMP.cpp:17-27): explicit flags
+    # win; unset slots take the positional drivers' defaults (-i 1000).
+    positional = bool(args.pos)
+    if positional:
+        if len(args.pos) > 5:
+            print("Too many positional arguments.", file=sys.stderr)
+            return 1
+        slots = args.pos + [None] * (5 - len(args.pos))
+        args.matrix = args.matrix or slots[0]
+        args.rhs = args.rhs or slots[1]
+        args.output = args.output or slots[2]
+        if args.max_iters is None and slots[3] is not None:
+            args.max_iters = int(slots[3])
+        if args.rel_error is None and slots[4] is not None:
+            args.rel_error = float(slots[4])
+    if args.max_iters is None:
+        args.max_iters = 1000 if positional else 10000
+    if args.rel_error is None:
+        args.rel_error = 1e-9
+    if args.output is None:
+        args.output = "io/sol.bin"
+
     mode_generate = args.size is not None
     mode_load = args.matrix is not None or args.rhs is not None
     if mode_generate and mode_load:
@@ -130,8 +167,12 @@ def main(argv=None):
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
                            engine=args.engine, n_devices=args.devices,
                            comm=args.comm)
+    # the CSV procs column counts devices actually USED
     if cg.backend == "local":
-        n_devices = 1  # the CSV procs column counts devices actually used
+        n_devices = 1
+    elif cg.backend == "sharded2d":
+        import math
+        n_devices = math.isqrt(n_devices) ** 2  # R x R grid uses R^2
 
     vprint("Command line arguments:")
     if mode_generate:
@@ -205,8 +246,10 @@ def main(argv=None):
         print("")
         print("Writing solution to file ...")
     else:
-        # CSV contract (see module docstring)
-        print(f"{cg.n},{n_devices},1,{load_s:g},{avg_gemv:g},"
+        # CSV contract (see module docstring); --init-col inserts the
+        # reference NCCL driver's extra nccl_init_s column after load_s
+        init_col = (f"{t.get('init_s', 0.0):g}," if args.init_col else "")
+        print(f"{cg.n},{n_devices},1,{load_s:g},{init_col}{avg_gemv:g},"
               f"{t['avg_iter_s']:g},{t['num_iters']},"
               f"{t['rel_residual']:g},{t['solve_s']:g}")
 

@@ -37,13 +37,13 @@ def tridiagonal_rows(row_start, num_rows, n, dtype=np.float64):
         except Exception:
             pass
     block = np.zeros((num_rows, n), dtype=dtype)
-    for local in range(num_rows):
-        i = row_start + local
-        block[local, i] = 2
-        if i > 0:
-            block[local, i - 1] = 1
-        if i + 1 < n:
-            block[local, i + 1] = 1
+    local = np.arange(num_rows)
+    i = row_start + local
+    block[local, i] = 2
+    sub = i > 0
+    block[local[sub], i[sub] - 1] = 1
+    sup = i + 1 < n
+    block[local[sup], i[sup] + 1] = 1
     return block
 
 

@@ -87,6 +87,31 @@ def read_matrix_rows(path, row_start, num_rows, dtype=np.float64):
         data.reshape(num_rows, cols).astype(dtype, copy=False))
 
 
+def read_matrix_block(path, row_start, col_start, num_rows, num_cols,
+                      dtype=np.float64):
+    """Read a (num_rows, num_cols) block at (row_start, col_start).
+
+    Column-windowed 2-D analog of `read_matrix_rows` for the 2-D sharded
+    operator: reads only the block's bytes (per-row window via memmap,
+    the same access pattern as the reference's per-rank MPI-IO seeks,
+    ConjugateGradient_CPU_MPI_OMP.hpp:325-363) instead of reading full
+    rows and slicing — full-row reads would amplify I/O by R x on an
+    R x R grid, exactly the pod-scale path this serves.
+    """
+    rows, cols = read_header(path)
+    if row_start + num_rows > rows or col_start + num_cols > cols:
+        raise ValueError(
+            f"block [{row_start}:{row_start + num_rows}, "
+            f"{col_start}:{col_start + num_cols}) out of range for "
+            f"{rows}x{cols} matrix")
+    mm = np.memmap(path, dtype=np.float64, mode="r",
+                   offset=_HEADER.size, shape=(rows, cols))
+    block = np.array(mm[row_start:row_start + num_rows,
+                        col_start:col_start + num_cols])
+    del mm
+    return np.ascontiguousarray(block.astype(dtype, copy=False))
+
+
 def write_matrix(path, array):
     """Write a matrix/vector in the reference binary format.
 

@@ -149,6 +149,9 @@ def gemv_f32(a, p, *, tile_m=TILE_M, tile_k=TILE_K, impl=None):
     as the established default."""
     if impl is None:
         impl = _F32_IMPL
+    if impl not in ("dot", "vpu"):
+        raise ValueError(
+            f"impl={impl!r} (or LAM_TPU_F32_IMPL) must be 'dot' or 'vpu'")
     m, n = a.shape
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(n, tile_k, "cols")
@@ -214,9 +217,13 @@ def gemv_f32_cols(a, p_blk, blk, *, tile_m=TILE_M, tile_k=TILE_K):
     """Partial matvec against one column block of A (f32).
 
     a: (m, n); p_blk: (nb,) with n % nb == 0; blk: int32 scalar/array,
-    the block index in units of nb columns. Returns (m,) f32."""
+    the block index in units of nb columns (0 <= blk < n // nb — an
+    out-of-range index is silently clamped by the TPU DMA engine, so it
+    cannot be checked in the compiled kernel). Returns (m,) f32."""
     m, n = a.shape
     nb = p_blk.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"cols={n} not divisible by block size nb={nb}")
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(nb, tile_k, "cols")
     tiles_per_blk = nb // tile_k
@@ -453,10 +460,14 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
     """Partial float-float matvec against one column block of A.
 
     Column-block twin of `gemv_df64` (same compensated arithmetic), with
-    the block index scalar-prefetched as in `gemv_f32_cols`. p_hi/p_lo
-    are the (nb,) block of the operand vector."""
+    the block index scalar-prefetched as in `gemv_f32_cols` (same
+    0 <= blk < n // nb contract — out-of-range DMA indices clamp
+    silently on TPU). p_hi/p_lo are the (nb,) block of the operand
+    vector."""
     m, n = a_hi.shape
     nb = p_hi.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"cols={n} not divisible by block size nb={nb}")
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(nb, tile_k, "cols")
     tiles_per_blk = nb // tile_k

@@ -244,7 +244,8 @@ class Sharded2DOperator(LinearOperator):
                              f"({rows}x{cols})")
 
         def block(r0, c0, h, w):
-            return lio.read_matrix_rows(path, r0, h)[:, c0:c0 + w]
+            # column-windowed read: only the block's bytes touch disk
+            return lio.read_matrix_block(path, r0, c0, h, w)
 
         return Sharded2DOperator.from_block_fn(
             block, rows, mesh=mesh, precision=precision, engine=engine)

@@ -61,7 +61,8 @@ class ConjugateGradient:
             self._mesh = make_mesh(self.n_devices)
         return self._mesh
 
-    def _build_operator(self, row_block_fn, n, full_matrix=None):
+    def _build_operator(self, row_block_fn, n, full_matrix=None,
+                        block_fn=None):
         if self.backend == "sharded2d":
             import math
 
@@ -72,9 +73,11 @@ class ConjugateGradient:
             if self._mesh is None:
                 r = math.isqrt(self.n_devices or len(jax.devices()))
                 self._mesh = make_mesh2d(r)
+            if block_fn is None:
+                def block_fn(r0, c0, h, w):
+                    return row_block_fn(r0, h)[:, c0:c0 + w]
             return Sharded2DOperator.from_block_fn(
-                lambda r0, c0, h, w: row_block_fn(r0, h)[:, c0:c0 + w],
-                n, mesh=self._mesh,
+                block_fn, n, mesh=self._mesh,
                 precision=self._base_precision(), engine=self.engine)
         if self.backend == "sharded":
             from lam_tpu.parallel.pcg import ShardedDenseOperator
@@ -97,7 +100,9 @@ class ConjugateGradient:
             raise ValueError(f"{filename}: matrix must be square")
         self.n = rows
         self.op = self._build_operator(
-            lambda s, m: lio.read_matrix_rows(filename, s, m), rows)
+            lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
+            block_fn=lambda r0, c0, h, w: lio.read_matrix_block(
+                filename, r0, c0, h, w))
         jax.block_until_ready(self.op.operand)
         self.timings["load_s"] = time.perf_counter() - t0
         return True
@@ -141,8 +146,15 @@ class ConjugateGradient:
             raise RuntimeError("load/generate a system first")
         solver = self._solve_once
         if warmup:
+            # timed as init_s: the TPU-native analog of the reference's
+            # NCCL communicator init (ncclCommInitRank, measured and
+            # printed as the nccl_init_s CSV column,
+            # ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:306-334) is XLA
+            # compilation of the solve program
+            t_init = time.perf_counter()
             w = solver(0, rel_error)
             float(w.rel_residual)  # force full execution (readback)
+            self.timings["init_s"] = time.perf_counter() - t_init
         t0 = time.perf_counter()
         result = solver(max_iters, rel_error)
         # scalar readback: block_until_ready alone can be a no-op on
@@ -179,15 +191,27 @@ class ConjugateGradient:
         """Average matvec wall time — the avg_gemv CSV column. The
         reference times gemv inside its hot loop (CPU_MPI_OMP.hpp:95-120);
         with the whole loop fused on-device we time `repeats` chained
-        matvecs in one device program (no per-call dispatch latency)."""
-        p = self.op.prepare_b(self.rhs)
-        float(self.op.matvec_chain(p, repeats)[0])  # compile + execute
-        t0 = time.perf_counter()
-        out = self.op.matvec_chain(p, repeats)
-        float(out[0])  # scalar readback: see solve() timing note
-        dt = (time.perf_counter() - t0) / repeats
+        matvecs in one device program (no per-call dispatch latency).
+
+        For precision='ir' the HOT matvec is the inner f32 one (~99% of a
+        solve's matvecs are inner-CG iterations; the accurate df64 matvec
+        runs only once per refinement cycle), so that is what the CSV
+        column times — avg_gemv_s x num_iters then tracks total_cg_s.
+        The accurate matvec is reported separately as avg_gemv_acc_s."""
+        dt = self._time_matvec(self.op, repeats)
+        if self.precision == "ir":
+            self.timings["avg_gemv_acc_s"] = dt
+            dt = self._time_matvec(self.op.as_f32(), repeats)
         self.timings["avg_gemv_s"] = dt
         return dt
+
+    def _time_matvec(self, op, repeats):
+        p = op.prepare_b(self.rhs)  # prepare_b casts to op's vector dtype
+        float(op.matvec_chain(p, repeats)[0])  # compile + execute
+        t0 = time.perf_counter()
+        out = op.matvec_chain(p, repeats)
+        float(out[0])  # scalar readback: see solve() timing note
+        return (time.perf_counter() - t0) / repeats
 
     @property
     def x(self):

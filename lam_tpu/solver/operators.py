@@ -44,7 +44,7 @@ def padded_size(n, multiple=None):
 def _verifies_symmetric(a, tol=1e-12):
     """Whole-matrix symmetry check via two random matvecs: A v vs A^T v.
 
-    ||Av - A^T v|| <= tol * ||A||_F * ||v|| catches ANY asymmetry
+    ||Av - A^T v|| <= tol * (||Av|| + ||A^T v||) catches ANY asymmetry
     (including a single corrupted entry) with probability 1 over the
     random v — unlike entry sampling, which almost surely misses sparse
     corruption. Cost: two streaming passes over A on the host, once per

@@ -127,3 +127,48 @@ def test_cli_sharded2d_backend(capsys):
                  "--devices", "4", "--precision", "f64"]) == 0
     row = capsys.readouterr().out.strip().split(",")
     assert row[0] == "96" and int(row[6]) == 10
+
+
+def test_cli_sharded2d_procs_column_counts_used_devices(capsys):
+    # 8 visible devices -> a 2x2 grid uses 4; the procs column must say 4
+    # (reference CSV legend: procs = ranks that actually computed,
+    # test_CG_CPU_MPI_OMP.cpp:201-204)
+    from lam_tpu.cli import main
+    assert main(["-s", "96", "-i", "5", "--backend", "sharded2d",
+                 "--devices", "8", "--precision", "f64"]) == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert row[1] == "4"
+
+
+def test_cli_positional_form(tmp_path, capsys):
+    """Legacy positional drivers: matrix rhs sol iters err
+    (test_CG_CPU_OMP.cpp:17-27, defaults -i 1000)."""
+    a = gen.random_spd_matrix(64, seed=3)
+    b = gen.random_rhs(64, seed=13)
+    m, r, s = (str(tmp_path / f) for f in ("m.bin", "r.bin", "s.bin"))
+    lio.write_matrix(m, a)
+    lio.write_matrix(r, b)
+    rc = cli.main([m, r, s, "500", "1e-7"])
+    assert rc == 0
+    fields = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert int(fields[0]) == 64
+    assert float(fields[7]) < 1e-7
+    x = lio.read_vector(s)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
+    # iters slot: a 2-iteration cap must stop the solve at 2
+    rc = cli.main([m, r, s, "2"])
+    assert rc == 0
+    fields = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert int(fields[6]) == 2
+
+
+def test_cli_init_col(capsys, tmp_path):
+    """--init-col inserts the nccl_init_s slot after load_s
+    (ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:332-334)."""
+    rc = cli.main(["-s", "100", "-i", "5", "--init-col",
+                   "-o", str(tmp_path / "s.bin")])
+    assert rc == 0
+    fields = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert len(fields) == 10          # one extra column
+    assert float(fields[4]) >= 0      # init_s = warmup/compile seconds
+    assert int(fields[7]) == 5        # num_iter shifted right by one

@@ -28,6 +28,19 @@ def test_ones_rhs():
     np.testing.assert_array_equal(gen.ones_rhs(5), np.ones(5))
 
 
+def test_tridiagonal_numpy_fallback_is_vectorized_and_correct():
+    # dtype != f64 bypasses the native builder, exercising the numpy
+    # path; must match the reference pattern including the block edges
+    full = gen.tridiagonal_matrix(9)
+    blk = gen.tridiagonal_rows(2, 5, 9, dtype=np.float32)
+    np.testing.assert_array_equal(blk, full[2:7].astype(np.float32))
+    # first/last rows (no sub-/super-diagonal wraparound)
+    first = gen.tridiagonal_rows(0, 1, 4, dtype=np.float32)
+    np.testing.assert_array_equal(first, [[2, 1, 0, 0]])
+    last = gen.tridiagonal_rows(3, 1, 4, dtype=np.float32)
+    np.testing.assert_array_equal(last, [[0, 0, 1, 2]])
+
+
 def test_random_spd_is_spd_with_reference_spectrum():
     n = 64
     a = gen.random_spd_matrix(n, seed=3)

@@ -59,3 +59,19 @@ def test_row_block_read(tmp_path):
     np.testing.assert_array_equal(blk, a[5:12])
     with pytest.raises(ValueError):
         lio.read_matrix_rows(path, 10, 7)
+
+
+def test_column_windowed_block_read(tmp_path):
+    """2-D shard loads read only their block (no full-row R x I/O
+    amplification) — the MPI-IO per-rank-window analog."""
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((12, 10))
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    blk = lio.read_matrix_block(path, 3, 4, 5, 6)
+    np.testing.assert_array_equal(blk, a[3:8, 4:10])
+    assert blk.flags["C_CONTIGUOUS"]
+    with pytest.raises(ValueError):
+        lio.read_matrix_block(path, 3, 6, 5, 6)  # cols out of range
+    with pytest.raises(ValueError):
+        lio.read_matrix_block(path, 9, 0, 5, 6)  # rows out of range

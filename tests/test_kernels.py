@@ -121,3 +121,22 @@ def test_symmetry_check_and_engine_guard():
     with pytest.raises(ValueError, match="symmetric"):
         DenseOperator.from_dense(m, precision="f32",
                                  engine="pallas_symm")
+
+
+def test_gemv_f32_rejects_bad_impl():
+    a, p = _padded_random(128, 256, 9)
+    with pytest.raises(ValueError, match="impl"):
+        gemv_f32(jnp.asarray(a, jnp.float32), jnp.asarray(p, jnp.float32),
+                 impl="vpU")
+
+
+def test_gemv_cols_reject_indivisible_block():
+    from lam_tpu.ops.gemv import gemv_df64_cols, gemv_f32_cols
+    a, p = _padded_random(128, 384, 10)
+    a32 = jnp.asarray(a, jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        gemv_f32_cols(a32, jnp.asarray(p[:256], jnp.float32), 0)
+    hi, lo = split_f64(jnp.asarray(a))
+    ph, pl_ = split_f64(jnp.asarray(p[:256]))
+    with pytest.raises(ValueError, match="divisible"):
+        gemv_df64_cols(hi, lo, ph, pl_, 0)
