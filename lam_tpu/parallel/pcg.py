@@ -165,6 +165,68 @@ def _build_sharded_cg(matvec_local, matvec_cols, mesh, axis,
     return jax.jit(mapped)
 
 
+def _make_local_pcg(apply_fn, axis):
+    """Per-shard Jacobi-preconditioned CG loop body (the sharded twin of
+    lam_tpu/solver/cg.py:_pcg_loop). inv_diag arrives as the LOCAL
+    row-block — preconditioning is elementwise, so it needs no
+    communication at all; only the dots psum."""
+
+    def local_loop(operand, b, inv_diag, max_iters, rel_error):
+        def pdot(u, v):
+            return jax.lax.psum(jnp.vdot(u, v), axis)
+
+        dtype = b.dtype
+        eps = jnp.asarray(rel_error, dtype)
+        bb = pdot(b, b)
+        x0 = jnp.zeros_like(b)
+        z0 = inv_diag * b
+
+        def cond(carry):
+            _, _, _, _, rr, k = carry
+            return jnp.logical_and(k < max_iters,
+                                   jnp.sqrt(rr / bb) >= eps)
+
+        def body(carry):
+            x, r, p, rz, rr, k = carry
+            ap = apply_fn(operand, p)
+            alpha = rz / pdot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = inv_diag * r
+            rz_new = pdot(r, z)
+            rr_new = pdot(r, r)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (x, r, p, rz_new, rr_new, k + 1)
+
+        init = (x0, b, z0, pdot(b, z0), bb, jnp.int32(0))
+        x, _, _, _, rr, k = jax.lax.while_loop(cond, body, init)
+        rel = jnp.sqrt(rr / bb)
+        converged = rel < eps
+        num_iters = jnp.where(converged, k, max_iters).astype(jnp.int32)
+        return CGResult(x=x, num_iters=num_iters, rel_residual=rel,
+                        converged=converged)
+
+    return local_loop
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_pcg(matvec_local, matvec_cols, mesh, axis,
+                       operand_is_pair, comm):
+    g = mesh.shape[axis]
+    apply_fn = _make_apply(matvec_local, matvec_cols, axis, comm, g)
+    mapped = shard_map(
+        _make_local_pcg(apply_fn, axis),
+        mesh=mesh,
+        in_specs=(_operand_spec(axis, operand_is_pair), P(axis), P(axis),
+                  P(), P()),
+        out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def _make_local_ir(apply32, apply_acc, axis, max_cycles):
     """Per-shard mixed-precision refinement program: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
@@ -291,6 +353,10 @@ class ShardedDenseOperator(LinearOperator):
         self._mv_local = MATVEC[key]
         self._mv_cols = MATVEC_COLS[key]
         self._b_sharding = NamedSharding(mesh, P(axis))
+        # block matvec (multi-RHS) = matmul on the same sharded operand;
+        # the XLA variant handles (n, k) blocks under GSPMD for every
+        # precision's storage layout
+        self._mv_block = MATVEC[(precision, "xla")]
 
     # -- construction ------------------------------------------------------
 
@@ -447,6 +513,52 @@ class ShardedDenseOperator(LinearOperator):
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
+
+    def prepare_b_block(self, b_block):
+        b = np.asarray(b_block, dtype=self.vector_dtype)
+        if b.ndim != 2 or b.shape[0] != self.n:
+            raise ValueError(f"rhs block must be ({self.n}, k), "
+                             f"got {b.shape}")
+        if self.n_padded != self.n:
+            b = np.pad(b, ((0, self.n_padded - self.n), (0, 0)))
+        return jax.device_put(
+            b, NamedSharding(self.mesh, P(self.axis, None)))
+
+    def diagonal(self):
+        """Shard-local diagonal extraction: shard i holds rows
+        [i*m, (i+1)*m) and ALL columns, so its piece of diag(A) is the
+        diagonal of local_block[:, i*m:(i+1)*m] — zero communication."""
+        m = self.n_padded // self.mesh.shape[self.axis]
+        axis = self.axis
+        is_pair = self.precision == "df64"
+
+        def local_diag(operand):
+            i = jax.lax.axis_index(axis)
+
+            def diag_of(a):
+                blk = jax.lax.dynamic_slice_in_dim(a, i * m, m, axis=1)
+                return jnp.diagonal(blk)
+
+            if is_pair:
+                hi, lo = operand
+                return (diag_of(hi).astype(jnp.float64)
+                        + diag_of(lo).astype(jnp.float64))
+            return diag_of(operand).astype(self.vector_dtype)
+
+        mapped = shard_map(
+            local_diag, mesh=self.mesh,
+            in_specs=(_operand_spec(axis, is_pair),),
+            out_specs=P(axis), check_vma=False)
+        return jax.jit(mapped)(self.operand)
+
+    def run_pcg(self, b_padded, max_iters, rel_error):
+        d = self.diagonal()
+        inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+        solver = _build_sharded_pcg(self._mv_local, self._mv_cols,
+                                    self.mesh, self.axis,
+                                    self.precision == "df64", self.comm)
+        return solver(self.operand, b_padded, inv_d, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
 
     def as_f32(self):
         """f32-view operator SHARING this operator's sharded buffers

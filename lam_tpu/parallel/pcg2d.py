@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lam_tpu.parallel.pcg import (
     _make_local_cg,
     _make_local_ir,
+    _make_local_pcg,
     shard_map,
 )
 from lam_tpu.solver.cg import CGResult
@@ -119,6 +120,21 @@ def _build_2d_cg_ir(mv32, mv_acc, mesh, acc_is_pair, max_cycles):
 
 
 @functools.lru_cache(maxsize=None)
+def _build_2d_pcg(matvec_local, mesh, is_pair):
+    r = mesh.shape[ROWS]
+    apply_fn = _make_apply2d(matvec_local, r)
+    mapped = shard_map(
+        _make_local_pcg(apply_fn, ROWS),
+        mesh=mesh,
+        in_specs=(_operand_spec2d(is_pair), P(ROWS), P(ROWS), P(), P()),
+        out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
 def _build_2d_matvec(matvec_local, mesh, is_pair):
     apply_fn = _make_apply2d(matvec_local, mesh.shape[ROWS])
     mapped = shard_map(apply_fn, mesh=mesh,
@@ -140,6 +156,8 @@ class Sharded2DOperator(LinearOperator):
         self.mesh = mesh
         self._mv_local = MATVEC[(precision, engine)]
         self._b_sharding = NamedSharding(mesh, P(ROWS))
+        # multi-RHS block matvec under GSPMD (see 1-D operator note)
+        self._mv_block = MATVEC[(precision, "xla")]
 
     @staticmethod
     def block_padded_size(n, mesh, engine):
@@ -265,6 +283,52 @@ class Sharded2DOperator(LinearOperator):
         fn = _build_2d_matvec(self._mv_local, self.mesh,
                               self.precision == "df64")
         return fn(self.operand, p_padded)
+
+    def prepare_b_block(self, b_block):
+        b = np.asarray(b_block, dtype=self.vector_dtype)
+        if b.ndim != 2 or b.shape[0] != self.n:
+            raise ValueError(f"rhs block must be ({self.n}, k), "
+                             f"got {b.shape}")
+        if self.n_padded != self.n:
+            b = np.pad(b, ((0, self.n_padded - self.n), (0, 0)))
+        return jax.device_put(
+            b, NamedSharding(self.mesh, P(ROWS, None)))
+
+    def diagonal(self):
+        """Shard-local diagonal: chip (i, j) holds block A_ij, so only
+        the diagonal chips (i == j) contribute; a psum over COLS
+        re-replicates each row-shard's piece across its grid row."""
+        is_pair = self.precision == "df64"
+        vdtype = self.vector_dtype
+
+        def local_diag(operand):
+            i = jax.lax.axis_index(ROWS)
+            j = jax.lax.axis_index(COLS)
+
+            def diag_of(a):
+                if is_pair:
+                    hi, lo = a
+                    d = (jnp.diagonal(hi).astype(jnp.float64)
+                         + jnp.diagonal(lo).astype(jnp.float64))
+                else:
+                    d = jnp.diagonal(a).astype(vdtype)
+                return jnp.where(i == j, d, jnp.zeros_like(d))
+
+            return jax.lax.psum(diag_of(operand), COLS)
+
+        mapped = shard_map(
+            local_diag, mesh=self.mesh,
+            in_specs=(_operand_spec2d(is_pair),),
+            out_specs=P(ROWS), check_vma=False)
+        return jax.jit(mapped)(self.operand)
+
+    def run_pcg(self, b_padded, max_iters, rel_error):
+        d = self.diagonal()
+        inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+        solver = _build_2d_pcg(self._mv_local, self.mesh,
+                               self.precision == "df64")
+        return solver(self.operand, b_padded, inv_d, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         del loop_fn
