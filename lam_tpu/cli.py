@@ -83,6 +83,27 @@ def build_parser():
                    help="Sharded matvec communication: all_gather of p, "
                         "or a ppermute ring overlapping transfer with "
                         "column-stripe compute")
+    p.add_argument("--coordinator", metavar="<host:port>", default=None,
+                   help="Multi-process mode: coordinator address for "
+                        "jax.distributed.initialize (the srun/mpirun "
+                        "analog of the reference's MPI+NCCL bootstrap, "
+                        "ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:309-327"
+                        "). Launch one lam-cg per process/host.")
+    p.add_argument("--num-processes", type=int, default=None,
+                   metavar="<int>", help="Total process count "
+                   "(multi-process mode)")
+    p.add_argument("--process-id", type=int, default=None,
+                   metavar="<int>", help="This process's rank "
+                   "(multi-process mode)")
+    p.add_argument("--local-devices", type=int, default=None,
+                   metavar="<int>",
+                   help="Virtual CPU devices per process (simulation of "
+                        "a multi-host mesh without TPU pods; sets "
+                        "xla_force_host_platform_device_count)")
+    p.add_argument("--platform", default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="Force the JAX platform (e.g. cpu for the "
+                        "virtual-mesh simulation)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",
@@ -151,17 +172,40 @@ def main(argv=None):
         # reference defaults to file mode paths when nothing is given
         mode_load = True
 
+    import os
     import time
+
+    if args.local_devices:
+        # effective only if the backend client is not yet created (true
+        # for a fresh `python -m lam_tpu.cli` process); our count must
+        # win over any inherited flag
+        import re
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                       "", os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count="
+            f"{args.local_devices}")
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        from lam_tpu.parallel.mesh import distributed_init
+        distributed_init(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+
     from lam_tpu.solver.api import ConjugateGradient
 
+    # rank-0-only output, like the reference's PRINT_RANK0 macros
+    # (ConjugateGradient_CPU_MPI_OMP.hpp:11-12)
+    rank0 = jax.process_index() == 0
     verbose = args.verbose
     n_devices = args.devices or len(jax.devices())
 
     def vprint(*a):
-        if verbose:
+        if verbose and rank0:
             print(*a)
 
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
@@ -233,7 +277,9 @@ def main(argv=None):
                                  warmup=not args.no_warmup)
     avg_gemv = cg.measure_gemv()
     t = cg.timings
-    if verbose:
+    if not rank0:
+        pass  # collectives above ran on every process; rank 0 reports
+    elif verbose:
         if converged:
             print(f"Converged in {t['num_iters']} iterations, "
                   f"relative error is {t['rel_residual']:e}")

@@ -22,13 +22,31 @@ from jax.sharding import Mesh
 ROWS_AXIS = "rows"
 
 
-def distributed_init(**kwargs):
-    """Multi-host bootstrap (the jax.distributed analog of MPI_Init +
-    ncclCommInitRank). Safe to call when already initialized."""
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Multi-process bootstrap: the jax.distributed analog of the
+    reference's MPI_Init + NCCL unique-id broadcast + ncclCommInitRank
+    (ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:309-327) and its
+    hostname-hash device binding (..._MPI.cu:444-456).
+
+    With explicit arguments (the CLI's --coordinator/--num-processes/
+    --process-id) this MUST succeed — errors propagate, exactly like a
+    failed ncclCommInitRank would abort the reference. Called with no
+    arguments it is the auto-detect form (TPU pod environments) and
+    'already initialized' is tolerated so library users can call it
+    idempotently. After it returns, `jax.devices()` is the GLOBAL device
+    list and the same mesh program runs unchanged across processes."""
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        if coordinator_address is not None:
+            raise
+        # auto-detect form: single-process or already initialized
 
 
 def make_mesh(n_devices=None, axis_name=ROWS_AXIS):

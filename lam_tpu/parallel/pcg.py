@@ -476,7 +476,12 @@ class ShardedDenseOperator(LinearOperator):
             raise ValueError(f"rhs has shape {b.shape}, expected ({self.n},)")
         if self.n_padded != self.n:
             b = np.pad(b, (0, self.n_padded - self.n))
-        return jax.device_put(b, self._b_sharding)
+        # callback placement: works identically in single- and
+        # multi-process runs (only ADDRESSABLE shards are materialized;
+        # a plain device_put of host data cannot target a sharding that
+        # spans other processes' devices)
+        return jax.make_array_from_callback(
+            b.shape, self._b_sharding, lambda idx: b[idx])
 
     def matvec(self, p_padded):
         fn = _build_sharded_matvec(self._mv_local, self._mv_cols,
@@ -521,8 +526,9 @@ class ShardedDenseOperator(LinearOperator):
                              f"got {b.shape}")
         if self.n_padded != self.n:
             b = np.pad(b, ((0, self.n_padded - self.n), (0, 0)))
-        return jax.device_put(
-            b, NamedSharding(self.mesh, P(self.axis, None)))
+        return jax.make_array_from_callback(
+            b.shape, NamedSharding(self.mesh, P(self.axis, None)),
+            lambda idx: b[idx])
 
     def diagonal(self):
         """Shard-local diagonal extraction: shard i holds rows

@@ -277,7 +277,9 @@ class Sharded2DOperator(LinearOperator):
                              f"({self.n},)")
         if self.n_padded != self.n:
             b = np.pad(b, (0, self.n_padded - self.n))
-        return jax.device_put(b, self._b_sharding)
+        # callback placement: multi-process-safe (see 1-D operator note)
+        return jax.make_array_from_callback(
+            b.shape, self._b_sharding, lambda idx: b[idx])
 
     def matvec(self, p_padded):
         fn = _build_2d_matvec(self._mv_local, self.mesh,
@@ -291,8 +293,9 @@ class Sharded2DOperator(LinearOperator):
                              f"got {b.shape}")
         if self.n_padded != self.n:
             b = np.pad(b, ((0, self.n_padded - self.n), (0, 0)))
-        return jax.device_put(
-            b, NamedSharding(self.mesh, P(ROWS, None)))
+        return jax.make_array_from_callback(
+            b.shape, NamedSharding(self.mesh, P(ROWS, None)),
+            lambda idx: b[idx])
 
     def diagonal(self):
         """Shard-local diagonal: chip (i, j) holds block A_ij, so only

@@ -179,10 +179,16 @@ class ConjugateGradient:
     def save_result_to_file(self, filename):
         """Writes the SOLUTION with the full row count — deliberately
         fixing the reference bugs of writing the rhs and rank-0's local
-        row count (ConjugateGradient_CPU_MPI_OMP.hpp:436-439, SURVEY §8.3)."""
+        row count (ConjugateGradient_CPU_MPI_OMP.hpp:436-439, SURVEY §8.3).
+
+        Multi-process: every process participates in the gather (it is a
+        collective), process 0 writes — the reference's rank-0-only save
+        (CPU_MPI_OMP.hpp:427) without its bugs."""
         if self.result is None:
             raise RuntimeError("solve first")
-        lio.write_matrix(filename, np.asarray(self.result.x))
+        x = _host_array(self.result.x)
+        if jax.process_index() == 0:
+            lio.write_matrix(filename, x)
         return True
 
     # -- extras ---------------------------------------------------------------
@@ -206,13 +212,30 @@ class ConjugateGradient:
         return dt
 
     def _time_matvec(self, op, repeats):
+        # the readback scalar is a vdot (replicated across processes and
+        # shards) so it is readable in multi-process runs, where an
+        # element of a row-sharded vector may live on another host
+        def run():
+            out = op.matvec_chain(p, repeats)
+            return float(jnp.vdot(out, out))  # forces full execution
+
         p = op.prepare_b(self.rhs)  # prepare_b casts to op's vector dtype
-        float(op.matvec_chain(p, repeats)[0])  # compile + execute
+        run()  # compile + execute
         t0 = time.perf_counter()
-        out = op.matvec_chain(p, repeats)
-        float(out[0])  # scalar readback: see solve() timing note
+        run()
         return (time.perf_counter() - t0) / repeats
 
     @property
     def x(self):
-        return None if self.result is None else np.asarray(self.result.x)
+        return None if self.result is None else _host_array(self.result.x)
+
+
+def _host_array(arr):
+    """Device array -> host numpy, gathering across processes when the
+    array's shards live on other hosts (np.asarray would raise on a
+    non-fully-addressable jax.Array)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr,
+                                                            tiled=True))
+    return np.asarray(arr)

@@ -1,0 +1,83 @@
+"""Multi-process CG worker — one per simulated 'node'.
+
+Used by __graft_entry__.dryrun_multichip's multi-process leg and by
+tests/test_multiprocess.py: bootstraps jax.distributed against a local
+coordinator (the rebuild's answer to the reference's MPI_Init + NCCL
+unique-id broadcast, ConjugateGradient_MultiGPUS_CUDA_NCCL.cu:309-327),
+builds the GLOBAL device mesh, and runs converged sharded CG solves
+(gather AND ring comm) with per-process shard construction. Every
+process verifies the TRUE residual host-side after a cross-process
+gather of the solution; rank 0 prints one "MP_OK ..." line per comm
+strategy for the caller to check.
+
+Launch one worker per process:
+    python scripts/mp_worker.py --coordinator 127.0.0.1:PORT \
+        --num-processes 2 --process-id I --local-devices 4 [-n 512]
+"""
+
+import os
+import re
+import sys
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, required=True)
+    ap.add_argument("-n", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    # our per-process device count must win over any inherited flag
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", ""))
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count="
+        f"{args.local_devices}")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+
+    import lam_tpu  # noqa: F401  (enables x64)
+    jax.config.update("jax_platforms", "cpu")
+
+    from lam_tpu.parallel.mesh import distributed_init, make_mesh
+    distributed_init(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
+    assert jax.process_count() == args.num_processes
+    assert len(jax.local_devices()) == args.local_devices
+
+    import numpy as np
+
+    from lam_tpu import cg_solve
+    from lam_tpu import generate as gen
+    from lam_tpu.parallel.pcg import ShardedDenseOperator
+    from lam_tpu.solver.api import _host_array
+
+    n = args.n
+    a, b = gen.random_spd_system(n, seed=2024)
+    bnorm = np.linalg.norm(b)
+    mesh = make_mesh()  # ALL global devices, across processes
+
+    for comm in ("gather", "ring"):
+        op = ShardedDenseOperator.from_dense(a, mesh=mesh,
+                                             precision="f64", comm=comm)
+        res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+        x = _host_array(res.x)          # cross-process allgather
+        true_rel = float(np.linalg.norm(b - a @ x) / bnorm)
+        assert bool(res.converged), f"{comm}: did not converge"
+        assert true_rel < 1e-8, f"{comm}: true residual {true_rel}"
+        if jax.process_index() == 0:
+            print(f"MP_OK comm={comm} procs={args.num_processes} "
+                  f"devices={mesh.devices.size} "
+                  f"iters={int(res.num_iters)} true_rel={true_rel:.3e}",
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
