@@ -390,7 +390,7 @@ def gemv_f32_symm(a, p, *, tb=None):
 # ---------------------------------------------------------------------------
 
 def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
-                      acc_s, acc_c):
+                      acc_s, acc_c, *, comp="full"):
     """Grid (rows, cols): per step, fold a (TM, TK) tile of exact products
     into 128 compensated lane-accumulators per row; on the last K step,
     tree-reduce the lanes (compensated) and emit (y_hi, y_lo).
@@ -400,7 +400,23 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
     was measured on v5e Mosaic and is NOT contracted there: a full
     N=20000 solve converged by recurrence but its TRUE residual degraded
     to 2.3e-7 (vs 9.8e-10 with Dekker), i.e. the error term silently
-    evaluated to 0 — so the shortcut is not offered."""
+    evaluated to 0 — so the shortcut is not offered.
+
+    comp selects the compensation budget (hardware-validated by full
+    N=20000 solves with host-checked f64 true residuals, docs/REPORT.md):
+      'nolow' (default) — drop the al*plo cross term of the low-order
+                product sum (~2^-48-relative per product, sqrt(N)*2^-48
+                ~ 1e-12 in the sum: below the target's noise floor).
+                Every product stays exact, every add compensated.
+                Measured: 2.297 s vs full's 2.482 s at N=20000, true
+                residual 9.794e-10 for BOTH, same 359 iterations.
+      'full'  — also accumulate al*plo (the strict every-term budget).
+    A third budget ('fast': Kahan fold via fast_two_sum, 3 fewer VPU
+    ops/element) was tried and REJECTED on hardware evidence: the
+    fast_two_sum |s| >= |term| precondition fails on early slabs, and a
+    full N=20000 solve converged by recurrence with a TRUE residual of
+    2.2e-7 — the same silent-degradation signature as the FMA trap
+    above. Knuth two_sum in the fold is load-bearing."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -416,7 +432,10 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
 
     # Exact product: a*p = t_hi + t_lo with a = ah+al, p = ph+plo.
     t_hi, t_err = two_prod(ah, ph)
-    t_lo = t_err + (ah * plo + al * ph + al * plo)
+    cross = ah * plo + al * ph
+    if comp == "full":
+        cross = cross + al * plo
+    t_lo = t_err + cross
 
     # Fold TK columns into the 128 lane accumulators, compensating every
     # add: (s, c) += slab  =>  s, e = two_sum(s, slab); c += e + slab_lo.
@@ -447,16 +466,28 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
         yl_ref[:] = lo
 
 
+_DF64_COMP = _os.environ.get("LAM_TPU_DF64_COMP", "nolow")
+_DF64_COMPS = ("full", "nolow")
+
+
+def _resolve_comp(comp):
+    comp = comp or _DF64_COMP
+    if comp not in _DF64_COMPS:
+        raise ValueError(f"comp={comp!r} (or LAM_TPU_DF64_COMP) must be "
+                         f"one of {_DF64_COMPS}")
+    return comp
+
+
 def _df64_cols_kernel(blk_ref, ah_ref, al_ref, ph_ref, pl_ref, yh_ref,
-                      yl_ref, acc_s, acc_c):
+                      yl_ref, acc_s, acc_c, *, comp):
     del blk_ref  # consumed by the index_maps
     _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
-                      acc_s, acc_c)
+                      acc_s, acc_c, comp=comp)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "comp"))
 def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
-                   tile_k=TILE_K):
+                   tile_k=TILE_K, comp=None):
     """Partial float-float matvec against one column block of A.
 
     Column-block twin of `gemv_df64` (same compensated arithmetic), with
@@ -464,6 +495,7 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
     0 <= blk < n // nb contract — out-of-range DMA indices clamp
     silently on TPU). p_hi/p_lo are the (nb,) block of the operand
     vector."""
+    comp = _resolve_comp(comp)
     m, n = a_hi.shape
     nb = p_hi.shape[0]
     if n % nb != 0:
@@ -492,7 +524,7 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
         ],
     )
     yh, yl = pl.pallas_call(
-        _df64_cols_kernel,
+        functools.partial(_df64_cols_kernel, comp=comp),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         out_shape=(
@@ -504,14 +536,18 @@ def gemv_df64_cols(a_hi, a_lo, p_hi, p_lo, blk, *, tile_m=TILE_M,
     return yh.reshape(m), yl.reshape(m)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k"))
-def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "comp"))
+def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
+              comp=None):
     """(y_hi, y_lo) = A @ p in float-float; all inputs f32, n % tiles == 0.
 
     A = a_hi + a_lo (two planes), p = p_hi + p_lo. Result is the
     correctly-rounded-to-~2^-48 product — the TPU answer to the
     reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
+    comp: compensation budget (see _df64_kernel_body; default from
+    LAM_TPU_DF64_COMP, 'full').
     """
+    comp = _resolve_comp(comp)
     m, n = a_hi.shape
     tile_m = _fit_tile(m, tile_m, "rows")
     tile_k = _fit_tile(n, tile_k, "cols")
@@ -523,7 +559,7 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K):
     out_spec = pl.BlockSpec((tile_m, 1), lambda i, k: (i, k * 0),
                             memory_space=pltpu.VMEM)
     yh, yl = pl.pallas_call(
-        _df64_kernel_body,
+        functools.partial(_df64_kernel_body, comp=comp),
         grid=grid,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],

@@ -109,6 +109,32 @@ def main():
           f"TRUE {true_s:.2e}")
     assert bool(sres.converged) and true_s < 5e-9
 
+    # 8. df64 compensation budgets: the default 'nolow' (drops the
+    # 2^-48-order al*plo term) must stay exactly-rounded-class on REAL
+    # Mosaic, where the CPU suite cannot see compensation bugs (excess
+    # precision). (A Kahan-fold 'fast' budget was rejected here: solve
+    # true residual degraded to 2.2e-7, scripts/df64_tune.py 2026-08-16.)
+    rng = np.random.default_rng(1)
+    a8 = rng.uniform(-1, 1, (1024, 2048))
+    p8 = rng.uniform(-1, 1, 2048)
+    a8h, a8l = split_f64(a8)
+    p8h, p8l = split_f64(p8)
+    ref8 = a8 @ p8
+    for comp in ("full", "nolow"):
+        yh, yl = gemv_df64(a8h, a8l, p8h, p8l, comp=comp)
+        y8 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        e8 = np.linalg.norm(y8 - ref8) / np.linalg.norm(ref8)
+        print(f"df64 gemv comp={comp}: rel L2 error {e8:.2e}")
+        assert e8 < 1e-13, comp
+
+    # 9. Jacobi-PCG through the sharded program on the real backend
+    psres = sop.run_pcg(sop.prepare_b(b), 5000, 1e-9)
+    x_p = np.asarray(psres.x)[:n]
+    true_p = np.linalg.norm(b - a @ x_p) / np.linalg.norm(b)
+    print(f"sharded jacobi-PCG solve: {int(psres.num_iters)} iters, "
+          f"TRUE {true_p:.2e}")
+    assert bool(psres.converged) and true_p < 5e-9
+
     print("TPU smoke: ALL PASS")
     return 0
 

@@ -140,3 +140,29 @@ def test_gemv_cols_reject_indivisible_block():
     ph, pl_ = split_f64(jnp.asarray(p[:256]))
     with pytest.raises(ValueError, match="divisible"):
         gemv_df64_cols(hi, lo, ph, pl_, 0)
+
+
+def test_gemv_df64_comp_variants():
+    """All compensation budgets run and stay (at least) f32-accurate in
+    interpret mode; XLA:CPU's excess precision disables real
+    compensation here, so the exactly-rounded (1e-13) accuracy of every
+    budget is checked on the real chip by scripts/tpu_smoke.py §8."""
+    from lam_tpu.ops.gemv import gemv_df64, gemv_df64_cols
+    a, p = _padded_random(256, 512, 12)
+    hi, lo = split_f64(jnp.asarray(a))
+    ph, pl_ = split_f64(jnp.asarray(p))
+    ref = a @ p
+    for comp in ("full", "nolow"):
+        yh, yl = gemv_df64(hi, lo, ph, pl_, comp=comp)
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert err < 1e-6, (comp, err)
+        # column-block twin with the same budget (blk=1 -> cols 256:512)
+        ch, cl = gemv_df64_cols(hi, lo, ph[256:512], pl_[256:512], 1,
+                                tile_k=256, comp=comp)
+        c = np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+        cref = a[:, 256:512] @ p[256:512]
+        cerr = np.linalg.norm(c - cref) / np.linalg.norm(cref)
+        assert cerr < 1e-6, (comp, cerr)
+    with pytest.raises(ValueError, match="comp"):
+        gemv_df64(hi, lo, ph, pl_, comp="bogus")
