@@ -104,6 +104,11 @@ def build_parser():
                    choices=["cpu", "tpu", "axon"],
                    help="Force the JAX platform (e.g. cpu for the "
                         "virtual-mesh simulation)")
+    p.add_argument("--preconditioner", default=None,
+                   choices=["jacobi"],
+                   help="Preconditioned CG (surplus over the reference; "
+                        "works on every backend). Not combinable with "
+                        "--precision ir or --checkpoint.")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",
@@ -274,7 +279,8 @@ def main(argv=None):
                 rel_residual=float(result.rel_residual))
         else:
             converged = cg.solve(args.max_iters, args.rel_error,
-                                 warmup=not args.no_warmup)
+                                 warmup=not args.no_warmup,
+                                 preconditioner=args.preconditioner)
     avg_gemv = cg.measure_gemv()
     t = cg.timings
     if not rank0:

@@ -135,16 +135,25 @@ class ConjugateGradient:
         self.rhs = gen.ones_rhs(self.n)
         return True
 
-    def solve(self, max_iters=1000, rel_error=1e-9, warmup=True):
+    def solve(self, max_iters=1000, rel_error=1e-9, warmup=True,
+              preconditioner=None):
         """Run CG; returns True iff converged (ConjugateGradient.hpp:14).
 
         warmup pre-compiles the solve program with max_iters=0 so the
         reported time is execution, not XLA compilation (the reference has
         no JIT; its timed region is pure execution).
+        preconditioner="jacobi" runs diagonal-scaled PCG (surplus; any
+        backend). Not combinable with precision="ir" (the refinement
+        loop is its own convergence accelerator).
         """
         if self.op is None or self.rhs is None:
             raise RuntimeError("load/generate a system first")
-        solver = self._solve_once
+        if preconditioner is not None and self.precision == "ir":
+            raise ValueError(
+                "preconditioner is not combinable with precision='ir'")
+
+        def solver(iters, tol):
+            return self._solve_once(iters, tol, preconditioner)
         if warmup:
             # timed as init_s: the TPU-native analog of the reference's
             # NCCL communicator init (ncclCommInitRank, measured and
@@ -169,12 +178,13 @@ class ConjugateGradient:
         self.timings["rel_residual"] = rel
         return bool(result.converged)
 
-    def _solve_once(self, max_iters, rel_error):
+    def _solve_once(self, max_iters, rel_error, preconditioner=None):
         if self.precision == "ir":
             return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
                                max_iters=max_iters, rel_error=rel_error)
         return cg_solve(self.op, self.rhs, max_iters=max_iters,
-                        rel_error=rel_error)
+                        rel_error=rel_error,
+                        preconditioner=preconditioner)
 
     def save_result_to_file(self, filename):
         """Writes the SOLUTION with the full row count — deliberately

@@ -172,3 +172,31 @@ def test_cli_init_col(capsys, tmp_path):
     assert len(fields) == 10          # one extra column
     assert float(fields[4]) >= 0      # init_s = warmup/compile seconds
     assert int(fields[7]) == 5        # num_iter shifted right by one
+
+
+def test_cli_jacobi_preconditioner(tmp_path, capsys):
+    """--preconditioner jacobi end-to-end, local and sharded."""
+    a = gen.random_spd_matrix(96, seed=6)
+    s = np.exp(np.linspace(0, 4, 96))
+    a = a * np.outer(s, s)          # bad scaling: jacobi should win
+    b = gen.random_rhs(96, seed=16)
+    m, r, o = (str(tmp_path / f) for f in ("m.bin", "r.bin", "s.bin"))
+    lio.write_matrix(m, a)
+    lio.write_matrix(r, b)
+    base = ["-A", m, "-b", r, "-o", o, "-i", "3000", "--precision", "f64"]
+    assert cli.main(base) == 0
+    plain = capsys.readouterr().out.strip().split(",")
+    assert cli.main(base + ["--preconditioner", "jacobi"]) == 0
+    pcg = capsys.readouterr().out.strip().split(",")
+    assert float(pcg[7]) < 1e-9
+    assert int(pcg[6]) < int(plain[6])   # fewer iterations than plain CG
+    x = lio.read_vector(o)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+    assert cli.main(base + ["--preconditioner", "jacobi", "--backend",
+                            "sharded", "--devices", "4"]) == 0
+    srow = capsys.readouterr().out.strip().split(",")
+    assert float(srow[7]) < 1e-9
+    # ir + preconditioner is rejected
+    with pytest.raises(ValueError, match="ir"):
+        cli.main(base + ["--preconditioner", "jacobi",
+                         "--precision", "ir"])
