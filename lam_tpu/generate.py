@@ -52,6 +52,24 @@ def tridiagonal_matrix(n, dtype=np.float64):
     return tridiagonal_rows(0, n, n, dtype=dtype)
 
 
+def tridiagonal_hi_plane(n, n_padded=None):
+    """Zero-padded f32 hi plane of the gen-mode tridiagonal.
+
+    The entries {0, 1, 2} are exactly representable in f32, so the df64
+    pair of this matrix is (hi, 0) — the lo plane is identically zero
+    and can be created device-side. Generating the hi plane directly in
+    f32 skips the f64 intermediate, the symmetry check, the pad copy,
+    and the hi/lo split that dominated gen-mode load_s (the device
+    upload is then the only remaining cost)."""
+    n_padded = n_padded or n
+    hi = np.zeros((n_padded, n_padded), dtype=np.float32)
+    i = np.arange(n)
+    hi[i, i] = 2
+    hi[i[1:], i[1:] - 1] = 1
+    hi[i[:-1], i[:-1] + 1] = 1
+    return hi
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

@@ -386,6 +386,89 @@ def gemv_f32_symm(a, p, *, tb=None):
 
 
 # ---------------------------------------------------------------------------
+# symmetric SLAB kernel: the sharded twin of gemv_f32_symm
+# ---------------------------------------------------------------------------
+#
+# A shard holds a SLAB of band rows of the symmetric matrix (the
+# balanced band-pair decomposition of lam_tpu/parallel/pcg_symm.py);
+# the kernel walks only the slab's lower-triangle tiles. Three
+# scalar-prefetched tables drive the walk: it (GLOBAL row-tile index —
+# decides diagonal/transpose behavior and the p/pcol selection), kt
+# (column tile), lt (LOCAL slab row-tile — steers the A reads and the
+# yd writes). Outputs: yd over the slab's rows (direct terms) and a
+# full-length yt (transpose terms, scattered over columns); the caller
+# scatters yd into the global vector and psums across shards.
+
+
+def _gemv_f32_symm_slab_kernel(it_ref, kt_ref, lt_ref, a_ref, prow_ref,
+                               pcol_ref, yd_ref, yt_ref, acc_d, acc_t):
+    # identical walk semantics to _gemv_f32_symm_kernel; lt_ref is
+    # consumed by the index_maps only
+    _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
+                          yd_ref, yt_ref, acc_d, acc_t)
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def gemv_f32_symm_slab(a_slab, p, it, kt, lt, *, tb=None):
+    """Partial symmetric matvec over a slab of band rows.
+
+    a_slab: (ms, n) f32 — the shard's rows of the SYMMETRIC matrix (full
+    width; only lower-triangle tiles are ever read). p: (n,) f32. it/kt/
+    lt: int32 tile tables (see module comment). Returns (yd (ms,), yt
+    (n,)): y_global = scatter(yd -> owned rows) + yt, summed across
+    shards."""
+    if tb is None:
+        tb = SYMM_TB
+    ms, n = a_slab.shape
+    tb = _fit_tile(min(ms, n), tb, "rows")
+    grid = (it.shape[0],)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb),
+                         lambda t, it_ref, kt_ref, lt_ref:
+                         (lt_ref[t], kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb),
+                         lambda t, it_ref, kt_ref, lt_ref:
+                         (t * 0, kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, lt_ref:
+                         (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, lt_ref:
+                         (lt_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n),
+                         lambda t, it_ref, kt_ref, lt_ref:
+                         (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        _gemv_f32_symm_slab_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt), a_slab,
+      p.reshape(1, n), p.reshape(n, 1))
+    return yd.reshape(ms), yt.reshape(n)
+
+
+# ---------------------------------------------------------------------------
 # df64 (float-float) gemv with fully compensated accumulation
 # ---------------------------------------------------------------------------
 

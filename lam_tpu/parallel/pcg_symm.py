@@ -1,0 +1,446 @@
+"""Symmetric band-sharded CG: half the HBM bytes per sharded matvec.
+
+The plain sharded operator (lam_tpu/parallel/pcg.py) streams the full
+N^2 elements of A per matvec, like every reference backend does
+(ConjugateGradient_GPU_CUDA.cu:171-211 and clones). But CG's matrix is
+symmetric by contract, and the single-chip lower-triangle kernel
+(ops/gemv.py:gemv_f32_symm) already showed the 2x byte saving is worth
+1.7x end-to-end on an HBM-bound matvec. This module extends that to the
+MESH — the piece the round-1 N=70000 projection was missing:
+
+  * Row-tiles are grouped into 2G bands; chip g owns the band PAIR
+    (g, 2G-1-g). Lower-triangle tile counts of every pair are equal
+    (sum over a pair of (i+1) tile-rows is constant), so the walk is
+    load-balanced by construction — the classic triangle balancing.
+  * Each chip stores its two bands as one (2m, n) SLAB (full rows of
+    the df64 pair in HBM — capacity is unchanged; only READS halve).
+    The f32 inner kernel (ops/gemv.py:gemv_f32_symm_slab) walks only
+    the slab's lower-triangle tiles: each loaded tile A_ik contributes
+    BOTH A_ik @ p_k (direct, into owned rows) and A_ik^T @ p_i
+    (transpose, scattered over columns) — every matrix byte is read
+    once per matvec across the whole mesh.
+  * VECTORS ARE REPLICATED (N*8 B <= a few MB — trivial next to the
+    GB-scale matrix shards): vector algebra and dots run redundantly
+    per chip with zero communication, and the matvec needs exactly ONE
+    psum of an N-vector per iteration (direct + transpose partials).
+    Per-iteration collective volume: 1 psum(N) — vs the reference GPU
+    backends' broadcast(N) + gather(N) + bcast(1) with rank-0-only
+    algebra (..._NCCL.cu:355-396).
+  * The accurate df64 matvec reuses the full-row gemv_df64 on the slab
+    (it runs ~4x per ir solve and is VPU-bound — docs/REPORT.md §2b —
+    so triangle reads would not pay there).
+
+The single-device CG/ir loops (solver/cg.py) run UNCHANGED inside
+shard_map — replicated vectors make their plain vdots correct per
+shard; only the matvec communicates. One more configuration of the one
+engine, not another solver copy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lam_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+from lam_tpu.precision import split_f64
+from lam_tpu.solver.cg import CGResult, _cg_ir_loop, _cg_loop
+from lam_tpu.solver.operators import (
+    LinearOperator,
+    _wrap_matvec,
+    padded_size,
+    split_f64_host,
+)
+
+try:  # jax >= 0.4.35
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def band_padded_size(n, g, tb):
+    """Pad so each of the 2g bands is a whole number of (tb) tile-rows."""
+    return padded_size(n, 2 * g * tb)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_tables(g, mt, tb):
+    """Per-chip (it, kt, lt) tile tables for the band-pair walk.
+
+    g chips, mt tile-rows per band (2g bands). Chip c owns global
+    tile-rows [c*mt, (c+1)*mt) and [(2g-1-c)*mt, (2g-c)*mt); for each
+    owned tile-row i (ascending) the row's lower-triangle tiles are
+    k = 0..i. Every chip's table has the same length
+    mt^2*(2g-1) + mt*(mt+1) tiles — balanced by construction."""
+    its, kts, lts = [], [], []
+    for c in range(g):
+        it_c, kt_c, lt_c = [], [], []
+        rows = (list(range(c * mt, (c + 1) * mt)),
+                list(range((2 * g - 1 - c) * mt, (2 * g - c) * mt)))
+        for half, band in enumerate(rows):
+            for local, i in enumerate(band):
+                for k in range(i + 1):
+                    it_c.append(i)
+                    kt_c.append(k)
+                    lt_c.append(half * mt + local)
+        its.append(it_c)
+        kts.append(kt_c)
+        lts.append(lt_c)
+    assert len({len(x) for x in its}) == 1  # equal per-chip walks
+    return (np.asarray(its, np.int32), np.asarray(kts, np.int32),
+            np.asarray(lts, np.int32))
+
+
+def _slab_row_ranges(c, g, m):
+    """Original-row ranges (start, size) of chip c's two bands."""
+    return ((c * m, m), ((2 * g - 1 - c) * m, m))
+
+
+# -- per-shard matvecs (run inside shard_map; vectors replicated) -----------
+
+
+def _scatter_bands(yd, yt, c, g, m, n_p):
+    """Full-length y partial: yt (transpose terms over all columns)
+    plus the slab's direct terms placed at the owned original rows."""
+    y = yt
+    y = jax.lax.dynamic_update_slice(
+        y, yd[:m] + jax.lax.dynamic_slice(y, (c * m,), (m,)), (c * m,))
+    r1 = (2 * g - 1 - c) * m
+    y = jax.lax.dynamic_update_slice(
+        y, yd[m:] + jax.lax.dynamic_slice(y, (r1,), (m,)), (r1,))
+    return y
+
+
+def _make_mv32(axis, g, m, tb):
+    from lam_tpu.ops import gemv
+
+    def mv(operand, p):
+        slab_hi, _, it, kt, lt = operand
+        c = jax.lax.axis_index(axis)
+        yd, yt = gemv.gemv_f32_symm_slab(slab_hi, p, it[0], kt[0], lt[0],
+                                         tb=tb)
+        y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
+        return jax.lax.psum(y, axis)
+
+    return mv
+
+
+def _make_mv_acc(axis, g, m):
+    from lam_tpu.ops import gemv
+    from lam_tpu.precision import join_f64
+
+    # On TPU the compensated Pallas kernel IS the accurate matvec; off
+    # TPU (CPU tests / virtual mesh) interpret-mode f32 compensation is
+    # defeated by excess precision, so use genuine-f64 XLA instead —
+    # the same engine split the dense/sharded operators make.
+    use_pallas = jax.default_backend() == "tpu"
+
+    def mv(operand, p):
+        slab_hi, slab_lo, _, _, _ = operand
+        c = jax.lax.axis_index(axis)
+        if use_pallas:
+            ph, plo = split_f64(p)
+            yh, yl = gemv.gemv_df64(slab_hi, slab_lo, ph, plo)
+            yd = join_f64(yh, yl)
+        else:
+            yd = (slab_hi.astype(p.dtype) @ p
+                  + slab_lo.astype(p.dtype) @ p)
+        zero = jnp.zeros(p.shape[0], p.dtype)
+        y = _scatter_bands(yd, zero, c, g, m, p.shape[0])
+        return jax.lax.psum(y, axis)
+
+    return mv
+
+
+def _operand_specs(axis):
+    row = P(axis, None)
+    return (row, row, row, row, row)  # hi, lo, it, kt, lt
+
+
+@functools.lru_cache(maxsize=None)
+def _build_symm_cg(mesh, axis, g, m, tb):
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m))
+
+    def local(operand, b, max_iters, rel_error):
+        return _cg_loop(mv, operand, b, max_iters, rel_error)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(_operand_specs(axis), P(), P(), P()),
+        out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles):
+    mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb))
+    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m))
+
+    def local(operand, b, max_iters, rel_error, inner_floor):
+        return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
+                           rel_error, max_cycles, inner_floor)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(_operand_specs(axis), P(), P(), P(), P()),
+        out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_symm_pcg(mesh, axis, g, m, tb):
+    from lam_tpu.solver.cg import _pcg_loop
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m))
+
+    def local(operand, b, inv_diag, max_iters, rel_error):
+        return _pcg_loop(mv, operand, b, inv_diag, max_iters, rel_error)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(_operand_specs(axis), P(), P(), P(), P()),
+        out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_symm_matvec(mesh, axis, g, m, tb, which):
+    mv = (_make_mv32(axis, g, m, tb) if which == "f32"
+          else _make_mv_acc(axis, g, m))
+    mapped = shard_map(mv, mesh=mesh,
+                       in_specs=(_operand_specs(axis), P()),
+                       out_specs=P(), check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_symm_chain(mesh, axis, g, m, tb, which, repeats):
+    mv = (_make_mv32(axis, g, m, tb) if which == "f32"
+          else _make_mv_acc(axis, g, m))
+
+    def local(operand, p):
+        def body(_, v):
+            w = mv(operand, v)
+            return w / jnp.sqrt(jnp.vdot(w, w))
+
+        return jax.lax.fori_loop(0, repeats, body, p)
+
+    mapped = shard_map(local, mesh=mesh,
+                       in_specs=(_operand_specs(axis), P()),
+                       out_specs=P(), check_vma=False)
+    return jax.jit(mapped)
+
+
+class SymmShardedOperator(LinearOperator):
+    """Band-pair sharded SYMMETRIC df64 matrix over a 1-D mesh.
+
+    The mixed-precision (ir) configuration of this operator is the
+    mesh-scale flagship: inner f32 matvecs read each matrix element
+    once ACROSS THE WHOLE MESH (triangle walk), the accurate df64
+    matvec runs full-row on the slab. Requires a symmetric matrix —
+    CG's contract anyway (the constructor trusts the caller the same
+    way DenseOperator's engine='pallas_symm' verifies; verification on
+    a sharded build would need a full extra pass, so from_dense checks
+    and from_row_block_fn documents)."""
+
+    def __init__(self, operand, n, n_padded, mesh, axis, g, m, tb):
+        # GSPMD-fallback matvec_dot (checkpoint/segment paths): the hi
+        # plane times p via plain XLA, correct but not the hot path
+        super().__init__(_wrap_matvec(_fallback_mv), operand, n,
+                         n_padded, jnp.float64)
+        self.precision = "df64"
+        self.engine = "pallas_symm"
+        self.mesh = mesh
+        self.axis = axis
+        self._g = g
+        self._m = m
+        self._tb = tb
+        self._which = "acc"
+
+    @staticmethod
+    def from_row_block_fn(row_block_fn, n, mesh=None, tb=None):
+        """Build from per-row-block reads of a SYMMETRIC f64 matrix.
+
+        Each chip materializes only its two bands (the per-rank MPI-IO
+        analog, ConjugateGradient_CPU_MPI_OMP.hpp:325-363)."""
+        from lam_tpu.ops.gemv import SYMM_TB
+        if mesh is None:
+            mesh = make_mesh()
+        if tb is None:
+            tb = SYMM_TB
+        axis = mesh.axis_names[0]
+        g = mesh.shape[axis]
+        n_p = band_padded_size(n, g, tb)
+        m = n_p // (2 * g)
+        mt = m // tb
+        it, kt, lt = _band_tables(g, mt, tb)
+
+        a_sharding = NamedSharding(mesh, P(axis, None))
+        t_sharding = NamedSharding(mesh, P(axis, None))
+
+        def slab_block(row_start, num_rows):
+            # rows of the stacked band layout S: chip c's slab is
+            # S[c*2m:(c+1)*2m] = original bands (c, 2g-1-c)
+            out = np.zeros((num_rows, n_p), dtype=np.float64)
+            for local in range(0, num_rows, m):
+                s_row = row_start + local
+                c, half = divmod(s_row // m, 2)
+                band = c if half == 0 else 2 * g - 1 - c
+                r0 = band * m
+                src = max(0, min(n - r0, m))
+                if src > 0:
+                    out[local:local + src, :n] = row_block_fn(r0, src)
+            return out
+
+        pending = {}
+
+        def plane(s, mrows, idx):
+            key = (s, mrows)
+            if key in pending:
+                return pending.pop(key)[idx]
+            planes = split_f64_host(slab_block(s, mrows))
+            pending[key] = planes
+            return planes[idx]
+
+        def mk(idx):
+            return jax.make_array_from_callback(
+                (n_p, n_p), a_sharding,
+                lambda sl: plane(sl[0].start or 0,
+                                 (sl[0].stop or n_p) - (sl[0].start or 0),
+                                 idx))
+
+        def mk_table(tab):
+            return jax.make_array_from_callback(
+                (g, tab.shape[1]), t_sharding,
+                lambda sl: tab[sl])
+
+        operand = (mk(0), mk(1), mk_table(it), mk_table(kt),
+                   mk_table(lt))
+        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
+
+    @staticmethod
+    def from_dense(a, mesh=None, tb=None):
+        from lam_tpu.solver.operators import _verifies_symmetric
+        a = np.asarray(a, dtype=np.float64)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        if not _verifies_symmetric(a):
+            raise ValueError(
+                "SymmShardedOperator requires a symmetric matrix (the "
+                "band walk mirrors the lower triangle)")
+        return SymmShardedOperator.from_row_block_fn(
+            lambda s, mrows: a[s:s + mrows, :], n, mesh=mesh, tb=tb)
+
+    @staticmethod
+    def from_file(path, mesh=None, tb=None):
+        from lam_tpu import io as lio
+        rows, cols = lio.read_header(path)
+        if rows != cols:
+            raise ValueError(f"{path}: matrix must be square "
+                             f"({rows}x{cols})")
+        return SymmShardedOperator.from_row_block_fn(
+            lambda s, mrows: lio.read_matrix_rows(path, s, mrows), rows,
+            mesh=mesh, tb=tb)
+
+    # -- solve path ----------------------------------------------------------
+
+    def prepare_b(self, b):
+        b = np.asarray(b, dtype=self.vector_dtype)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, expected "
+                             f"({self.n},)")
+        if self.n_padded != self.n:
+            b = np.pad(b, (0, self.n_padded - self.n))
+        # replicated vectors (multi-process-safe callback placement)
+        return jax.make_array_from_callback(
+            b.shape, NamedSharding(self.mesh, P()), lambda idx: b[idx])
+
+    def matvec(self, p_padded):
+        fn = _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
+                                self._tb, self._which)
+        return fn(self.operand, p_padded)
+
+    def matvec_chain(self, p_padded, repeats):
+        fn = _build_symm_chain(self.mesh, self.axis, self._g, self._m,
+                               self._tb, self._which, repeats)
+        return fn(self.operand, p_padded)
+
+    def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
+        del loop_fn
+        solver = _build_symm_cg(self.mesh, self.axis, self._g, self._m,
+                                self._tb)
+        return solver(self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
+
+    def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
+                  inner_floor):
+        if op32.operand is not self.operand:
+            raise ValueError(
+                "cg_solve_ir requires the f32 operator to be a VIEW of "
+                "the accurate operator (use op_acc.as_f32())")
+        solver = _build_symm_cg_ir(self.mesh, self.axis, self._g,
+                                   self._m, self._tb, max_cycles)
+        return solver(self.operand, b_padded, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype),
+                      jnp.asarray(inner_floor, b_padded.dtype))
+
+    def diagonal(self):
+        axis, g, m = self.axis, self._g, self._m
+        n_p = self.n_padded
+
+        def local_diag(operand):
+            hi, lo, _, _, _ = operand
+            c = jax.lax.axis_index(axis)
+            d = jnp.zeros(n_p, jnp.float64)
+            for half in range(2):
+                r0 = c * m if half == 0 else (2 * g - 1 - c) * m
+                rows = hi[half * m:(half + 1) * m]
+                rows_l = lo[half * m:(half + 1) * m]
+                cols = (r0 + jnp.arange(m))[:, None]
+                band_d = (
+                    jnp.take_along_axis(rows, cols, axis=1)[:, 0]
+                    .astype(jnp.float64)
+                    + jnp.take_along_axis(rows_l, cols, axis=1)[:, 0]
+                    .astype(jnp.float64))
+                d = jax.lax.dynamic_update_slice(d, band_d, (r0,))
+            return jax.lax.psum(d, axis)
+
+        mapped = shard_map(local_diag, mesh=self.mesh,
+                           in_specs=(_operand_specs(axis),),
+                           out_specs=P(), check_vma=False)
+        return jax.jit(mapped)(self.operand)
+
+    def run_pcg(self, b_padded, max_iters, rel_error):
+        d = self.diagonal()
+        inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+        solver = _build_symm_pcg(self.mesh, self.axis, self._g, self._m,
+                                 self._tb)
+        return solver(self.operand, b_padded, inv_d, max_iters,
+                      jnp.asarray(rel_error, b_padded.dtype))
+
+    def as_f32(self):
+        """f32 triangle-walk view sharing this operator's buffers."""
+        out = SymmShardedOperator(self.operand, self.n, self.n_padded,
+                                  self.mesh, self.axis, self._g, self._m,
+                                  self._tb)
+        out.vector_dtype = jnp.float32
+        out.precision = "f32"
+        out._which = "f32"
+        return out
+
+
+def _fallback_mv(operand, p):
+    # GSPMD path on the stacked-band layout is NOT order-preserving;
+    # the hot shard_map programs above are the only supported solvers.
+    raise NotImplementedError(
+        "SymmShardedOperator has no GSPMD fallback matvec; use "
+        "run_cg/run_cg_ir/matvec")

@@ -80,6 +80,18 @@ class ConjugateGradient:
                 block_fn, n, mesh=self._mesh,
                 precision=self._base_precision(), engine=self.engine)
         if self.backend == "sharded":
+            if self.engine == "pallas_symm":
+                # band-pair triangle-walk operator: half the HBM bytes
+                # per sharded matvec (lam_tpu/parallel/pcg_symm.py);
+                # df64 accurate plane + f32 triangle inner (ir)
+                if self._base_precision() not in ("auto", "df64"):
+                    raise ValueError(
+                        "--backend sharded --engine pallas_symm "
+                        "supports precision df64/ir (the df64 pair is "
+                        "the storage layout)")
+                from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+                return SymmShardedOperator.from_row_block_fn(
+                    row_block_fn, n, mesh=self._mesh_or_make())
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),
@@ -122,11 +134,33 @@ class ConjugateGradient:
             raise ValueError("generated matrix must be square")
         t0 = time.perf_counter()
         self.n = rows
-        self.op = self._build_operator(
-            lambda s, m: gen.tridiagonal_rows(s, m, rows), rows)
+        self.op = (self._generate_fast(rows)
+                   or self._build_operator(
+                       lambda s, m: gen.tridiagonal_rows(s, m, rows),
+                       rows))
         jax.block_until_ready(self.op.operand)
         self.timings["load_s"] = time.perf_counter() - t0
         return True
+
+    def _generate_fast(self, rows):
+        """df64 plane fast path for the gen-mode tridiagonal on the
+        local TPU backend: entries {0,1,2} are exact in f32, so build
+        the hi plane directly and the all-zero lo plane ON DEVICE —
+        the upload halves and the f64 intermediate/split vanish (they
+        dominated gen-mode load_s, results/MERGE_TPU_GEN.txt)."""
+        if self.backend != "local" or jax.default_backend() != "tpu":
+            return None
+        if self._base_precision() not in ("auto", "df64"):
+            return None
+        from lam_tpu.solver.operators import DenseOperator, padded_size
+        import jax.numpy as jnp
+        n_p = padded_size(rows)
+        hi = gen.tridiagonal_hi_plane(rows, n_p)
+        lo = jnp.zeros((n_p, n_p), jnp.float32)  # exact: no f32 error
+        # symmetric by construction -> lower-triangle engine by default
+        engine = "pallas_symm" if self.engine == "auto" else self.engine
+        return DenseOperator.from_df64_planes(hi, lo, rows,
+                                              engine=engine)
 
     def generate_rhs(self):
         """Gen-mode rhs of ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""

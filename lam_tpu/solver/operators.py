@@ -417,6 +417,27 @@ class DenseOperator(LinearOperator):
         out._mv_block = MATVEC[(precision, "xla")]
         return out
 
+    @staticmethod
+    def from_df64_planes(hi, lo, n, engine):
+        """Build a df64 operator from PRE-SPLIT, PRE-PADDED f32 planes.
+
+        Fast-construction path for generators whose entries are exact
+        in f32 (gen-mode tridiagonal: lo == 0, creatable device-side) —
+        skips the f64 intermediate, symmetry check, pad copy, and host
+        split of `from_dense`. The caller asserts the planes really
+        represent the intended f64 matrix and (for engine='pallas_symm')
+        that it is symmetric."""
+        n_p = hi.shape[0]
+        if hi.shape != (n_p, n_p) or lo.shape != (n_p, n_p):
+            raise ValueError("planes must be square and equal-shaped")
+        operand = (jnp.asarray(hi, jnp.float32),
+                   jnp.asarray(lo, jnp.float32))
+        fn = _MATVEC_DOT[("df64", engine)]
+        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "df64",
+                            engine)
+        out._mv_block = MATVEC[("df64", "xla")]
+        return out
+
     def diagonal(self):
         if self.precision == "df64":
             hi, lo = self.operand

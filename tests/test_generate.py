@@ -66,3 +66,14 @@ def test_random_system_shapes():
     a, b = gen.random_spd_system(32, seed=5)
     assert a.shape == (32, 32) and b.shape == (32,)
     assert np.all(np.abs(b) <= 1.0)
+
+
+def test_tridiagonal_hi_plane_is_exact_padded():
+    hi = gen.tridiagonal_hi_plane(6, 8)
+    assert hi.dtype == np.float32 and hi.shape == (8, 8)
+    np.testing.assert_array_equal(hi[:6, :6],
+                                  gen.tridiagonal_matrix(6))
+    assert np.all(hi[6:] == 0) and np.all(hi[:, 6:] == 0)
+    # entries are exact in f32: the lo plane is identically zero
+    a64 = gen.tridiagonal_matrix(6)
+    assert np.all(a64 - hi[:6, :6].astype(np.float64) == 0)

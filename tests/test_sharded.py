@@ -319,3 +319,86 @@ def test_sharded_df64_jacobi_pcg(mesh8):
     assert bool(r.converged)
     resid = np.linalg.norm(b - a @ np.asarray(r.x)) / np.linalg.norm(b)
     assert resid < 1e-8
+
+
+# -- symmetric band-pair sharded operator (pcg_symm) ------------------------
+
+
+def _symm_op(a, g, tb=128):
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    return SymmShardedOperator.from_dense(a, mesh=make_mesh(g), tb=tb)
+
+
+def test_symm_sharded_matvec_matches_numpy(mesh8):
+    a, _ = _spd_system(n=512, seed=51)
+    p = gen.random_rhs(512, seed=1)
+    for g in (1, 2, 8):
+        op = _symm_op(a, g)
+        ap = np.asarray(op.matvec(op.prepare_b(p)))[:512]
+        np.testing.assert_allclose(ap, a @ p, rtol=1e-12,
+                                   atol=1e-12 * np.abs(a @ p).max())
+        # f32 triangle-walk view
+        ap32 = np.asarray(op.as_f32().matvec(
+            op.as_f32().prepare_b(p.astype(np.float32))))[:512]
+        ref = a @ p
+        assert (np.linalg.norm(ap32 - ref) / np.linalg.norm(ref)) < 1e-5
+
+
+def test_symm_sharded_cg_matches_oracle(mesh8):
+    a, b = _spd_system(n=512, seed=52)
+    op = _symm_op(a, 4)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+    # replicated vectors -> result independent of shard count
+    res2 = cg_solve(_symm_op(a, 2), b, max_iters=2000, rel_error=1e-9)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(res2.x))
+
+
+def test_symm_sharded_ir_reaches_f64_quality(mesh8):
+    from lam_tpu.solver.cg import cg_solve_ir
+    a, b = _spd_system(n=512, seed=53)
+    op = _symm_op(a, 4)
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                      rel_error=1e-9)
+    assert bool(res.converged)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+
+
+def test_symm_sharded_diagonal_and_pcg(mesh8):
+    a, b = _spd_system(n=512, seed=54)
+    s = np.exp(np.linspace(0, 3, 512))
+    a = a * np.outer(s, s)
+    op = _symm_op(a, 4)
+    d = np.asarray(op.diagonal())
+    np.testing.assert_allclose(d[:512], np.diagonal(a), rtol=1e-12)
+    r = cg_solve(op, b, max_iters=3000, rel_error=1e-9,
+                 preconditioner="jacobi")
+    assert bool(r.converged)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(r.x)) / bn < 1e-8
+
+
+def test_symm_sharded_rejects_asymmetric():
+    a = np.triu(np.ones((64, 64))) + 3 * np.eye(64)
+    with pytest.raises(ValueError, match="symmetric"):
+        _symm_op(a, 2)
+
+
+def test_symm_sharded_via_api(mesh8):
+    """--backend sharded --engine pallas_symm routing (gen mode)."""
+    from lam_tpu.solver.api import ConjugateGradient
+    cg = ConjugateGradient(backend="sharded", precision="ir",
+                           engine="pallas_symm", n_devices=4)
+    cg.generate_matrix(300)
+    cg.generate_rhs()
+    assert cg.solve(max_iters=10000, rel_error=1e-9)
+    from lam_tpu import generate as g2
+    a = g2.tridiagonal_matrix(300)
+    b = g2.ones_rhs(300)
+    assert (np.linalg.norm(b - a @ cg.x) / np.linalg.norm(b)) < 1e-8
+    assert cg.measure_gemv(repeats=3) > 0
