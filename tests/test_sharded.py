@@ -402,3 +402,17 @@ def test_symm_sharded_via_api(mesh8):
     b = g2.ones_rhs(300)
     assert (np.linalg.norm(b - a @ cg.x) / np.linalg.norm(b)) < 1e-8
     assert cg.measure_gemv(repeats=3) > 0
+
+
+def test_symm_sharded_from_file(mesh8, tmp_path):
+    from lam_tpu import io as lio
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    a, b = _spd_system(n=256, seed=55)
+    path = tmp_path / "m.bin"
+    lio.write_matrix(path, a)
+    op = SymmShardedOperator.from_file(str(path), mesh=make_mesh(4),
+                                       tb=128)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    assert bool(res.converged)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
