@@ -252,10 +252,14 @@ class SymmShardedOperator(LinearOperator):
     and from_row_block_fn documents)."""
 
     def __init__(self, operand, n, n_padded, mesh, axis, g, m, tb):
-        # GSPMD-fallback matvec_dot (checkpoint/segment paths): the hi
-        # plane times p via plain XLA, correct but not the hot path
-        super().__init__(_wrap_matvec(_fallback_mv), operand, n,
-                         n_padded, jnp.float64)
+        # generic matvec_dot (checkpoint/segmented paths): the same
+        # shard_map matvec program, composed under the caller's jit —
+        # cached by _build_symm_matvec so instances with equal geometry
+        # share one compilation
+        super().__init__(
+            _wrap_matvec(_build_symm_matvec(mesh, axis, g, m, tb,
+                                            "acc")),
+            operand, n, n_padded, jnp.float64)
         self.precision = "df64"
         self.engine = "pallas_symm"
         self.mesh = mesh
@@ -438,9 +442,3 @@ class SymmShardedOperator(LinearOperator):
         return out
 
 
-def _fallback_mv(operand, p):
-    # GSPMD path on the stacked-band layout is NOT order-preserving;
-    # the hot shard_map programs above are the only supported solvers.
-    raise NotImplementedError(
-        "SymmShardedOperator has no GSPMD fallback matvec; use "
-        "run_cg/run_cg_ir/matvec")

@@ -63,19 +63,27 @@ def main(argv=None):
     bnorm = np.linalg.norm(b)
     mesh = make_mesh()  # ALL global devices, across processes
 
-    for comm in ("gather", "ring"):
-        op = ShardedDenseOperator.from_dense(a, mesh=mesh,
-                                             precision="f64", comm=comm)
-        res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    def check(res, label):
         x = _host_array(res.x)          # cross-process allgather
         true_rel = float(np.linalg.norm(b - a @ x) / bnorm)
-        assert bool(res.converged), f"{comm}: did not converge"
-        assert true_rel < 1e-8, f"{comm}: true residual {true_rel}"
+        assert bool(res.converged), f"{label}: did not converge"
+        assert true_rel < 1e-8, f"{label}: true residual {true_rel}"
         if jax.process_index() == 0:
-            print(f"MP_OK comm={comm} procs={args.num_processes} "
+            print(f"MP_OK comm={label} procs={args.num_processes} "
                   f"devices={mesh.devices.size} "
                   f"iters={int(res.num_iters)} true_rel={true_rel:.3e}",
                   flush=True)
+
+    for comm in ("gather", "ring"):
+        op = ShardedDenseOperator.from_dense(a, mesh=mesh,
+                                             precision="f64", comm=comm)
+        check(cg_solve(op, b, max_iters=2000, rel_error=1e-9), comm)
+
+    # symmetric band-pair operator: per-process slab construction,
+    # replicated vectors, cross-process psum in the matvec
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    sop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128)
+    check(cg_solve(sop, b, max_iters=2000, rel_error=1e-9), "symm")
     return 0
 
 

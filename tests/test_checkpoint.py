@@ -61,3 +61,36 @@ def test_checkpoint_rejects_wrong_size(tmp_path):
     with pytest.raises(ValueError):
         ckpt.cg_solve_resumable(op2, b2, max_iters=10, rel_error=1e-9,
                                 checkpoint_path=ck, resume=True)
+
+
+def test_resumable_on_sharded_and_symm_backends(tmp_path):
+    """Segmented/checkpointed solves are not a local-backend-only
+    capability: both sharded operators drive them via their generic
+    matvec."""
+    import jax.numpy as jnp
+    from lam_tpu import generate as gen
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg import ShardedDenseOperator
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    from lam_tpu.solver.checkpoint import cg_solve_resumable
+
+    a, b = (gen.random_spd_matrix(256, seed=61),
+            gen.random_rhs(256, seed=71))
+    bn = np.linalg.norm(b)
+    ops = [
+        ShardedDenseOperator.from_dense(a, mesh=make_mesh(4),
+                                        precision="f64", engine="xla"),
+        SymmShardedOperator.from_dense(a, mesh=make_mesh(4), tb=128),
+    ]
+    for op in ops:
+        ck = str(tmp_path / type(op).__name__)
+        res, segs = cg_solve_resumable(op, b, max_iters=40, segment=20,
+                                       rel_error=1e-9,
+                                       checkpoint_path=ck)
+        assert int(res.num_iters) == 40 and len(segs) == 2
+        res2, _ = cg_solve_resumable(op, b, max_iters=2000, segment=500,
+                                     rel_error=1e-9,
+                                     checkpoint_path=ck, resume=True)
+        assert bool(res2.converged)
+        x = np.asarray(res2.x)
+        assert np.linalg.norm(b - a @ x) / bn < 1e-8

@@ -134,3 +134,4 @@ def test_multiprocess_worker_harness():
     joined = "\n".join(outs)
     assert "MP_OK comm=gather" in joined
     assert "MP_OK comm=ring" in joined
+    assert "MP_OK comm=symm" in joined   # band-pair operator x-process
