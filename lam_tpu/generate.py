@@ -70,6 +70,39 @@ def tridiagonal_hi_plane(n, n_padded=None):
     return hi
 
 
+def tridiagonal_hi_plane_device(n, n_padded=None):
+    """`tridiagonal_hi_plane` built ON DEVICE (jit iota + where).
+
+    The gen-mode matrix is a closed-form function of (i, j), so there is
+    no reason to build it on the host and ship N^2 floats over PCIe (or
+    a remote tunnel): one fused XLA program writes the f32 hi plane at
+    HBM speed. This is the TPU-native answer to the reference's
+    OpenMP-parallel host generation loop
+    (ConjugateGradient_CPU_MPI_OMP.hpp:237-247) — load_s collapses from
+    transfer-bound seconds to milliseconds."""
+    import jax
+
+    return _tridiag_hi_device_jit(int(n), int(n_padded or n))
+
+
+def _tridiag_hi_device_impl(n, n_padded):
+    import jax
+    import jax.numpy as jnp
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_padded, n_padded), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_padded, n_padded), 1)
+    in_range = (i < n) & (j < n)
+    d = i - j
+    vals = jnp.where(d == 0, 2.0, jnp.where((d == 1) | (d == -1), 1.0, 0.0))
+    return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
+
+
+def _tridiag_hi_device_jit(n, n_padded):
+    import jax
+
+    return jax.jit(_tridiag_hi_device_impl, static_argnums=(0, 1))(n, n_padded)
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

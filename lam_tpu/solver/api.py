@@ -145,8 +145,8 @@ class ConjugateGradient:
     def _generate_fast(self, rows):
         """df64 plane fast path for the gen-mode tridiagonal on the
         local TPU backend: entries {0,1,2} are exact in f32, so build
-        the hi plane directly and the all-zero lo plane ON DEVICE —
-        the upload halves and the f64 intermediate/split vanish (they
+        the hi plane AND the all-zero lo plane entirely ON DEVICE —
+        no host build, no host->device matrix transfer at all (both
         dominated gen-mode load_s, results/MERGE_TPU_GEN.txt)."""
         if self.backend != "local" or jax.default_backend() != "tpu":
             return None
@@ -155,7 +155,7 @@ class ConjugateGradient:
         from lam_tpu.solver.operators import DenseOperator, padded_size
         import jax.numpy as jnp
         n_p = padded_size(rows)
-        hi = gen.tridiagonal_hi_plane(rows, n_p)
+        hi = gen.tridiagonal_hi_plane_device(rows, n_p)
         lo = jnp.zeros((n_p, n_p), jnp.float32)  # exact: no f32 error
         # symmetric by construction -> lower-triangle engine by default
         engine = "pallas_symm" if self.engine == "auto" else self.engine

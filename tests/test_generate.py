@@ -77,3 +77,12 @@ def test_tridiagonal_hi_plane_is_exact_padded():
     # entries are exact in f32: the lo plane is identically zero
     a64 = gen.tridiagonal_matrix(6)
     assert np.all(a64 - hi[:6, :6].astype(np.float64) == 0)
+
+
+def test_tridiagonal_hi_plane_device_matches_host():
+    # the device-side (jit iota) builder must agree elementwise with the
+    # host builder for both exact and padded shapes
+    for n, n_p in ((6, 8), (16, 16), (5, 16)):
+        dev = np.asarray(gen.tridiagonal_hi_plane_device(n, n_p))
+        host = gen.tridiagonal_hi_plane(n, n_p)
+        np.testing.assert_array_equal(dev, host)
