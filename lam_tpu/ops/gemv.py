@@ -658,3 +658,195 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
         interpret=_use_interpret(),
     )(a_hi, a_lo, p_hi.reshape(1, n), p_lo.reshape(1, n))
     return yh.reshape(m), yl.reshape(m)
+
+
+# ---------------------------------------------------------------------------
+# symmetric df64 gemv: lower-triangle reads, fully compensated both ways
+# ---------------------------------------------------------------------------
+#
+# The df64 twin of gemv_f32_symm: visit only the lower-triangle tiles of
+# the (hi, lo) plane pair — HALF the HBM bytes of gemv_df64 — and emit
+# each off-diagonal tile's direct term (A_ik @ p_k -> y_i) AND transpose
+# term (A_ik^T @ p_i -> y_k) while it sits in VMEM, both with the same
+# compensated arithmetic as _df64_kernel_body (exact Dekker products,
+# Knuth two_sum accumulation; 'nolow'/'full' budgets). The direct path
+# reuses the (TB, 128) lane-accumulator scheme; the transpose path
+# tree-reduces each tile's products over rows down to 8 sublanes
+# (compensated) and folds them into a persistent (8, n) accumulator
+# pair, collapsed to (1, n) at the final grid step. The reference
+# never exploits symmetry — its fp64 gemv streams all N^2 elements
+# (ConjugateGradient_GPU_CUDA.cu:171-223).
+
+_SYMM_T_SUBLANES = 8  # f32 sublane granularity: stop the per-tile tree here
+
+
+def _df64_exact_tile(ah, al, bh, bl, comp):
+    """Exact-product tile: (ah+al)*(bh+bl) -> (t_hi, t_lo) per element."""
+    t_hi, t_err = two_prod(ah, bh)
+    cross = ah * bl + al * bh
+    if comp == "full":
+        cross = cross + al * bl
+    return t_hi, t_err + cross
+
+
+def _gemv_df64_symm_kernel(it_ref, kt_ref, ah_ref, al_ref, prh_ref,
+                           prl_ref, pch_ref, pcl_ref, ydh_ref, ydl_ref,
+                           yth_ref, ytl_ref, accd_s, accd_c, acct_s,
+                           acct_c, *, comp):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    i = it_ref[t]
+    k = kt_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acct_s[:] = jnp.zeros_like(acct_s)
+        acct_c[:] = jnp.zeros_like(acct_c)
+
+    @pl.when(k == 0)
+    def _():
+        accd_s[:] = jnp.zeros_like(accd_s)
+        accd_c[:] = jnp.zeros_like(accd_c)
+
+    ah = ah_ref[:]                    # (TB, TB)
+    al = al_ref[:]
+    tb = ah.shape[0]
+
+    # direct: y_i += A_ik @ p_k (lane-compensated fold, as gemv_df64)
+    t_hi, t_lo = _df64_exact_tile(ah, al, prh_ref[:], prl_ref[:], comp)
+    s = accd_s[:]
+    c = accd_c[:]
+    for j in range(tb // _LANES):
+        sl = slice(j * _LANES, (j + 1) * _LANES)
+        s, e = two_sum(s, t_hi[:, sl])
+        c = c + (e + t_lo[:, sl])
+    accd_s[:] = s
+    accd_c[:] = c
+
+    @pl.when(k == i)                  # diagonal tile = last of row i
+    def _():
+        s_ = accd_s[:]
+        c_ = accd_c[:]
+        width = _LANES
+        while width > 1:
+            half = width // 2
+            s2, e = two_sum(s_[:, :half], s_[:, half:width])
+            c_ = c_[:, :half] + c_[:, half:width] + e
+            s_ = s2
+            width = half
+        hi, lo = fast_two_sum(s_, c_)
+        ydh_ref[:] = hi
+        ydl_ref[:] = lo
+
+    @pl.when(k < i)                   # strictly-lower: transpose term
+    def _():
+        u_hi, u_lo = _df64_exact_tile(ah, al, pch_ref[:], pcl_ref[:],
+                                      comp)
+        # compensated tree over rows, down to 8 sublanes
+        width = tb
+        while width > _SYMM_T_SUBLANES:
+            half = width // 2
+            s2, e = two_sum(u_hi[:half], u_hi[half:width])
+            u_lo = u_lo[:half] + u_lo[half:width] + e
+            u_hi = s2
+            width = half
+        idx = pl.dslice(k * tb, tb)
+        s2, e = two_sum(acct_s[:, idx], u_hi)
+        acct_s[:, idx] = s2
+        acct_c[:, idx] = acct_c[:, idx] + (e + u_lo)
+
+    @pl.when(t == nt - 1)
+    def _():
+        s_ = acct_s[:]
+        c_ = acct_c[:]
+        width = _SYMM_T_SUBLANES
+        while width > 1:
+            half = width // 2
+            s2, e = two_sum(s_[:half], s_[half:width])
+            c_ = c_[:half] + c_[half:width] + e
+            s_ = s2
+            width = half
+        hi, lo = fast_two_sum(s_, c_)
+        yth_ref[:] = hi
+        ytl_ref[:] = lo
+
+
+DF64_SYMM_TB = int(_os.environ.get("LAM_TPU_DF64_SYMM_TB", 512))
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "comp"))
+def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None):
+    """(y_hi, y_lo) = A @ p in float-float for SYMMETRIC A, reading only
+    the lower-triangle tiles of both planes (~half the HBM bytes of
+    `gemv_df64`). n % tb == 0 required (operators pad); correctness
+    requires A == A.T — CG's contract, checked at operator build
+    (lam_tpu/solver/operators.py _verifies_symmetric)."""
+    comp = _resolve_comp(comp)
+    if tb is None:
+        tb = DF64_SYMM_TB
+    n = a_hi.shape[0]
+    if a_hi.shape != (n, n) or a_lo.shape != (n, n):
+        raise ValueError(f"symmetric df64 gemv needs square equal planes, "
+                         f"got {a_hi.shape} / {a_lo.shape}")
+    tb = _fit_tile(n, tb, "rows")
+    nblk = n // tb
+    it, kt = _symm_tables(nblk)
+    grid = (len(it),)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb),
+                            lambda t, it_ref, kt_ref:
+                            (it_ref[t], kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec((1, tb),
+                            lambda t, it_ref, kt_ref: (t * 0, kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref: (it_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref: (it_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec((1, n),
+                            lambda t, it_ref, kt_ref: (t * 0, t * 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+                  col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_df64_symm_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), a_hi, a_lo,
+      p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    # combine the direct and transpose (hi, lo) pairs, compensated
+    s, e = two_sum(ydh.reshape(n), yth.reshape(n))
+    lo = ydl.reshape(n) + ytl.reshape(n) + e
+    return fast_two_sum(s, lo)

@@ -112,6 +112,14 @@ def _mv_df64_pallas(operand, p):
     return join_f64(yh, yl)
 
 
+def _mv_df64_pallas_symm(operand, p):
+    from lam_tpu.ops import gemv
+    hi, lo = operand
+    ph, pl = split_f64(p)
+    yh, yl = gemv.gemv_df64_symm(hi, lo, ph, pl)
+    return join_f64(yh, yl)
+
+
 # f32 matvec views over an accurate operand — used by the mixed-precision
 # solver so the inner loop shares the SAME device buffers as the accurate
 # operator (passing the hi plane as a separate jit parameter would
@@ -217,12 +225,11 @@ MATVEC = {
     ("f32@df64", "pallas"): _mv_f32_of_df64_pallas,
     ("f32@df64", "xla"): _mv_f32_of_df64_xla,
     ("f32@f64", "xla"): _mv_f32_of_f64_xla,
-    # symmetric engine: f32 matvecs read only the lower triangle (half
-    # the HBM bytes, gemv_f32_symm); the df64 matvec stays the full
-    # kernel (it is VPU-bound, so halving its bytes buys little, and on
-    # the ir path it runs ~4 times per solve vs ~370 f32 matvecs)
+    # symmetric engine: both matvecs read only the lower triangle (half
+    # the HBM bytes — gemv_f32_symm / gemv_df64_symm); the compensated
+    # df64 arithmetic runs on the SAME triangle walk
     ("f32", "pallas_symm"): _mv_f32_pallas_symm,
-    ("df64", "pallas_symm"): _mv_df64_pallas,
+    ("df64", "pallas_symm"): _mv_df64_pallas_symm,
     ("f32@df64", "pallas_symm"): _mv_f32_of_df64_pallas_symm,
 }
 

@@ -127,6 +127,20 @@ def main():
         print(f"df64 gemv comp={comp}: rel L2 error {e8:.2e}")
         assert e8 < 1e-13, comp
 
+    # 8b. symmetric df64 kernel: triangle reads must keep the
+    # exactly-rounded-class accuracy of the full kernel on real Mosaic
+    from lam_tpu.ops.gemv import gemv_df64_symm
+    a_sym = a8[:1024, :1024] + a8[:1024, :1024].T
+    ash, asl = split_f64(a_sym)
+    psh, psl = split_f64(p8[:1024])
+    ref_sym = a_sym @ p8[:1024]
+    for comp in ("full", "nolow"):
+        yh, yl = gemv_df64_symm(ash, asl, psh, psl, comp=comp)
+        y9 = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        e9 = np.linalg.norm(y9 - ref_sym) / np.linalg.norm(ref_sym)
+        print(f"df64 SYMM gemv comp={comp}: rel L2 error {e9:.2e}")
+        assert e9 < 1e-13, comp
+
     # 9. Jacobi-PCG through the sharded program on the real backend
     psres = sop.run_pcg(sop.prepare_b(b), 5000, 1e-9)
     x_p = np.asarray(psres.x)[:n]

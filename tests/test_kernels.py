@@ -166,3 +166,67 @@ def test_gemv_df64_comp_variants():
         assert cerr < 1e-6, (comp, cerr)
     with pytest.raises(ValueError, match="comp"):
         gemv_df64(hi, lo, ph, pl_, comp="bogus")
+
+
+def test_gemv_df64_symm_is_f64_quality():
+    from lam_tpu.ops.gemv import gemv_df64_symm
+    n = 1024
+    rng = np.random.default_rng(11)
+    m = rng.uniform(-1, 1, size=(n, n))
+    a = m + m.T                      # symmetric
+    p = rng.uniform(-1, 1, size=n)
+    a_hi, a_lo = split_f64(a)
+    p_hi, p_lo = split_f64(p)
+    import jax
+    # On TPU Mosaic the error-free transforms hold (~2^-48, measured
+    # 7.4e-15 on v5e); XLA:CPU interpret mode evaluates fused f32
+    # regions in excess precision, silently weakening the compensation
+    # (same caveat as test_gemv_df64_is_f64_quality).
+    tol = 1e-13 if jax.default_backend() == "tpu" else 1e-6
+    for comp in ("full", "nolow"):
+        yh, yl = gemv_df64_symm(jnp.asarray(a_hi), jnp.asarray(a_lo),
+                                jnp.asarray(p_hi), jnp.asarray(p_lo),
+                                comp=comp)
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        ref = a @ p
+        err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert err < tol, f"df64 symm gemv ({comp}) error {err:.3e}"
+        # agreement with the full-matrix df64 kernel at the same level
+        fh, fl = gemv_df64(jnp.asarray(a_hi), jnp.asarray(a_lo),
+                           jnp.asarray(p_hi), jnp.asarray(p_lo),
+                           comp=comp)
+        yf = np.asarray(fh, np.float64) + np.asarray(fl, np.float64)
+        assert np.linalg.norm(y - yf) / np.linalg.norm(ref) < tol
+
+
+def test_gemv_df64_symm_never_reads_upper_triangle():
+    from lam_tpu.ops.gemv import gemv_df64_symm
+    n = 512
+    rng = np.random.default_rng(12)
+    m = rng.uniform(-1, 1, size=(n, n))
+    a = m + m.T
+    p = rng.uniform(-1, 1, size=n)
+    a_hi, a_lo = split_f64(a)
+    # poison every element strictly above the TILE-diagonal: values
+    # there must never be read (storage keeps the square, kernel skips)
+    tb = 128
+    poisoned_hi = a_hi.copy()
+    for bi in range(n // tb):
+        poisoned_hi[bi * tb:(bi + 1) * tb, (bi + 1) * tb:] = np.nan
+    p_hi, p_lo = split_f64(p)
+    yh, yl = gemv_df64_symm(jnp.asarray(poisoned_hi), jnp.asarray(a_lo),
+                            jnp.asarray(p_hi), jnp.asarray(p_lo), tb=tb)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    ref = a @ p
+    assert np.isfinite(y).all()
+    import jax
+    tol = 1e-13 if jax.default_backend() == "tpu" else 1e-6
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tol
+
+
+def test_gemv_df64_symm_rejects_rectangular():
+    from lam_tpu.ops.gemv import gemv_df64_symm
+    a = jnp.zeros((256, 512), jnp.float32)
+    p = jnp.zeros((512,), jnp.float32)
+    with pytest.raises(ValueError, match="square"):
+        gemv_df64_symm(a, a, p, p)
