@@ -850,3 +850,94 @@ def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None):
     s, e = two_sum(ydh.reshape(n), yth.reshape(n))
     lo = ydl.reshape(n) + ytl.reshape(n) + e
     return fast_two_sum(s, lo)
+
+
+def _gemv_df64_symm_slab_kernel(it_ref, kt_ref, lt_ref, ah_ref, al_ref,
+                                prh_ref, prl_ref, pch_ref, pcl_ref,
+                                ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                                accd_s, accd_c, acct_s, acct_c, *, comp):
+    # identical walk semantics to _gemv_df64_symm_kernel; lt_ref is
+    # consumed by the index_maps only (slab-local A reads / yd writes)
+    _gemv_df64_symm_kernel(it_ref, kt_ref, ah_ref, al_ref, prh_ref,
+                           prl_ref, pch_ref, pcl_ref, ydh_ref, ydl_ref,
+                           yth_ref, ytl_ref, accd_s, accd_c, acct_s,
+                           acct_c, comp=comp)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "comp"))
+def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
+                        tb=None, comp=None):
+    """Partial SYMMETRIC float-float matvec over a slab of band rows —
+    the df64 twin of `gemv_f32_symm_slab` (same it/kt/lt tile tables,
+    see lam_tpu/parallel/pcg_symm.py). Returns ((ydh, ydl) over the
+    slab's rows, (yth, ytl) full length): y_global = scatter(yd ->
+    owned rows) + yt, summed across shards."""
+    comp = _resolve_comp(comp)
+    if tb is None:
+        tb = DF64_SYMM_TB
+    ms, n = ah_slab.shape
+    if al_slab.shape != (ms, n):
+        raise ValueError(f"plane shapes differ: {ah_slab.shape} vs "
+                         f"{al_slab.shape}")
+    tb = _fit_tile(min(ms, n), tb, "rows")
+    grid = (it.shape[0],)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb),
+                            lambda t, it_ref, kt_ref, lt_ref:
+                            (lt_ref[t], kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec((1, tb),
+                            lambda t, it_ref, kt_ref, lt_ref:
+                            (t * 0, kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, lt_ref:
+                            (it_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, lt_ref:
+                            (lt_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec((1, n),
+                            lambda t, it_ref, kt_ref, lt_ref:
+                            (t * 0, t * 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+                  col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_df64_symm_slab_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt), ah_slab,
+      al_slab, p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))

@@ -26,9 +26,11 @@ MESH — the piece the round-1 N=70000 projection was missing:
     Per-iteration collective volume: 1 psum(N) — vs the reference GPU
     backends' broadcast(N) + gather(N) + bcast(1) with rank-0-only
     algebra (..._NCCL.cu:355-396).
-  * The accurate df64 matvec reuses the full-row gemv_df64 on the slab
-    (it runs ~4x per ir solve and is VPU-bound — docs/REPORT.md §2b —
-    so triangle reads would not pay there).
+  * The accurate df64 matvec runs the SAME triangle slab walk
+    (ops/gemv.py:gemv_df64_symm_slab) with compensated arithmetic —
+    half the HBM bytes of the round-1 full-row gemv_df64, measured
+    2.30 s -> 1.85 s on the local N=20000 df64 solve (docs/REPORT.md
+    §2b).
 
 The single-device CG/ir loops (solver/cg.py) run UNCHANGED inside
 shard_map — replicated vectors make their plain vdots correct per
@@ -128,28 +130,33 @@ def _make_mv32(axis, g, m, tb):
     return mv
 
 
-def _make_mv_acc(axis, g, m):
+def _make_mv_acc(axis, g, m, tb):
     from lam_tpu.ops import gemv
     from lam_tpu.precision import join_f64
 
-    # On TPU the compensated Pallas kernel IS the accurate matvec; off
-    # TPU (CPU tests / virtual mesh) interpret-mode f32 compensation is
-    # defeated by excess precision, so use genuine-f64 XLA instead —
+    # On TPU the compensated Pallas kernel IS the accurate matvec — and
+    # since round 2 it runs the SAME lower-triangle slab walk as the f32
+    # inner kernel (gemv_df64_symm_slab: half the HBM bytes, measured
+    # 2.30 s -> 1.85 s on the local N=20000 df64 solve). Off TPU (CPU
+    # tests / virtual mesh) interpret-mode f32 compensation is defeated
+    # by excess precision, so use genuine-f64 XLA full-row instead —
     # the same engine split the dense/sharded operators make.
     use_pallas = jax.default_backend() == "tpu"
 
     def mv(operand, p):
-        slab_hi, slab_lo, _, _, _ = operand
+        slab_hi, slab_lo, it, kt, lt = operand
         c = jax.lax.axis_index(axis)
         if use_pallas:
             ph, plo = split_f64(p)
-            yh, yl = gemv.gemv_df64(slab_hi, slab_lo, ph, plo)
-            yd = join_f64(yh, yl)
+            ydh, ydl, yth, ytl = gemv.gemv_df64_symm_slab(
+                slab_hi, slab_lo, ph, plo, it[0], kt[0], lt[0], tb=tb)
+            yd = join_f64(ydh, ydl)
+            yt = join_f64(yth, ytl)
         else:
             yd = (slab_hi.astype(p.dtype) @ p
                   + slab_lo.astype(p.dtype) @ p)
-        zero = jnp.zeros(p.shape[0], p.dtype)
-        y = _scatter_bands(yd, zero, c, g, m, p.shape[0])
+            yt = jnp.zeros(p.shape[0], p.dtype)
+        y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
         return jax.lax.psum(y, axis)
 
     return mv
@@ -162,7 +169,7 @@ def _operand_specs(axis):
 
 @functools.lru_cache(maxsize=None)
 def _build_symm_cg(mesh, axis, g, m, tb):
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m))
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
 
     def local(operand, b, max_iters, rel_error):
         return _cg_loop(mv, operand, b, max_iters, rel_error)
@@ -179,7 +186,7 @@ def _build_symm_cg(mesh, axis, g, m, tb):
 @functools.lru_cache(maxsize=None)
 def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles):
     mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb))
-    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m))
+    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
 
     def local(operand, b, max_iters, rel_error, inner_floor):
         return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
@@ -197,7 +204,7 @@ def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles):
 @functools.lru_cache(maxsize=None)
 def _build_symm_pcg(mesh, axis, g, m, tb):
     from lam_tpu.solver.cg import _pcg_loop
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m))
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
 
     def local(operand, b, inv_diag, max_iters, rel_error):
         return _pcg_loop(mv, operand, b, inv_diag, max_iters, rel_error)
@@ -214,7 +221,7 @@ def _build_symm_pcg(mesh, axis, g, m, tb):
 @functools.lru_cache(maxsize=None)
 def _build_symm_matvec(mesh, axis, g, m, tb, which):
     mv = (_make_mv32(axis, g, m, tb) if which == "f32"
-          else _make_mv_acc(axis, g, m))
+          else _make_mv_acc(axis, g, m, tb))
     mapped = shard_map(mv, mesh=mesh,
                        in_specs=(_operand_specs(axis), P()),
                        out_specs=P(), check_vma=False)
@@ -224,7 +231,7 @@ def _build_symm_matvec(mesh, axis, g, m, tb, which):
 @functools.lru_cache(maxsize=None)
 def _build_symm_chain(mesh, axis, g, m, tb, which, repeats):
     mv = (_make_mv32(axis, g, m, tb) if which == "f32"
-          else _make_mv_acc(axis, g, m))
+          else _make_mv_acc(axis, g, m, tb))
 
     def local(operand, p):
         def body(_, v):

@@ -198,9 +198,7 @@ def test_block_cg_multiple_rhs():
 
 def test_cg_with_symmetric_engine():
     """Full f32 solve through the lower-triangle kernel: the
-    ('f32','pallas_symm') MATVEC entry drives gemv_f32_symm directly
-    (with precision='df64' the plain solve would use the FULL df64
-    kernel — by design; see operators.py MATVEC comment)."""
+    ('f32','pallas_symm') MATVEC entry drives gemv_f32_symm directly."""
     a = gen.random_spd_matrix(96, seed=71)
     b = gen.random_rhs(96, seed=72)
     op = DenseOperator.from_dense(a, precision="f32",
@@ -209,6 +207,20 @@ def test_cg_with_symmetric_engine():
     assert bool(res.converged)
     x = np.asarray(res.x, np.float64)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-3
+
+
+def test_df64_solve_with_symmetric_engine():
+    """Plain df64 solve under engine='pallas_symm' routes through the
+    triangle-walk gemv_df64_symm (since round 2, ('df64','pallas_symm')
+    in operators.MATVEC) and must converge to a true 1e-9."""
+    a = gen.random_spd_matrix(96, seed=75)
+    b = gen.random_rhs(96, seed=76)
+    op = DenseOperator.from_dense(a, precision="df64",
+                                  engine="pallas_symm")
+    res = cg_solve(op, b, max_iters=5000, rel_error=1e-9)
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
 
 
 def test_ir_with_symmetric_engine():

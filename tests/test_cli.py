@@ -113,8 +113,8 @@ def test_cli_comm_ring_and_symm_engine(capsys):
     row = capsys.readouterr().out.strip().split(",")
     assert row[0] == "96" and row[1] == "4"
     # pallas_symm inner kernel end-to-end (interpret mode): precision
-    # ir routes the inner loop through gemv_f32_symm on the hi plane
-    # (plain df64 solves use the full kernel even under pallas_symm)
+    # ir routes the inner loop through gemv_f32_symm on the hi plane;
+    # plain df64 solves route through gemv_df64_symm (round 2)
     assert main(["-s", "96", "-i", "10", "--backend", "local",
                  "--engine", "pallas_symm", "--precision", "ir"]) == 0
     row = capsys.readouterr().out.strip().split(",")

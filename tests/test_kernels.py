@@ -230,3 +230,38 @@ def test_gemv_df64_symm_rejects_rectangular():
     p = jnp.zeros((512,), jnp.float32)
     with pytest.raises(ValueError, match="square"):
         gemv_df64_symm(a, a, p, p)
+
+
+def test_gemv_df64_symm_slab_partials_sum_to_full_matvec():
+    # host-side emulation of the band-pair shard_map program: per-chip
+    # slab partials (direct rows + transpose scatter) must sum to A @ p
+    from lam_tpu.ops.gemv import gemv_df64_symm_slab
+    from lam_tpu.parallel.pcg_symm import _band_tables, _slab_row_ranges
+    import jax
+    n = 1024
+    g, tb = 2, 128
+    m = n // (2 * g)            # 256 rows per band
+    mt = m // tb
+    it, kt, lt = _band_tables(g, mt, tb)
+    rng = np.random.default_rng(13)
+    mmat = rng.uniform(-1, 1, size=(n, n))
+    a = mmat + mmat.T
+    p = rng.uniform(-1, 1, size=n)
+    a_hi, a_lo = split_f64(a)
+    p_hi, p_lo = split_f64(p)
+    y = np.zeros(n)
+    for c in range(g):
+        (r0a, ma), (r0b, mb) = _slab_row_ranges(c, g, m)
+        rows = np.concatenate([np.arange(r0a, r0a + ma),
+                               np.arange(r0b, r0b + mb)])
+        ydh, ydl, yth, ytl = gemv_df64_symm_slab(
+            jnp.asarray(a_hi[rows]), jnp.asarray(a_lo[rows]),
+            jnp.asarray(p_hi), jnp.asarray(p_lo),
+            jnp.asarray(it[c]), jnp.asarray(kt[c]), jnp.asarray(lt[c]),
+            tb=tb)
+        y[rows] += np.asarray(ydh, np.float64) + np.asarray(ydl,
+                                                            np.float64)
+        y += np.asarray(yth, np.float64) + np.asarray(ytl, np.float64)
+    ref = a @ p
+    tol = 1e-13 if jax.default_backend() == "tpu" else 1e-6
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tol
