@@ -103,6 +103,30 @@ def _tridiag_hi_device_jit(n, n_padded):
     return jax.jit(_tridiag_hi_device_impl, static_argnums=(0, 1))(n, n_padded)
 
 
+def _tridiag_hi_slab_impl(n, n_padded, g, m):
+    """f32 hi plane of the gen-mode tridiagonal in the BAND-PAIR slab
+    row order of lam_tpu/parallel/pcg_symm.py: slab row s holds original
+    row `band * m + s % m` with band = c (first half of chip c's pair)
+    or 2g-1-c (second half), c = (s // m) // 2. Built on device so each
+    mesh shard materializes directly in its own HBM (jit with
+    out_shardings) — the generation analog of the reference's per-rank
+    tridiagonal fill (ConjugateGradient_CPU_MPI_OMP.hpp:237-247)."""
+    import jax
+    import jax.numpy as jnp
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (n_padded, n_padded), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_padded, n_padded), 1)
+    blk = s // m
+    c = blk // 2
+    half = blk % 2
+    band = jnp.where(half == 0, c, 2 * g - 1 - c)
+    i = band * m + s % m
+    in_range = (i < n) & (j < n)
+    d = i - j
+    vals = jnp.where(d == 0, 2.0, jnp.where((d == 1) | (d == -1), 1.0, 0.0))
+    return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

@@ -338,6 +338,39 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
+    def from_gen_tridiagonal(n, mesh=None, tb=None):
+        """Gen-mode tridiagonal in band-pair slab order, built ON DEVICE
+        (each shard materializes in its owner's HBM via out_shardings) —
+        see ShardedDenseOperator.from_gen_tridiagonal; here the hi plane
+        is generated directly in the slab row permutation
+        (lam_tpu/generate.py::_tridiag_hi_slab_impl)."""
+        from lam_tpu import generate as gen
+        from lam_tpu.ops.gemv import SYMM_TB
+        if mesh is None:
+            mesh = make_mesh()
+        if tb is None:
+            tb = SYMM_TB
+        axis = mesh.axis_names[0]
+        g = mesh.shape[axis]
+        n_p = band_padded_size(n, g, tb)
+        m = n_p // (2 * g)
+        mt = m // tb
+        it, kt, lt = _band_tables(g, mt, tb)
+        a_sharding = NamedSharding(mesh, P(axis, None))
+        hi = jax.jit(gen._tridiag_hi_slab_impl, static_argnums=(0, 1, 2, 3),
+                     out_shardings=a_sharding)(n, n_p, g, m)
+        lo = jax.jit(lambda: jnp.zeros((n_p, n_p), jnp.float32),
+                     out_shardings=a_sharding)()
+        t_sharding = NamedSharding(mesh, P(axis, None))
+
+        def mk_table(tab):
+            return jax.make_array_from_callback(
+                (g, tab.shape[1]), t_sharding, lambda sl: tab[sl])
+
+        operand = (hi, lo, mk_table(it), mk_table(kt), mk_table(lt))
+        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
+
+    @staticmethod
     def from_dense(a, mesh=None, tb=None):
         from lam_tpu.solver.operators import _verifies_symmetric
         a = np.asarray(a, dtype=np.float64)

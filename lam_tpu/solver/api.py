@@ -143,14 +143,28 @@ class ConjugateGradient:
         return True
 
     def _generate_fast(self, rows):
-        """df64 plane fast path for the gen-mode tridiagonal on the
-        local TPU backend: entries {0,1,2} are exact in f32, so build
-        the hi plane AND the all-zero lo plane entirely ON DEVICE —
-        no host build, no host->device matrix transfer at all (both
-        dominated gen-mode load_s, results/MERGE_TPU_GEN.txt)."""
-        if self.backend != "local" or jax.default_backend() != "tpu":
+        """df64 plane fast path for the gen-mode tridiagonal on TPU:
+        entries {0,1,2} are exact in f32, so build the hi plane AND the
+        all-zero lo plane entirely ON DEVICE — no host build, no
+        host->device matrix transfer at all (both dominated gen-mode
+        load_s, results/MERGE_TPU_GEN.txt). For the sharded backends
+        XLA writes each shard directly into its owner's HBM
+        (out_shardings) — the generation analog of the reference's
+        per-rank fill (ConjugateGradient_CPU_MPI_OMP.hpp:237-247)."""
+        if jax.default_backend() != "tpu":
             return None
         if self._base_precision() not in ("auto", "df64"):
+            return None
+        if self.backend == "sharded":
+            if self.engine == "pallas_symm":
+                from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+                return SymmShardedOperator.from_gen_tridiagonal(
+                    rows, mesh=self._mesh_or_make())
+            from lam_tpu.parallel.pcg import ShardedDenseOperator
+            return ShardedDenseOperator.from_gen_tridiagonal(
+                rows, mesh=self._mesh_or_make(), engine=self.engine,
+                comm=self.comm)
+        if self.backend != "local":
             return None
         from lam_tpu.solver.operators import DenseOperator, padded_size
         import jax.numpy as jnp
