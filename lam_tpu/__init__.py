@@ -35,6 +35,25 @@ import jax as _jax
 if not _os.environ.get("LAM_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: solver programs are compiled once
+# per (shape, config) and reused across processes — the reference has
+# no JIT so its binaries pay compilation at build time; here repeat CLI
+# invocations would otherwise re-pay XLA compilation (minutes for the
+# large fused solve loops through a remote-tunneled chip). Opt out with
+# LAM_TPU_NO_COMPILE_CACHE=1 or point LAM_TPU_COMPILE_CACHE elsewhere.
+if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "LAM_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "lam_tpu_xla"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # cache every program that took noticeable compile time
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except (OSError, AttributeError):  # unwritable dir / older jax
+        pass
+
 from lam_tpu.solver.cg import (  # noqa: E402
     CGResult,
     cg_solve,

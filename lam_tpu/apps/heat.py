@@ -109,13 +109,25 @@ def _laplace_matvec(nyi, nxi):
     return mv
 
 
-def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10):
+def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
+                  precision="auto"):
     """Steady state via CG on the 5-point Laplacian system.
 
     Unknowns are the interior cells; the boundary enters as the rhs
     b[i,j] = sum of adjacent boundary temperatures. The fixed point of
     the reference's Jacobi sweep is exactly the solution of this system.
+
+    precision: 'f64' runs the whole loop in f64 (native on CPU, the
+    oracle path; SLOW on TPU where f64 is software-emulated — measured
+    88 ms/iteration at 1200x1000). 'ir' runs the inner CG in f32 with
+    f64 true-residual refinement restarts — the same mixed-precision
+    engine as the dense solver, applied matrix-free: the stencil is
+    dtype-polymorphic, so BOTH operators share one matvec function and
+    a dummy operand. 'auto' picks 'ir' on TPU (measured 1200x1000:
+    350 s f64-emulated -> seconds), 'f64' elsewhere.
     """
+    import jax
+
     grid = np.asarray(grid, dtype=np.float64)
     ny, nx = grid.shape
     nyi, nxi = ny - 2, nx - 2
@@ -125,10 +137,23 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10):
     b[:, 0] += grid[1:ny - 1, 0]           # west
     b[:, -1] += grid[1:ny - 1, nx - 1]     # east
 
+    if precision == "auto":
+        precision = "ir" if jax.default_backend() == "tpu" else "f64"
     op = MatrixFreeOperator(_laplace_matvec(nyi, nxi), jnp.zeros(()),
                             nyi * nxi)
-    res = cg_solve(op, b.reshape(-1), max_iters=max_iters,
-                   rel_error=rel_error)
+    if precision == "ir":
+        from lam_tpu.solver.cg import cg_solve_ir
+        op32 = MatrixFreeOperator(_laplace_matvec(nyi, nxi), op.operand,
+                                  nyi * nxi, vector_dtype=jnp.float32)
+        # the Laplacian's condition number grows as O(side^2), so one
+        # f32 inner cycle recovers fewer digits than on the dense SPD
+        # spectrum — allow more refinement restarts than the dense
+        # default (each costs one f64 stencil apply, negligible)
+        res = cg_solve_ir(op32, op, b.reshape(-1), max_iters=max_iters,
+                          rel_error=rel_error, max_cycles=40)
+    else:
+        res = cg_solve(op, b.reshape(-1), max_iters=max_iters,
+                       rel_error=rel_error)
     out = grid.copy()
     out[1:ny - 1, 1:nx - 1] = np.asarray(res.x).reshape(nyi, nxi)
     return out, int(res.num_iters), float(res.rel_residual)

@@ -45,6 +45,16 @@ def main(argv=None):
     print("Done\n")
 
     print("Solving the heat equation ...")
+    # warm-up pass compiles the fused solve program (the reference has
+    # no JIT — its timed region is pure execution); the persistent
+    # compilation cache (lam_tpu/__init__.py) makes this near-free on
+    # repeat invocations at the same grid shape
+    t_init = time.perf_counter()
+    if args.solver == "jacobi":
+        heat.solve_heat_jacobi(grid, max_iters=0, epsilon=args.epsilon)
+    else:
+        heat.solve_heat_cg(grid, max_iters=0, rel_error=args.rel_error)
+    init_s = time.perf_counter() - t_init
     t0 = time.perf_counter()
     if args.solver == "jacobi":
         grid, iters, diff = heat.solve_heat_jacobi(
@@ -57,6 +67,7 @@ def main(argv=None):
         metric = f"rel_residual={rel:e}"
         converged = rel < args.rel_error
     dt = time.perf_counter() - t0
+    print(f"Compile (init) time: {init_s:f} s")
     if converged:
         print(f"Iterations converged in {iters} iterations with {metric}")
     else:

@@ -49,6 +49,21 @@ def test_cg_agrees_with_converged_jacobi():
     assert iters < 200
 
 
+def test_cg_ir_matches_f64_path():
+    """The mixed-precision heat path converges to the same steady state.
+
+    `precision='ir'` is the TPU default (f64 is software-emulated there);
+    on CPU both paths run, so assert they agree through the dtype-
+    polymorphic stencil to the rel_error-implied solution accuracy."""
+    g0 = heat.initial_grid(30, 26)
+    f64, _, rel64 = heat.solve_heat_cg(g0, precision="f64", rel_error=1e-10)
+    ir, _, rel_ir = heat.solve_heat_cg(g0, precision="ir", rel_error=1e-10)
+    assert rel64 < 1e-10 and rel_ir < 1e-10
+    # kappa ~ O(side^2) amplifies the 1e-10 residual bound into the
+    # solution; 1e-6 is comfortably inside that envelope
+    np.testing.assert_allclose(ir, f64, atol=1e-6)
+
+
 def test_cg_solves_exact_laplace_system():
     g0 = heat.initial_grid(9, 8)
     cg, _, _ = heat.solve_heat_cg(g0, rel_error=1e-13)
