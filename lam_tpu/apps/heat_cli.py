@@ -23,6 +23,11 @@ def main(argv=None):
     p.add_argument("--solver", choices=["cg", "jacobi"], default="cg")
     p.add_argument("--epsilon", type=float, default=1e-3)
     p.add_argument("--rel-error", type=float, default=1e-10)
+    p.add_argument("--precision", choices=["auto", "f64", "ir"],
+                   default="auto",
+                   help="CG solver precision: ir = f32 inner + f64 "
+                        "refinement (TPU default), f64 = native/emulated "
+                        "f64 loop (CPU default)")
     args = p.parse_args(argv)
 
     if args.nx <= 0 or args.ny <= 0 or args.max_iterations < 0:
@@ -53,7 +58,8 @@ def main(argv=None):
     if args.solver == "jacobi":
         heat.solve_heat_jacobi(grid, max_iters=0, epsilon=args.epsilon)
     else:
-        heat.solve_heat_cg(grid, max_iters=0, rel_error=args.rel_error)
+        heat.solve_heat_cg(grid, max_iters=0, rel_error=args.rel_error,
+                           precision=args.precision)
     init_s = time.perf_counter() - t_init
     t0 = time.perf_counter()
     if args.solver == "jacobi":
@@ -63,7 +69,8 @@ def main(argv=None):
         converged = diff < args.epsilon
     else:
         grid, iters, rel = heat.solve_heat_cg(
-            grid, max_iters=args.max_iterations, rel_error=args.rel_error)
+            grid, max_iters=args.max_iterations, rel_error=args.rel_error,
+            precision=args.precision)
         metric = f"rel_residual={rel:e}"
         converged = rel < args.rel_error
     dt = time.perf_counter() - t0
