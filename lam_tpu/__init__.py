@@ -41,7 +41,16 @@ if not _os.environ.get("LAM_TPU_NO_X64"):
 # invocations would otherwise re-pay XLA compilation (minutes for the
 # large fused solve loops through a remote-tunneled chip). Opt out with
 # LAM_TPU_NO_COMPILE_CACHE=1 or point LAM_TPU_COMPILE_CACHE elsewhere.
-if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE"):
+#
+# The cache is gated OFF when the process forces a CPU-only platform
+# (JAX_PLATFORMS=cpu — the test suite / virtual-mesh path): XLA:CPU
+# executables are AOT-compiled for a specific machine, and through the
+# remote-tunneled TPU backend the compiling machine can differ from
+# this host — loading such an entry in a CPU-only run risks SIGILL
+# ("machine type ... doesn't match", cpu_aot_loader). TPU executables
+# have no such host dependence.
+_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE") and _platforms != "cpu":
     _cache_dir = _os.environ.get(
         "LAM_TPU_COMPILE_CACHE",
         _os.path.join(_os.path.expanduser("~"), ".cache", "lam_tpu_xla"))
@@ -53,6 +62,24 @@ if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE"):
                            1.0)
     except (OSError, AttributeError):  # unwritable dir / older jax
         pass
+
+
+def force_platform(platform):
+    """Switch the JAX platform after import (the env-var route is closed
+    once backends initialize; entry points that need CPU — the virtual
+    mesh, multi-process workers, `lam-cg --platform cpu` — call this).
+
+    Forcing "cpu" also disables the persistent compilation cache for the
+    same reason as the JAX_PLATFORMS gate above: XLA:CPU AOT executables
+    are machine-specific, and entries written via the remote-tunneled
+    backend may target a different host (SIGILL risk on load)."""
+    _jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        try:
+            _jax.config.update("jax_compilation_cache_dir", None)
+        except AttributeError:  # pragma: no cover - older jax
+            pass
+
 
 from lam_tpu.solver.cg import (  # noqa: E402
     CGResult,

@@ -176,6 +176,12 @@ def main(argv=None):
     if not mode_generate and not mode_load:
         # reference defaults to file mode paths when nothing is given
         mode_load = True
+    if args.preconditioner and args.checkpoint:
+        # the resumable segmented driver has no PCG plumbing — reject
+        # rather than silently running unpreconditioned CG
+        print("--preconditioner cannot be used with --checkpoint.",
+              file=sys.stderr)
+        return 1
 
     import os
     import time
@@ -194,7 +200,8 @@ def main(argv=None):
     import jax
 
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        import lam_tpu
+        lam_tpu.force_platform(args.platform)
     if args.coordinator:
         from lam_tpu.parallel.mesh import distributed_init
         distributed_init(coordinator_address=args.coordinator,

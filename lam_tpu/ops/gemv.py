@@ -420,7 +420,15 @@ def gemv_f32_symm_slab(a_slab, p, it, kt, lt, *, tb=None):
     if tb is None:
         tb = SYMM_TB
     ms, n = a_slab.shape
-    tb = _fit_tile(min(ms, n), tb, "rows")
+    fitted = _fit_tile(min(ms, n), tb, "rows")
+    if fitted != tb:
+        # the it/kt/lt tables are expressed in tb-tile units; a silent
+        # refit here would reinterpret them in the wrong units (finite
+        # but WRONG partial sums) — reject instead
+        raise ValueError(
+            f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
+            f"tables require tb to be a power-of-two multiple of 128 "
+            f"dividing the band size (nearest usable: {fitted})")
     grid = (it.shape[0],)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -628,7 +636,8 @@ def gemv_df64(a_hi, a_lo, p_hi, p_lo, *, tile_m=TILE_M, tile_k=TILE_K,
     correctly-rounded-to-~2^-48 product — the TPU answer to the
     reference's fp64 CUDA gemv (ConjugateGradient_GPU_CUDA.cu:171-223).
     comp: compensation budget (see _df64_kernel_body; default from
-    LAM_TPU_DF64_COMP, 'full').
+    LAM_TPU_DF64_COMP, 'nolow' — adopted round 2 after the tuning
+    study in results/DF64_TUNE_r02.log).
     """
     comp = _resolve_comp(comp)
     m, n = a_hi.shape
@@ -879,7 +888,15 @@ def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
     if al_slab.shape != (ms, n):
         raise ValueError(f"plane shapes differ: {ah_slab.shape} vs "
                          f"{al_slab.shape}")
-    tb = _fit_tile(min(ms, n), tb, "rows")
+    fitted = _fit_tile(min(ms, n), tb, "rows")
+    if fitted != tb:
+        # the it/kt/lt tables are expressed in tb-tile units; a silent
+        # refit here would reinterpret them in the wrong units (finite
+        # but WRONG partial sums) — reject instead
+        raise ValueError(
+            f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
+            f"tables require tb to be a power-of-two multiple of 128 "
+            f"dividing the band size (nearest usable: {fitted})")
     grid = (it.shape[0],)
 
     def tile_spec():

@@ -38,7 +38,16 @@ def distributed_init(coordinator_address=None, num_processes=None,
     list and the same mesh program runs unchanged across processes."""
     state = getattr(jax.distributed, "global_state", None)
     if state is not None and getattr(state, "client", None) is not None:
-        return  # already initialized
+        if coordinator_address is not None:
+            # the explicit form MUST take effect or fail loudly; a prior
+            # initialization (possibly a different topology) cannot be
+            # re-bootstrapped, so silently continuing would run the
+            # wrong mesh — the moral equivalent of a second MPI_Init
+            raise RuntimeError(
+                "jax.distributed is already initialized; the requested "
+                "coordinator/process topology cannot be applied in "
+                "this process")
+        return  # auto-detect form: idempotent no-op
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -68,6 +68,20 @@ def band_padded_size(n, g, tb):
     return padded_size(n, 2 * g * tb)
 
 
+def _validate_tb(tb):
+    """The slab kernels' tile tables are expressed in tb-tile units, so
+    tb must be exactly realizable as a Pallas tile: a power-of-two
+    multiple of the 128-lane width. Reject anything else at operator
+    construction (the kernels also reject, but this surfaces the error
+    before matrices are materialized)."""
+    if tb < 128 or tb & (tb - 1):
+        raise ValueError(
+            f"tb={tb} is not a power-of-two multiple of 128 (e.g. a "
+            f"LAM_TPU_SYMM_TB / LAM_TPU_DF64_SYMM_TB tuning value); "
+            f"use 128, 256, 512, ...")
+    return tb
+
+
 @functools.lru_cache(maxsize=None)
 def _band_tables(g, mt, tb):
     """Per-chip (it, kt, lt) tile tables for the band-pair walk.
@@ -287,6 +301,7 @@ class SymmShardedOperator(LinearOperator):
             mesh = make_mesh()
         if tb is None:
             tb = SYMM_TB
+        _validate_tb(tb)
         axis = mesh.axis_names[0]
         g = mesh.shape[axis]
         n_p = band_padded_size(n, g, tb)
@@ -350,6 +365,7 @@ class SymmShardedOperator(LinearOperator):
             mesh = make_mesh()
         if tb is None:
             tb = SYMM_TB
+        _validate_tb(tb)
         axis = mesh.axis_names[0]
         g = mesh.shape[axis]
         n_p = band_padded_size(n, g, tb)

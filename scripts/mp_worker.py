@@ -41,8 +41,8 @@ def main(argv=None):
         os.path.abspath(__file__))))
     import jax
 
-    import lam_tpu  # noqa: F401  (enables x64)
-    jax.config.update("jax_platforms", "cpu")
+    import lam_tpu  # enables x64
+    lam_tpu.force_platform("cpu")
 
     from lam_tpu.parallel.mesh import distributed_init, make_mesh
     distributed_init(coordinator_address=args.coordinator,

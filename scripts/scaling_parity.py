@@ -104,8 +104,8 @@ def main():
 
     import jax
 
-    import lam_tpu  # noqa: F401
-    jax.config.update("jax_platforms", "cpu")
+    import lam_tpu
+    lam_tpu.force_platform("cpu")
 
     from lam_tpu import generate as gen
 
@@ -114,8 +114,9 @@ def main():
     bnorm = np.linalg.norm(b)
 
     # sequential oracle iteration count
-    import __graft_entry__ as ge
-    _, iters_ref, _ = ge._oracle_cg(a, b, 2000, 1e-9)
+    from lam_tpu.solver.oracle import oracle_cg
+    _, iters_ref, _, _ = oracle_cg(a, b, max_iters=2000,
+                                   rel_error=1e-9)
 
     lines = rows(n, a, b, bnorm, iters_ref)
 

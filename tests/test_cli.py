@@ -174,6 +174,15 @@ def test_cli_init_col(capsys, tmp_path):
     assert int(fields[7]) == 5        # num_iter shifted right by one
 
 
+def test_cli_preconditioner_checkpoint_rejected(tmp_path, capsys):
+    """The resumable driver has no PCG plumbing; combining the flags
+    must error rather than silently run unpreconditioned CG."""
+    rc = cli.main(["-s", "64", "--preconditioner", "jacobi",
+                   "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 1
+    capsys.readouterr()
+
+
 def test_cli_jacobi_preconditioner(tmp_path, capsys):
     """--preconditioner jacobi end-to-end, local and sharded."""
     a = gen.random_spd_matrix(96, seed=6)

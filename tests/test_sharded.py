@@ -389,6 +389,15 @@ def test_symm_sharded_rejects_asymmetric():
         _symm_op(a, 2)
 
 
+def test_symm_sharded_rejects_bad_tile(mesh8):
+    """Non-power-of-two tb would reinterpret the tile tables in the
+    wrong units (silently corrupt matvecs before round 2's guard)."""
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    a = np.eye(512) * 2.0
+    with pytest.raises(ValueError, match="power-of-two"):
+        SymmShardedOperator.from_dense(a, mesh=mesh8, tb=192)
+
+
 def test_symm_sharded_via_api(mesh8):
     """--backend sharded --engine pallas_symm routing (gen mode)."""
     from lam_tpu.solver.api import ConjugateGradient
