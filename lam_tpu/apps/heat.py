@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lam_tpu.solver.cg import cg_solve
-from lam_tpu.solver.operators import MatrixFreeOperator
+from lam_tpu.solver.operators import (LinearOperator, MatrixFreeOperator,
+                                      _wrap_matvec)
 
 BC_NORTH = 0.0
 BC_SOUTH = 100.0
@@ -109,6 +110,67 @@ def _laplace_matvec(nyi, nxi):
     return mv
 
 
+@functools.lru_cache(maxsize=None)
+def _laplace_matvec_padded(nyi, nxi, H, W):
+    """Masked 5-point Laplacian on the padded (H, W) grid (XLA, dtype-
+    polymorphic). Same semantics as _laplace_matvec on the leading
+    (nyi, nxi) interior; keeps padding exactly zero so it shares a
+    vector space with the Pallas kernel (ops/stencil.py invariant)."""
+
+    def mv(operand, p):
+        del operand
+        u = p.reshape(H, W)[:nyi, :nxi]
+        out = 4.0 * u
+        out = out - jnp.pad(u[1:, :], ((0, 1), (0, 0)))
+        out = out - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+        out = out - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+        out = out - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        return jnp.pad(out, ((0, H - nyi), (0, W - nxi))).reshape(-1)
+
+    return mv
+
+
+@functools.lru_cache(maxsize=None)
+def _laplace_matvec_dot_pallas(nyi, nxi, H, W, tbr):
+    """Fused (Ap, p.Ap) via the Pallas stencil kernel — one read of p,
+    one write of y per matvec (the XLA pad formulation moves ~7x the
+    bytes; see ops/stencil.py)."""
+    from lam_tpu.ops.stencil import laplace5_f32
+
+    def mvd(operand, p):
+        del operand
+        y, d = laplace5_f32(p.reshape(H, W), nyi=nyi, nxi=nxi, tbr=tbr)
+        return y.reshape(-1), d
+
+    return mvd
+
+
+class _StencilOperator(LinearOperator):
+    """Operator on the 2-D zero-padded grid vector space.
+
+    The generic base pads/crops 1-D tails; the stencil pads in 2-D
+    (rows to H, columns to W), so prepare_b/extract_x are overridden.
+    All CG vectors keep exact zeros in the padding (masked matvecs), so
+    dot products and norms are unaffected."""
+
+    def __init__(self, matvec_dot_fn, operand, nyi, nxi, H, W, dtype):
+        super().__init__(matvec_dot_fn, operand, nyi * nxi, H * W, dtype)
+        self._dims = (nyi, nxi, H, W)
+
+    def prepare_b(self, b):
+        nyi, nxi, H, W = self._dims
+        b = jnp.asarray(b, dtype=self.vector_dtype)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, "
+                             f"expected ({self.n},)")
+        return jnp.pad(b.reshape(nyi, nxi),
+                       ((0, H - nyi), (0, W - nxi))).reshape(-1)
+
+    def extract_x(self, x_padded):
+        nyi, nxi, H, W = self._dims
+        return x_padded.reshape(H, W)[:nyi, :nxi].reshape(-1)
+
+
 def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
                   precision="auto"):
     """Steady state via CG on the 5-point Laplacian system.
@@ -121,10 +183,12 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
     oracle path; SLOW on TPU where f64 is software-emulated — measured
     88 ms/iteration at 1200x1000). 'ir' runs the inner CG in f32 with
     f64 true-residual refinement restarts — the same mixed-precision
-    engine as the dense solver, applied matrix-free: the stencil is
-    dtype-polymorphic, so BOTH operators share one matvec function and
-    a dummy operand. 'auto' picks 'ir' on TPU (measured 1200x1000:
-    350 s f64-emulated -> seconds), 'f64' elsewhere.
+    engine as the dense solver, with the inner matvec being the fused
+    Pallas 5-point stencil kernel (ops/stencil.py: one read of p, one
+    write of y, in-kernel p.Ap partials) on the 2-D padded grid and the
+    refinement matvec the masked XLA stencil on the same vector space.
+    'auto' picks 'ir' on TPU (measured 1200x1000: 350 s f64-emulated ->
+    0.56 s), 'f64' elsewhere.
     """
     import jax
 
@@ -139,12 +203,17 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
 
     if precision == "auto":
         precision = "ir" if jax.default_backend() == "tpu" else "f64"
-    op = MatrixFreeOperator(_laplace_matvec(nyi, nxi), jnp.zeros(()),
-                            nyi * nxi)
     if precision == "ir":
+        from lam_tpu.ops.stencil import padded_hw
         from lam_tpu.solver.cg import cg_solve_ir
-        op32 = MatrixFreeOperator(_laplace_matvec(nyi, nxi), op.operand,
-                                  nyi * nxi, vector_dtype=jnp.float32)
+        H, W, tbr = padded_hw(nyi, nxi)
+        operand = jnp.zeros(())
+        op = _StencilOperator(
+            _wrap_matvec(_laplace_matvec_padded(nyi, nxi, H, W)),
+            operand, nyi, nxi, H, W, jnp.float64)
+        op32 = _StencilOperator(
+            _laplace_matvec_dot_pallas(nyi, nxi, H, W, tbr),
+            operand, nyi, nxi, H, W, jnp.float32)
         # the Laplacian's condition number grows as O(side^2), so one
         # f32 inner cycle recovers fewer digits than on the dense SPD
         # spectrum — allow more refinement restarts than the dense
@@ -152,6 +221,8 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
         res = cg_solve_ir(op32, op, b.reshape(-1), max_iters=max_iters,
                           rel_error=rel_error, max_cycles=40)
     else:
+        op = MatrixFreeOperator(_laplace_matvec(nyi, nxi), jnp.zeros(()),
+                                nyi * nxi)
         res = cg_solve(op, b.reshape(-1), max_iters=max_iters,
                        rel_error=rel_error)
     out = grid.copy()

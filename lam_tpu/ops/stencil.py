@@ -1,0 +1,126 @@
+"""Pallas TPU 5-point Laplacian stencil (heat-equation demo hot op).
+
+The reference demo's hot loop is a 4-neighbor Jacobi sweep over the
+plate (heat_equation.cpp:75-89); the rebuild solves the same steady
+state with CG on the 5-point Laplacian (SURVEY.md §3.5 rebuild note),
+so the hot op becomes the stencil MATVEC
+
+    y[i,j] = 4 p[i,j] - p[i-1,j] - p[i+1,j] - p[i,j-1] - p[i,j+1]
+
+with zero (Dirichlet-eliminated) boundary. The XLA formulation via
+jnp.pad materializes the padded array and re-reads it once per shifted
+term — ~70 MB of HBM traffic per 1200x1000 f32 matvec where ~10 MB
+(read p once, write y once) suffices. This kernel reads each input
+element once:
+
+  * The grid is padded to (H, W): W a lane multiple, H a multiple of
+    the row-tile tbr. Padding cells hold ZERO in every CG vector (the
+    output mask below keeps them zero), so out-of-range neighbor reads
+    are zeros by construction.
+  * grid = (H//tbr,); each step loads its (tbr, W) row block plus TWO
+    single halo rows (the adjacent blocks' boundary rows, gathered by
+    the caller with a strided slice) — north/south shifts then happen
+    in VMEM via sublane concatenate, west/east via lane concatenate.
+  * The p . Ap dot that the CG loop fuses into every matvec
+    (solver/cg.py matvec_dot contract) is accumulated in-kernel as
+    per-block partials — saving the two extra full-array reads an XLA
+    dot of the kernel's opaque output would cost.
+  * Output masked to the true (nyi, nxi) interior so padding stays
+    exactly zero (a padded cell bordering the interior would otherwise
+    accumulate -p_neighbor and feed back into the solve).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+_VMEM_CAP = 64 * 1024 * 1024
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def padded_hw(nyi, nxi, tbr_target=256):
+    """(H, W, tbr): grid padded so W % 128 == 0 and H % tbr == 0."""
+    W = -(-nxi // _LANES) * _LANES
+    if nyi >= tbr_target:
+        tbr = tbr_target
+    else:  # small grids: one block of sublane-aligned rows
+        tbr = -(-nyi // _SUBLANES) * _SUBLANES
+    H = -(-nyi // tbr) * tbr
+    return H, W, tbr
+
+
+def _laplace5_kernel(p_ref, up_ref, dn_ref, y_ref, dot_ref, *, nyi, nxi):
+    # up/dn/dot blocks span their whole (G, W)/(G, 1) arrays (constant
+    # index maps — tiny, VMEM-resident across grid steps); each step
+    # reads/writes its own row i dynamically.
+    i = pl.program_id(0)
+    tbr, w = p_ref.shape
+    p = p_ref[...]
+    up_row = up_ref[pl.dslice(i, 1), :]
+    dn_row = dn_ref[pl.dslice(i, 1), :]
+    north = jnp.concatenate([up_row, p[:-1, :]], axis=0)
+    south = jnp.concatenate([p[1:, :], dn_row], axis=0)
+    zcol = jnp.zeros((tbr, 1), jnp.float32)
+    west = jnp.concatenate([zcol, p[:, :-1]], axis=1)
+    east = jnp.concatenate([p[:, 1:], zcol], axis=1)
+    rows = i * tbr + jax.lax.broadcasted_iota(jnp.int32, (tbr, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tbr, w), 1)
+    mask = jnp.logical_and(rows < nyi, cols < nxi)
+    y = jnp.where(mask, 4.0 * p - north - south - west - east, 0.0)
+    y_ref[...] = y
+    dot_ref[pl.dslice(i, 1), :] = jnp.sum(p * y).reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("nyi", "nxi", "tbr"))
+def laplace5_f32(p2d, *, nyi, nxi, tbr):
+    """(y, p_dot_y) for the masked 5-point Laplacian on a padded grid.
+
+    p2d: (H, W) f32 with H % tbr == 0, W % 128 == 0, and zeros outside
+    the leading (nyi, nxi) interior. Returns y (H, W) with the same
+    zero-padding invariant, and the scalar p . y.
+    """
+    H, W = p2d.shape
+    if H % tbr or W % _LANES:
+        raise ValueError(f"padded grid ({H}, {W}) must be a multiple of "
+                         f"(tbr={tbr}, {_LANES})")
+    G = H // tbr
+    # adjacent blocks' boundary rows (block i needs rows i*tbr - 1 and
+    # (i+1)*tbr); strided-slice gathers, zeros at the outer edges
+    zrow = jnp.zeros((1, W), jnp.float32)
+    up = jnp.concatenate([zrow, p2d[tbr - 1::tbr][: G - 1]], axis=0)
+    dn = jnp.concatenate([p2d[tbr::tbr], zrow], axis=0)
+    y, partials = pl.pallas_call(
+        functools.partial(_laplace5_kernel, nyi=nyi, nxi=nxi),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((tbr, W), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tbr, W), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(p2d, up, dn)
+    return y, jnp.sum(partials)

@@ -49,6 +49,32 @@ def test_cg_agrees_with_converged_jacobi():
     assert iters < 200
 
 
+def test_laplace5_stencil_kernel():
+    """Pallas 5-point stencil == dense 5-point action, padding stays
+    exactly zero, and the fused p.Ap matches (ops/stencil.py)."""
+    import jax.numpy as jnp
+
+    from lam_tpu.ops.stencil import laplace5_f32, padded_hw
+
+    rng = np.random.default_rng(3)
+    for nyi, nxi in [(98, 118), (7, 5), (300, 250), (256, 128)]:
+        H, W, tbr = padded_hw(nyi, nxi)
+        p = np.zeros((H, W), np.float32)
+        p[:nyi, :nxi] = rng.standard_normal((nyi, nxi)).astype(np.float32)
+        y, d = laplace5_f32(jnp.asarray(p), nyi=nyi, nxi=nxi, tbr=tbr)
+        y = np.asarray(y)
+        g = p.astype(np.float64)[:nyi, :nxi]
+        ref = 4 * g.copy()
+        ref[1:, :] -= g[:-1, :]
+        ref[:-1, :] -= g[1:, :]
+        ref[:, 1:] -= g[:, :-1]
+        ref[:, :-1] -= g[:, 1:]
+        np.testing.assert_allclose(y[:nyi, :nxi], ref, atol=1e-5)
+        assert (y[nyi:] == 0).all() and (y[:, nxi:] == 0).all()
+        dref = float((g * ref).sum())
+        assert abs(float(d) - dref) <= 1e-6 * abs(dref) + 1e-6
+
+
 def test_cg_ir_matches_f64_path():
     """The mixed-precision heat path converges to the same steady state.
 
