@@ -101,6 +101,7 @@ __all__ = [
     "DenseOperator",
     "LinearOperator",
     "ConjugateGradient",
+    "force_platform",
 ]
 
 __version__ = "0.1.0"

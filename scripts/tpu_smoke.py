@@ -149,6 +149,30 @@ def main():
           f"TRUE {true_p:.2e}")
     assert bool(psres.converged) and true_p < 5e-9
 
+    # 10. Pallas 5-point stencil (heat demo inner kernel) on hardware
+    import jax.numpy as jnp
+
+    from lam_tpu.ops.stencil import laplace5_f32, padded_hw
+    nyi, nxi = 300, 250
+    H, W, tbr = padded_hw(nyi, nxi)
+    ps = np.zeros((H, W), np.float32)
+    ps[:nyi, :nxi] = rng.standard_normal((nyi, nxi)).astype(np.float32)
+    ys, ds = laplace5_f32(jnp.asarray(ps), nyi=nyi, nxi=nxi, tbr=tbr)
+    ys = np.asarray(ys)
+    gs = ps.astype(np.float64)[:nyi, :nxi]
+    refs = 4 * gs.copy()
+    refs[1:, :] -= gs[:-1, :]
+    refs[:-1, :] -= gs[1:, :]
+    refs[:, 1:] -= gs[:, :-1]
+    refs[:, :-1] -= gs[:, 1:]
+    es = np.abs(ys[:nyi, :nxi] - refs).max()
+    dref = float((gs * refs).sum())
+    print(f"pallas stencil: max err {es:.2e}, fused-dot rel "
+          f"{abs(float(ds) - dref) / abs(dref):.2e}, "
+          f"pad_zero={bool((ys[nyi:] == 0).all())}")
+    assert es < 1e-4 and (ys[nyi:] == 0).all()
+    assert abs(float(ds) - dref) <= 1e-5 * abs(dref)
+
     print("TPU smoke: ALL PASS")
     return 0
 
