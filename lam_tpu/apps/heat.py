@@ -117,14 +117,11 @@ def _laplace_matvec_padded(nyi, nxi, H, W):
     (nyi, nxi) interior; keeps padding exactly zero so it shares a
     vector space with the Pallas kernel (ops/stencil.py invariant)."""
 
+    inner_mv = _laplace_matvec(nyi, nxi)
+
     def mv(operand, p):
-        del operand
         u = p.reshape(H, W)[:nyi, :nxi]
-        out = 4.0 * u
-        out = out - jnp.pad(u[1:, :], ((0, 1), (0, 0)))
-        out = out - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
-        out = out - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
-        out = out - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        out = inner_mv(operand, u.reshape(-1)).reshape(nyi, nxi)
         return jnp.pad(out, ((0, H - nyi), (0, W - nxi))).reshape(-1)
 
     return mv

@@ -39,13 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
+from lam_tpu.ops.gemv import _LANES, _VMEM_CAP, _use_interpret
+
 _SUBLANES = 8
-_VMEM_CAP = 64 * 1024 * 1024
-
-
-def _use_interpret():
-    return jax.default_backend() != "tpu"
 
 
 def padded_hw(nyi, nxi, tbr_target=256):

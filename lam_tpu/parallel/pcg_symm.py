@@ -110,6 +110,34 @@ def _band_tables(g, mt, tb):
             np.asarray(lts, np.int32))
 
 
+def _geometry(n, mesh, tb):
+    """Shared factory prologue: resolve mesh/tb, derive the band layout,
+    build the walk tables and the row sharding."""
+    from lam_tpu.ops.gemv import SYMM_TB
+    if mesh is None:
+        mesh = make_mesh()
+    if tb is None:
+        tb = SYMM_TB
+    _validate_tb(tb)
+    axis = mesh.axis_names[0]
+    g = mesh.shape[axis]
+    n_p = band_padded_size(n, g, tb)
+    m = n_p // (2 * g)
+    tables = _band_tables(g, m // tb, tb)
+    sharding = NamedSharding(mesh, P(axis, None))
+    return mesh, tb, axis, g, n_p, m, tables, sharding
+
+
+def _table_arrays(tables, g, sharding):
+    """it/kt/lt host tables -> row-sharded device arrays."""
+
+    def mk(tab):
+        return jax.make_array_from_callback(
+            (g, tab.shape[1]), sharding, lambda sl: tab[sl])
+
+    return tuple(mk(t) for t in tables)
+
+
 def _slab_row_ranges(c, g, m):
     """Original-row ranges (start, size) of chip c's two bands."""
     return ((c * m, m), ((2 * g - 1 - c) * m, m))
@@ -296,21 +324,8 @@ class SymmShardedOperator(LinearOperator):
 
         Each chip materializes only its two bands (the per-rank MPI-IO
         analog, ConjugateGradient_CPU_MPI_OMP.hpp:325-363)."""
-        from lam_tpu.ops.gemv import SYMM_TB
-        if mesh is None:
-            mesh = make_mesh()
-        if tb is None:
-            tb = SYMM_TB
-        _validate_tb(tb)
-        axis = mesh.axis_names[0]
-        g = mesh.shape[axis]
-        n_p = band_padded_size(n, g, tb)
-        m = n_p // (2 * g)
-        mt = m // tb
-        it, kt, lt = _band_tables(g, mt, tb)
-
-        a_sharding = NamedSharding(mesh, P(axis, None))
-        t_sharding = NamedSharding(mesh, P(axis, None))
+        (mesh, tb, axis, g, n_p, m, tables,
+         a_sharding) = _geometry(n, mesh, tb)
 
         def slab_block(row_start, num_rows):
             # rows of the stacked band layout S: chip c's slab is
@@ -343,13 +358,8 @@ class SymmShardedOperator(LinearOperator):
                                  (sl[0].stop or n_p) - (sl[0].start or 0),
                                  idx))
 
-        def mk_table(tab):
-            return jax.make_array_from_callback(
-                (g, tab.shape[1]), t_sharding,
-                lambda sl: tab[sl])
-
-        operand = (mk(0), mk(1), mk_table(it), mk_table(kt),
-                   mk_table(lt))
+        operand = (mk(0), mk(1),
+                   *_table_arrays(tables, g, a_sharding))
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
@@ -360,30 +370,13 @@ class SymmShardedOperator(LinearOperator):
         is generated directly in the slab row permutation
         (lam_tpu/generate.py::_tridiag_hi_slab_impl)."""
         from lam_tpu import generate as gen
-        from lam_tpu.ops.gemv import SYMM_TB
-        if mesh is None:
-            mesh = make_mesh()
-        if tb is None:
-            tb = SYMM_TB
-        _validate_tb(tb)
-        axis = mesh.axis_names[0]
-        g = mesh.shape[axis]
-        n_p = band_padded_size(n, g, tb)
-        m = n_p // (2 * g)
-        mt = m // tb
-        it, kt, lt = _band_tables(g, mt, tb)
-        a_sharding = NamedSharding(mesh, P(axis, None))
+        (mesh, tb, axis, g, n_p, m, tables,
+         a_sharding) = _geometry(n, mesh, tb)
         hi = jax.jit(gen._tridiag_hi_slab_impl, static_argnums=(0, 1, 2, 3),
                      out_shardings=a_sharding)(n, n_p, g, m)
         lo = jax.jit(lambda: jnp.zeros((n_p, n_p), jnp.float32),
                      out_shardings=a_sharding)()
-        t_sharding = NamedSharding(mesh, P(axis, None))
-
-        def mk_table(tab):
-            return jax.make_array_from_callback(
-                (g, tab.shape[1]), t_sharding, lambda sl: tab[sl])
-
-        operand = (hi, lo, mk_table(it), mk_table(kt), mk_table(lt))
+        operand = (hi, lo, *_table_arrays(tables, g, a_sharding))
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
