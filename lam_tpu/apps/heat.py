@@ -168,8 +168,134 @@ class _StencilOperator(LinearOperator):
         return x_padded.reshape(H, W)[:nyi, :nxi].reshape(-1)
 
 
+# -- row-sharded stencil over a device mesh ---------------------------------
+#
+# The grid's rows are sharded over a 1-D mesh; each matvec exchanges ONE
+# boundary row with each neighbor (jax.lax.ppermute — the halo-exchange
+# pattern the gemv-style operators never need) and runs the same Pallas
+# kernel per shard with the received rows as its up/dn edges. Vectors
+# stay row-sharded end-to-end; the generic per-shard CG/ir loop bodies
+# from lam_tpu/parallel/pcg.py run unchanged (dots psum over the axis).
+
+
+def _sharded_stencil_applies(axis, nyi, nxi, Hs, W, tbr, g):
+    """(apply32, apply_acc) per-shard stencil matvecs (inside shard_map)."""
+    from lam_tpu.ops.stencil import laplace5_f32_halo
+
+    fwd = [(i, (i + 1) % g) for i in range(g)]
+    bwd = [(i, (i - 1) % g) for i in range(g)]
+
+    def halos(u):
+        # neighbor edge rows; the ring wrap-around delivers a WRONG row
+        # to shard 0's top / shard g-1's bottom, but those sit at the
+        # true boundary where the mask forces zeros — overwrite with 0.
+        c = jax.lax.axis_index(axis)
+        up = jax.lax.ppermute(u[-1:, :], axis, fwd)    # from c-1
+        dn = jax.lax.ppermute(u[:1, :], axis, bwd)     # from c+1
+        up = jnp.where(c == 0, jnp.zeros_like(up), up)
+        dn = jnp.where(c == g - 1, jnp.zeros_like(dn), dn)
+        return up, dn
+
+    def nrows(c):
+        return jnp.clip(nyi - c * Hs, 0, Hs).astype(jnp.int32)
+
+    def apply32(operand, p):
+        del operand
+        u = p.reshape(Hs, W)
+        up, dn = halos(u)
+        y, _ = laplace5_f32_halo(u, up, dn,
+                                 nrows(jax.lax.axis_index(axis)),
+                                 nxi=nxi, tbr=tbr)
+        return y.reshape(-1)
+
+    def apply_acc(operand, p):
+        del operand
+        u = p.reshape(Hs, W)
+        up, dn = halos(u)
+        north = jnp.concatenate([up.astype(u.dtype), u[:-1, :]], axis=0)
+        south = jnp.concatenate([u[1:, :], dn.astype(u.dtype)], axis=0)
+        zc = jnp.zeros((Hs, 1), u.dtype)
+        west = jnp.concatenate([zc, u[:, :-1]], axis=1)
+        east = jnp.concatenate([u[:, 1:], zc], axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 1)
+        mask = jnp.logical_and(
+            rows < nrows(jax.lax.axis_index(axis)), cols < nxi)
+        y = jnp.where(mask, 4.0 * u - north - south - west - east, 0.0)
+        return y.reshape(-1)
+
+    return apply32, apply_acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_heat_ir(mesh, axis, nyi, nxi, Hs, W, tbr,
+                           max_cycles):
+    from jax.sharding import PartitionSpec as P
+
+    from lam_tpu.parallel.pcg import _make_local_ir
+    from lam_tpu.solver.cg import CGResult
+
+    g = mesh.shape[axis]
+    apply32, apply_acc = _sharded_stencil_applies(axis, nyi, nxi, Hs, W,
+                                                  tbr, g)
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    mapped = shard_map(
+        _make_local_ir(apply32, apply_acc, axis, max_cycles),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P()),
+        out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
+                           converged=P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class _ShardedStencilOperator(LinearOperator):
+    """Row-sharded padded-grid operator (see _StencilOperator for the
+    single-device twin; here prepare_b also places the row blocks)."""
+
+    def __init__(self, nyi, nxi, H, W, tbr, mesh):
+        axis = mesh.axis_names[0]
+        g = mesh.shape[axis]
+        self._mesh, self._axis = mesh, axis
+        self._dims = (nyi, nxi, H, W)
+        self._tbr, self._g, self._hs = tbr, g, H // g
+        super().__init__(None, jnp.zeros(()), nyi * nxi, H * W,
+                         jnp.float64)
+
+    def prepare_b(self, b):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nyi, nxi, H, W = self._dims
+        b = np.asarray(b, dtype=np.float64)
+        if b.shape != (self.n,):
+            raise ValueError(f"rhs has shape {b.shape}, "
+                             f"expected ({self.n},)")
+        bp = np.zeros((H, W))
+        bp[:nyi, :nxi] = b.reshape(nyi, nxi)
+        return jax.device_put(
+            bp.reshape(-1),
+            NamedSharding(self._mesh, P(self._axis)))
+
+    def extract_x(self, x_padded):
+        nyi, nxi, H, W = self._dims
+        return np.asarray(x_padded).reshape(H, W)[:nyi, :nxi].reshape(-1)
+
+    def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
+                  inner_floor):
+        del op32  # the f32 stencil is shape-derived, not an operand view
+        nyi, nxi, _, W = self._dims
+        solver = _build_sharded_heat_ir(self._mesh, self._axis, nyi, nxi,
+                                        self._hs, W, self._tbr,
+                                        int(max_cycles))
+        return solver(self.operand, b_padded, max_iters, rel_error,
+                      inner_floor)
+
+
 def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
-                  precision="auto"):
+                  precision="auto", devices=None):
     """Steady state via CG on the 5-point Laplacian system.
 
     Unknowns are the interior cells; the boundary enters as the rhs
@@ -186,6 +312,10 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
     refinement matvec the masked XLA stencil on the same vector space.
     'auto' picks 'ir' on TPU (measured 1200x1000: 350 s f64-emulated ->
     0.56 s), 'f64' elsewhere.
+
+    devices > 1 row-shards the grid over a 1-D mesh: one boundary-row
+    ppermute per neighbor per matvec (halo exchange), replicated
+    nothing — vectors stay sharded end-to-end (implies 'ir').
     """
     import jax
 
@@ -200,7 +330,17 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
 
     if precision == "auto":
         precision = "ir" if jax.default_backend() == "tpu" else "f64"
-    if precision == "ir":
+    if devices and devices > 1:
+        from lam_tpu.ops.stencil import padded_hw
+        from lam_tpu.parallel.mesh import make_mesh
+        from lam_tpu.solver.cg import cg_solve_ir
+        mesh = make_mesh(devices)
+        g = mesh.shape[mesh.axis_names[0]]
+        H, W, tbr = padded_hw(nyi, nxi, row_groups=g)
+        op = _ShardedStencilOperator(nyi, nxi, H, W, tbr, mesh)
+        res = cg_solve_ir(op, op, b.reshape(-1), max_iters=max_iters,
+                          rel_error=rel_error, max_cycles=40)
+    elif precision == "ir":
         from lam_tpu.ops.stencil import padded_hw
         from lam_tpu.solver.cg import cg_solve_ir
         H, W, tbr = padded_hw(nyi, nxi)

@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--solver", choices=["cg", "jacobi"], default="cg")
     p.add_argument("--epsilon", type=float, default=1e-3)
     p.add_argument("--rel-error", type=float, default=1e-10)
+    p.add_argument("--devices", type=int, default=None,
+                   help="Row-shard the grid over this many devices "
+                        "(halo-exchange stencil; implies ir)")
     p.add_argument("--precision", choices=["auto", "f64", "ir"],
                    default="auto",
                    help="CG solver precision: ir = f32 inner + f64 "
@@ -59,7 +62,8 @@ def main(argv=None):
         heat.solve_heat_jacobi(grid, max_iters=0, epsilon=args.epsilon)
     else:
         heat.solve_heat_cg(grid, max_iters=0, rel_error=args.rel_error,
-                           precision=args.precision)
+                           precision=args.precision,
+                           devices=args.devices)
     init_s = time.perf_counter() - t_init
     t0 = time.perf_counter()
     if args.solver == "jacobi":
@@ -70,7 +74,7 @@ def main(argv=None):
     else:
         grid, iters, rel = heat.solve_heat_cg(
             grid, max_iters=args.max_iterations, rel_error=args.rel_error,
-            precision=args.precision)
+            precision=args.precision, devices=args.devices)
         metric = f"rel_residual={rel:e}"
         converged = rel < args.rel_error
     dt = time.perf_counter() - t0

@@ -90,6 +90,20 @@ def test_cg_ir_matches_f64_path():
     np.testing.assert_allclose(ir, f64, atol=1e-6)
 
 
+def test_cg_sharded_stencil_matches_f64():
+    """Row-sharded halo-exchange stencil (ppermute per matvec) agrees
+    with the single-device f64 oracle across mesh sizes."""
+    import jax
+    assert len(jax.devices()) >= 8  # conftest virtual mesh
+    g0 = heat.initial_grid(40, 36)
+    ref, _, _ = heat.solve_heat_cg(g0, precision="f64", rel_error=1e-11)
+    for dev in (2, 8):
+        out, _, rel = heat.solve_heat_cg(g0, devices=dev,
+                                         rel_error=1e-11)
+        assert rel < 1e-11
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_cg_solves_exact_laplace_system():
     g0 = heat.initial_grid(9, 8)
     cg, _, _ = heat.solve_heat_cg(g0, rel_error=1e-13)
