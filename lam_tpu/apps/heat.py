@@ -199,14 +199,17 @@ def _sharded_stencil_applies(axis, nyi, nxi, Hs, W, tbr, g):
     def nrows(c):
         return jnp.clip(nyi - c * Hs, 0, Hs).astype(jnp.int32)
 
-    def apply32(operand, p):
+    def apply32_dot(operand, p):
         del operand
         u = p.reshape(Hs, W)
         up, dn = halos(u)
-        y, _ = laplace5_f32_halo(u, up, dn,
+        y, d = laplace5_f32_halo(u, up, dn,
                                  nrows(jax.lax.axis_index(axis)),
                                  nxi=nxi, tbr=tbr)
-        return y.reshape(-1)
+        return y.reshape(-1), d
+
+    def apply32(operand, p):
+        return apply32_dot(operand, p)[0]
 
     def apply_acc(operand, p):
         del operand
@@ -224,7 +227,7 @@ def _sharded_stencil_applies(axis, nyi, nxi, Hs, W, tbr, g):
         y = jnp.where(mask, 4.0 * u - north - south - west - east, 0.0)
         return y.reshape(-1)
 
-    return apply32, apply_acc
+    return apply32, apply32_dot, apply_acc
 
 
 @functools.lru_cache(maxsize=None)
@@ -236,14 +239,15 @@ def _build_sharded_heat_ir(mesh, axis, nyi, nxi, Hs, W, tbr,
     from lam_tpu.solver.cg import CGResult
 
     g = mesh.shape[axis]
-    apply32, apply_acc = _sharded_stencil_applies(axis, nyi, nxi, Hs, W,
-                                                  tbr, g)
+    apply32, apply32_dot, apply_acc = _sharded_stencil_applies(
+        axis, nyi, nxi, Hs, W, tbr, g)
     try:
         shard_map = jax.shard_map
     except AttributeError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
     mapped = shard_map(
-        _make_local_ir(apply32, apply_acc, axis, max_cycles),
+        _make_local_ir(apply32, apply_acc, axis, max_cycles,
+                       apply32_dot=apply32_dot),
         mesh=mesh,
         in_specs=(P(), P(axis), P(), P(), P()),
         out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
@@ -275,9 +279,13 @@ class _ShardedStencilOperator(LinearOperator):
                              f"expected ({self.n},)")
         bp = np.zeros((H, W))
         bp[:nyi, :nxi] = b.reshape(nyi, nxi)
-        return jax.device_put(
-            bp.reshape(-1),
-            NamedSharding(self._mesh, P(self._axis)))
+        flat = bp.reshape(-1)
+        # make_array_from_callback, not device_put: a plain device_put
+        # of host data cannot target a sharding that spans other
+        # processes' devices (same pattern as parallel/pcg.py)
+        return jax.make_array_from_callback(
+            flat.shape, NamedSharding(self._mesh, P(self._axis)),
+            lambda idx: flat[idx])
 
     def extract_x(self, x_padded):
         nyi, nxi, H, W = self._dims
@@ -328,9 +336,14 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
     b[:, 0] += grid[1:ny - 1, 0]           # west
     b[:, -1] += grid[1:ny - 1, nx - 1]     # east
 
-    if precision == "auto":
-        precision = "ir" if jax.default_backend() == "tpu" else "f64"
     if devices and devices > 1:
+        # reject an EXPLICIT f64 request (the sharded path implements
+        # only the mixed-precision ir solver); 'auto' means ir here
+        if precision == "f64":
+            raise ValueError(
+                "the row-sharded heat path implements only the "
+                "mixed-precision ir solver; drop --precision f64 or "
+                "--devices")
         from lam_tpu.ops.stencil import padded_hw
         from lam_tpu.parallel.mesh import make_mesh
         from lam_tpu.solver.cg import cg_solve_ir
@@ -340,7 +353,12 @@ def solve_heat_cg(grid, max_iters=100_000, rel_error=1e-10,
         op = _ShardedStencilOperator(nyi, nxi, H, W, tbr, mesh)
         res = cg_solve_ir(op, op, b.reshape(-1), max_iters=max_iters,
                           rel_error=rel_error, max_cycles=40)
-    elif precision == "ir":
+        out = grid.copy()
+        out[1:ny - 1, 1:nx - 1] = np.asarray(res.x).reshape(nyi, nxi)
+        return out, int(res.num_iters), float(res.rel_residual)
+    if precision == "auto":
+        precision = "ir" if jax.default_backend() == "tpu" else "f64"
+    if precision == "ir":
         from lam_tpu.ops.stencil import padded_hw
         from lam_tpu.solver.cg import cg_solve_ir
         H, W, tbr = padded_hw(nyi, nxi)

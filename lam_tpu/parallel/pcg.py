@@ -105,12 +105,15 @@ def _make_apply(matvec_local, matvec_cols, axis, comm, g):
     return apply
 
 
-def _make_local_cg(apply_fn, axis):
+def _make_local_cg(apply_fn, axis, apply_dot_fn=None):
     """Per-shard CG loop body (runs inside shard_map).
 
     b, x, r, p are the LOCAL row-blocks; dots are psum'd; the matvec is
     `apply_fn` (gather- or ring-composed, `_make_apply`). Reused by both
-    the plain solver and the mixed-precision refinement program."""
+    the plain solver and the mixed-precision refinement program.
+    apply_dot_fn, when given, returns (ap_local, local p.Ap partial) —
+    for matvecs that fuse the dot in-kernel (the heat stencil); the
+    loop then psums the partial instead of re-reading p and ap."""
 
     def local_loop(operand, b, max_iters, rel_error):
         def pdot(u, v):
@@ -128,8 +131,13 @@ def _make_local_cg(apply_fn, axis):
 
         def body(carry):
             x, r, p, rr, k = carry
-            ap = apply_fn(operand, p)
-            alpha = rr / pdot(p, ap)
+            if apply_dot_fn is not None:
+                ap, pap_local = apply_dot_fn(operand, p)
+                pap = jax.lax.psum(pap_local, axis)
+            else:
+                ap = apply_fn(operand, p)
+                pap = pdot(p, ap)
+            alpha = rr / pap
             x = x + alpha * p
             r = r - alpha * ap
             rr_new = pdot(r, r)
@@ -227,7 +235,8 @@ def _build_sharded_pcg(matvec_local, matvec_cols, mesh, axis,
     return jax.jit(mapped)
 
 
-def _make_local_ir(apply32, apply_acc, axis, max_cycles):
+def _make_local_ir(apply32, apply_acc, axis, max_cycles,
+                   apply32_dot=None):
     """Per-shard mixed-precision refinement program: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
     inner f32 sharded CG. Both matvecs read ONE shared operand (the f32
@@ -235,7 +244,7 @@ def _make_local_ir(apply32, apply_acc, axis, max_cycles):
     are sharded over — dots psum over it; the matvecs' own collectives
     live inside apply32/apply_acc."""
 
-    inner_cg = _make_local_cg(apply32, axis)
+    inner_cg = _make_local_cg(apply32, axis, apply_dot_fn=apply32_dot)
 
     def local_ir(operand, b, max_iters, rel_error, inner_floor):
         def pdot(u, v):

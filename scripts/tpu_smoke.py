@@ -167,10 +167,11 @@ def main():
     refs[:, :-1] -= gs[:, 1:]
     es = np.abs(ys[:nyi, :nxi] - refs).max()
     dref = float((gs * refs).sum())
+    pad_zero = (ys[nyi:] == 0).all() and (ys[:, nxi:] == 0).all()
     print(f"pallas stencil: max err {es:.2e}, fused-dot rel "
           f"{abs(float(ds) - dref) / abs(dref):.2e}, "
-          f"pad_zero={bool((ys[nyi:] == 0).all())}")
-    assert es < 1e-4 and (ys[nyi:] == 0).all()
+          f"pad_zero={bool(pad_zero)}")
+    assert es < 1e-4 and pad_zero
     assert abs(float(ds) - dref) <= 1e-5 * abs(dref)
 
     print("TPU smoke: ALL PASS")

@@ -104,6 +104,13 @@ def test_cg_sharded_stencil_matches_f64():
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_cg_sharded_rejects_explicit_f64():
+    import pytest
+    g0 = heat.initial_grid(10, 10)
+    with pytest.raises(ValueError, match="ir solver"):
+        heat.solve_heat_cg(g0, devices=2, precision="f64")
+
+
 def test_cg_solves_exact_laplace_system():
     g0 = heat.initial_grid(9, 8)
     cg, _, _ = heat.solve_heat_cg(g0, rel_error=1e-13)
