@@ -50,7 +50,8 @@ def run_one(n, mode, max_iters, rel_error, backend, precision, engine,
     t = cg.timings
     n_dev = devices or len(jax.devices())
     return (f"{n},{n_dev},1,{load_s:g},{avg_gemv:g},{t['avg_iter_s']:g},"
-            f"{t['num_iters']},{t['rel_residual']:g},{t['solve_s']:g}")
+            f"{t.get('csv_num_iters', t['num_iters'])},"
+            f"{t['rel_residual']:g},{t['solve_s']:g}")
 
 
 def main(argv=None):

@@ -28,6 +28,12 @@ device count and `threads` is 1 (XLA owns intra-chip parallelism).
 Deliberate fixes vs the reference: the CPU backends' avg_gemv/avg_iter
 double-division bug (CPU_MPI_OMP.hpp:119-124) is not reproduced, and
 gen-mode total time prints as float seconds, not integer-divided.
+Deliberately REPRODUCED: for unconverged runs the CSV num_iter column
+records the reference's loop-exit value max_iters+1 (its for-loop exits
+with num_iters == max_iters + 1 and the CSV prints that,
+CPU_MPI_OMP.hpp:98,125 — e.g. 16 for the gen-mode -i 15 probes,
+BEST_RESULTS:173-236), while verbose mode reports max_iters like the
+reference's printf (:138).
 
 Extensions beyond the reference surface:
   --backend local|sharded|auto   --precision f64|f32|df64|ir|auto
@@ -283,6 +289,8 @@ def main(argv=None):
             cg.timings.update(
                 solve_s=dt, avg_iter_s=dt / iters,
                 num_iters=int(result.num_iters),
+                csv_num_iters=int(result.num_iters) + (
+                    0 if bool(result.converged) else 1),
                 rel_residual=float(result.rel_residual))
         else:
             converged = cg.solve(args.max_iters, args.rel_error,
@@ -309,7 +317,8 @@ def main(argv=None):
         # reference NCCL driver's extra nccl_init_s column after load_s
         init_col = (f"{t.get('init_s', 0.0):g}," if args.init_col else "")
         print(f"{cg.n},{n_devices},1,{load_s:g},{init_col}{avg_gemv:g},"
-              f"{t['avg_iter_s']:g},{t['num_iters']},"
+              f"{t['avg_iter_s']:g},"
+              f"{t.get('csv_num_iters', t['num_iters'])},"
               f"{t['rel_residual']:g},{t['solve_s']:g}")
 
     cg.save_result_to_file(args.output)

@@ -16,7 +16,9 @@ def test_runner_gen_sweep(tmp_path, capsys):
         f = row.split(",")
         assert len(f) == 9
         assert int(f[0]) == n
-        assert int(f[6]) == 15  # gen-mode reference cap
+        # gen-mode cap: the reference CSV records the loop-exit
+        # value max_iters+1 (BEST_RESULTS:173-236 shows 16)
+        assert int(f[6]) == 16
 
 
 def test_runner_spd_mode(tmp_path):

@@ -16,7 +16,9 @@ def test_gen_mode_csv_contract(capsys):
     # N,procs,threads,load_s,avg_gemv_s,avg_iter_s,num_iter,err,total_cg_s
     assert len(fields) == 9
     assert int(fields[0]) == 200
-    assert int(fields[6]) == 15          # gen-mode cap: exactly 15 iters
+    # the reference CSV records the loop-exit value cap+1 for
+    # unconverged runs (BEST_RESULTS:173-236: 16 for -i 15)
+    assert int(fields[6]) == 16
     assert float(fields[7]) > 1e-9       # and not converged
     assert float(fields[8]) >= 0
 
@@ -95,7 +97,7 @@ def test_cli_checkpoint_resume(tmp_path, capsys):
                    "--checkpoint", ck, "--checkpoint-every", "10"])
     assert rc == 0
     first = capsys.readouterr().out.strip().splitlines()[-1].split(",")
-    assert int(first[6]) == 20
+    assert int(first[6]) == 21   # unconverged CSV = cap+1
     # resume and give it room to converge further
     rc = cli.main(["-s", "300", "-i", "100", "-o", sol,
                    "--checkpoint", ck, "--resume"])
@@ -118,7 +120,7 @@ def test_cli_comm_ring_and_symm_engine(capsys):
     assert main(["-s", "96", "-i", "10", "--backend", "local",
                  "--engine", "pallas_symm", "--precision", "ir"]) == 0
     row = capsys.readouterr().out.strip().split(",")
-    assert row[0] == "96" and int(row[6]) == 10
+    assert row[0] == "96" and int(row[6]) == 11
 
 
 def test_cli_sharded2d_backend(capsys):
@@ -126,7 +128,7 @@ def test_cli_sharded2d_backend(capsys):
     assert main(["-s", "96", "-i", "10", "--backend", "sharded2d",
                  "--devices", "4", "--precision", "f64"]) == 0
     row = capsys.readouterr().out.strip().split(",")
-    assert row[0] == "96" and int(row[6]) == 10
+    assert row[0] == "96" and int(row[6]) == 11
 
 
 def test_cli_sharded2d_procs_column_counts_used_devices(capsys):
@@ -156,10 +158,11 @@ def test_cli_positional_form(tmp_path, capsys):
     x = lio.read_vector(s)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
     # iters slot: a 2-iteration cap must stop the solve at 2
+    # (the CSV records the reference's loop-exit value, cap+1)
     rc = cli.main([m, r, s, "2"])
     assert rc == 0
     fields = capsys.readouterr().out.strip().splitlines()[-1].split(",")
-    assert int(fields[6]) == 2
+    assert int(fields[6]) == 3
 
 
 def test_cli_init_col(capsys, tmp_path):
@@ -171,7 +174,7 @@ def test_cli_init_col(capsys, tmp_path):
     fields = capsys.readouterr().out.strip().splitlines()[-1].split(",")
     assert len(fields) == 10          # one extra column
     assert float(fields[4]) >= 0      # init_s = warmup/compile seconds
-    assert int(fields[7]) == 5        # num_iter shifted right by one
+    assert int(fields[7]) == 6        # num_iter (cap+1) shifted right
 
 
 def test_cli_preconditioner_checkpoint_rejected(tmp_path, capsys):
