@@ -24,8 +24,13 @@ _INFO_HEADER = struct.Struct("<IiiHHIIiiII")
 
 def colormap(values, min_val=0.0, max_val=100.0):
     """(..., ) float -> (..., 3) uint8 RGB, reference 4-segment ramp."""
-    v = 4.0 * (np.asarray(values, dtype=np.float64) - min_val) \
-        / (max_val - min_val)
+    span = max_val - min_val
+    if span <= 0:
+        # degenerate range (e.g. constant plate): map everything to the
+        # ramp's cold end instead of dividing by zero (NaN -> undefined
+        # int casts -> garbage pixels)
+        span = 1.0
+    v = 4.0 * (np.asarray(values, dtype=np.float64) - min_val) / span
     r = np.clip(((v - 2.0) * 255.0).astype(np.int64), 0, 255)
     g = np.clip(((2.0 - np.abs(v - 2.0)) * 255.0).astype(np.int64), 0, 255)
     b = np.clip(((2.0 - v) * 255.0).astype(np.int64), 0, 255)

@@ -48,7 +48,7 @@ def run_one(n, mode, max_iters, rel_error, backend, precision, engine,
     cg.solve(max_iters, rel_error)
     avg_gemv = cg.measure_gemv()
     t = cg.timings
-    n_dev = devices or len(jax.devices())
+    n_dev = cg.used_devices()
     return (f"{n},{n_dev},1,{load_s:g},{avg_gemv:g},{t['avg_iter_s']:g},"
             f"{t.get('csv_num_iters', t['num_iters'])},"
             f"{t['rel_residual']:g},{t['solve_s']:g}")

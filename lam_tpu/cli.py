@@ -182,6 +182,12 @@ def main(argv=None):
     if not mode_generate and not mode_load:
         # reference defaults to file mode paths when nothing is given
         mode_load = True
+    if args.precision == "ir" and args.checkpoint:
+        # cg_solve_resumable runs the plain recurrence; silently running
+        # df64 when ir was requested would misreport the config
+        print("--precision ir cannot be used with --checkpoint.",
+              file=sys.stderr)
+        return 1
     if args.preconditioner and args.checkpoint:
         # the resumable segmented driver has no PCG plumbing — reject
         # rather than silently running unpreconditioned CG
@@ -230,11 +236,7 @@ def main(argv=None):
                            engine=args.engine, n_devices=args.devices,
                            comm=args.comm)
     # the CSV procs column counts devices actually USED
-    if cg.backend == "local":
-        n_devices = 1
-    elif cg.backend == "sharded2d":
-        import math
-        n_devices = math.isqrt(n_devices) ** 2  # R x R grid uses R^2
+    n_devices = cg.used_devices()
 
     vprint("Command line arguments:")
     if mode_generate:
@@ -283,15 +285,7 @@ def main(argv=None):
                 rel_error=args.rel_error, segment=args.checkpoint_every,
                 checkpoint_path=args.checkpoint, resume=args.resume)
             dt = _time.perf_counter() - t0
-            cg.result = result
-            converged = bool(result.converged)
-            iters = max(int(result.num_iters), 1)
-            cg.timings.update(
-                solve_s=dt, avg_iter_s=dt / iters,
-                num_iters=int(result.num_iters),
-                csv_num_iters=int(result.num_iters) + (
-                    0 if bool(result.converged) else 1),
-                rel_residual=float(result.rel_residual))
+            converged = cg.record_result(result, dt)
         else:
             converged = cg.solve(args.max_iters, args.rel_error,
                                  warmup=not args.no_warmup,

@@ -83,6 +83,10 @@ def read_matrix_rows(path, row_start, num_rows, dtype=np.float64):
     offset = _HEADER.size + row_start * cols * 8
     data = np.fromfile(path, dtype=np.float64, count=num_rows * cols,
                        offset=offset)
+    if data.size != num_rows * cols:
+        raise IOError(f"{path}: truncated payload "
+                      f"({data.size} of {num_rows * cols} elements in "
+                      f"row block [{row_start}, {row_start + num_rows}))")
     return np.ascontiguousarray(
         data.reshape(num_rows, cols).astype(dtype, copy=False))
 

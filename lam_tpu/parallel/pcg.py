@@ -40,7 +40,7 @@ from lam_tpu.solver.operators import (
     MATVEC_COLS,
     LinearOperator,
     padded_size,
-    split_f64_host,
+    df64_plane_provider,
 )
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
@@ -372,10 +372,15 @@ class ShardedDenseOperator(LinearOperator):
     @staticmethod
     def shard_padded_size(n, mesh, engine):
         """Pad so every shard is tile-aligned for the Pallas kernels."""
+        import math
+
         g = mesh.devices.size
         if engine == "pallas":
             from lam_tpu.ops.gemv import TILE_K, TILE_M
-            mult = max(TILE_K, TILE_M * g)
+            # must divide by g AND leave TILE_M-aligned shards AND keep
+            # TILE_K column alignment; max() alone breaks non-power-of-
+            # two meshes (g=3: max(1024, 768) = 1024, not divisible by 3)
+            mult = math.lcm(TILE_K, TILE_M * g)
         else:
             mult = g
         return padded_size(n, mult)
@@ -429,21 +434,11 @@ class ShardedDenseOperator(LinearOperator):
                 lambda s, m: padded_block(s, m).astype(np.float32))
             vdtype = jnp.float32
         elif precision == "df64":
-            # split each block ONCE (threaded C++ when built); the hi and
-            # lo device-array callbacks arrive separately per shard, so
-            # park the sibling plane until its callback shows up
-            pending = {}
+            plane = df64_plane_provider(
+                lambda key: padded_block(*key))
 
-            def plane(s, m, idx):
-                key = (s, m)
-                if key in pending:
-                    return pending.pop(key)[idx]
-                planes = split_f64_host(padded_block(s, m))
-                pending[key] = planes
-                return planes[idx]
-
-            operand = (make(lambda s, m: plane(s, m, 0)),
-                       make(lambda s, m: plane(s, m, 1)))
+            operand = (make(lambda s, m: plane((s, m), 0)),
+                       make(lambda s, m: plane((s, m), 1)))
             vdtype = jnp.float64
         else:
             raise ValueError(f"unknown precision {precision!r}")

@@ -47,7 +47,7 @@ from lam_tpu.solver.operators import (
     MATVEC,
     LinearOperator,
     padded_size,
-    split_f64_host,
+    df64_plane_provider,
 )
 
 ROWS, COLS = "rows", "cols"
@@ -214,14 +214,11 @@ class Sharded2DOperator(LinearOperator):
             operand = make(lambda b: b.astype(np.float32))
             vdtype = jnp.float32
         elif precision == "df64":
-            pending = {}
+            def block_for(key):
+                r0, c0, h, w = key
+                return padded_block(r0, c0, h, w)
 
-            def plane(b, key, idx):
-                if key in pending:
-                    return pending.pop(key)[idx]
-                planes = split_f64_host(b)
-                pending[key] = planes
-                return planes[idx]
+            plane = df64_plane_provider(block_for)
 
             def mk(idx):
                 def cb(slices):
@@ -229,8 +226,7 @@ class Sharded2DOperator(LinearOperator):
                     c0 = slices[1].start or 0
                     h = (slices[0].stop or n_p) - r0
                     w = (slices[1].stop or n_p) - c0
-                    return plane(padded_block(r0, c0, h, w), (r0, c0),
-                                 idx)
+                    return plane((r0, c0, h, w), idx)
 
                 return jax.make_array_from_callback((n_p, n_p),
                                                     a_sharding, cb)

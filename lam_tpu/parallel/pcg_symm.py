@@ -54,7 +54,7 @@ from lam_tpu.solver.operators import (
     LinearOperator,
     _wrap_matvec,
     padded_size,
-    split_f64_host,
+    df64_plane_provider,
 )
 
 try:  # jax >= 0.4.35
@@ -341,21 +341,13 @@ class SymmShardedOperator(LinearOperator):
                     out[local:local + src, :n] = row_block_fn(r0, src)
             return out
 
-        pending = {}
-
-        def plane(s, mrows, idx):
-            key = (s, mrows)
-            if key in pending:
-                return pending.pop(key)[idx]
-            planes = split_f64_host(slab_block(s, mrows))
-            pending[key] = planes
-            return planes[idx]
+        plane = df64_plane_provider(lambda key: slab_block(*key))
 
         def mk(idx):
             return jax.make_array_from_callback(
                 (n_p, n_p), a_sharding,
-                lambda sl: plane(sl[0].start or 0,
-                                 (sl[0].stop or n_p) - (sl[0].start or 0),
+                lambda sl: plane((sl[0].start or 0,
+                                  (sl[0].stop or n_p) - (sl[0].start or 0)),
                                  idx))
 
         operand = (mk(0), mk(1),
@@ -488,6 +480,13 @@ class SymmShardedOperator(LinearOperator):
         out.vector_dtype = jnp.float32
         out.precision = "f32"
         out._which = "f32"
+        # generic consumers of _matvec_dot_fn (checkpoint driver,
+        # matvec_chain) must get the f32 walk, not the accurate df64
+        # program the constructor wired (same fixup as
+        # ShardedDenseOperator.as_f32)
+        out._matvec_dot_fn = _wrap_matvec(
+            _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
+                               self._tb, "f32"))
         return out
 
 

@@ -216,12 +216,18 @@ class ConjugateGradient:
         result = solver(max_iters, rel_error)
         # scalar readback: block_until_ready alone can be a no-op on
         # remote-tunneled platforms, silently under-reporting the time
-        rel = float(result.rel_residual)
-        dt = time.perf_counter() - t0
+        float(result.rel_residual)
+        return self.record_result(result, time.perf_counter() - t0)
+
+    def record_result(self, result, solve_s):
+        """Store a CGResult + wall time into the timings dict (shared
+        by solve() and external drivers like the checkpoint CLI path, so
+        the CSV bookkeeping — including the num_iter parity rule below —
+        lives in exactly one place)."""
         self.result = result
         iters = max(int(result.num_iters), 1)
-        self.timings["solve_s"] = dt
-        self.timings["avg_iter_s"] = dt / iters
+        self.timings["solve_s"] = solve_s
+        self.timings["avg_iter_s"] = solve_s / iters
         self.timings["num_iters"] = int(result.num_iters)
         # CSV parity: the reference's for-loop exits with num_iters ==
         # max_iters + 1 when unconverged and the CSV prints THAT value
@@ -230,8 +236,20 @@ class ConjugateGradient:
         # (ConjugateGradient_CPU_MPI_OMP.hpp:98,125,138)
         self.timings["csv_num_iters"] = int(result.num_iters) + (
             0 if bool(result.converged) else 1)
-        self.timings["rel_residual"] = rel
+        self.timings["rel_residual"] = float(result.rel_residual)
         return bool(result.converged)
+
+    def used_devices(self):
+        """Devices the configured backend actually uses (the CSV procs
+        column counts these, not the visible device count)."""
+        import math
+
+        n = self.n_devices or len(jax.devices())
+        if self.backend == "local":
+            return 1
+        if self.backend == "sharded2d":
+            return math.isqrt(n) ** 2  # R x R grid uses R^2
+        return n
 
     def _solve_once(self, max_iters, rel_error, preconditioner=None):
         if self.precision == "ir":

@@ -76,6 +76,27 @@ def split_f64_host(a):
     return hi, lo
 
 
+def df64_plane_provider(block_fn):
+    """plane(key, idx) for per-shard df64 construction callbacks.
+
+    jax.make_array_from_callback invokes the hi- and lo-plane callbacks
+    separately per shard; splitting the same block twice would double
+    the (threaded C++) split work, so the first caller splits ONCE and
+    parks the sibling plane until its callback shows up. `block_fn(key)`
+    produces the f64 block for a shard key; used by all three sharded
+    operators (pcg, pcg2d, pcg_symm)."""
+    pending = {}
+
+    def plane(key, idx):
+        if key in pending:
+            return pending.pop(key)[idx]
+        planes = split_f64_host(block_fn(key))
+        pending[key] = planes
+        return planes[idx]
+
+    return plane
+
+
 # ---------------------------------------------------------------------------
 # matvec_dot implementations. Module-level functions so they hash stably as
 # jit static arguments (no retracing across operator instances).

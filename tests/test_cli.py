@@ -177,6 +177,15 @@ def test_cli_init_col(capsys, tmp_path):
     assert int(fields[7]) == 6        # num_iter (cap+1) shifted right
 
 
+def test_cli_ir_checkpoint_rejected(tmp_path, capsys):
+    """cg_solve_resumable runs the plain recurrence; an explicit ir
+    request must error, not silently run df64."""
+    rc = cli.main(["-s", "64", "--precision", "ir",
+                   "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 1
+    capsys.readouterr()
+
+
 def test_cli_preconditioner_checkpoint_rejected(tmp_path, capsys):
     """The resumable driver has no PCG plumbing; combining the flags
     must error rather than silently run unpreconditioned CG."""

@@ -389,6 +389,18 @@ def test_symm_sharded_rejects_asymmetric():
         _symm_op(a, 2)
 
 
+def test_sharded_non_power_of_two_mesh():
+    """g=3 exercises the lcm-based shard padding (max() alone yielded a
+    padded size not divisible by g and construction crashed)."""
+    a, b = _spd_system(200, seed=9)
+    op = ShardedDenseOperator.from_dense(a, mesh=make_mesh(3),
+                                         precision="df64")
+    res = cg_solve(op, b, max_iters=1000, rel_error=1e-9)
+    x = np.asarray(res.x)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
 def test_symm_sharded_rejects_bad_tile(mesh8):
     """Non-power-of-two tb would reinterpret the tile tables in the
     wrong units (silently corrupt matvecs before round 2's guard)."""
