@@ -288,8 +288,11 @@ class _ShardedStencilOperator(LinearOperator):
             lambda idx: flat[idx])
 
     def extract_x(self, x_padded):
+        from lam_tpu.solver.api import _host_array
         nyi, nxi, H, W = self._dims
-        return np.asarray(x_padded).reshape(H, W)[:nyi, :nxi].reshape(-1)
+        # _host_array: x is sharded across processes in multi-process
+        # runs; np.asarray alone raises on non-addressable shards
+        return _host_array(x_padded).reshape(H, W)[:nyi, :nxi].reshape(-1)
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
                   inner_floor):

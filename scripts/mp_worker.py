@@ -84,6 +84,21 @@ def main(argv=None):
     from lam_tpu.parallel.pcg_symm import SymmShardedOperator
     sop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128)
     check(cg_solve(sop, b, max_iters=2000, rel_error=1e-9), "symm")
+
+    # heat demo: row-sharded halo-exchange stencil with CROSS-PROCESS
+    # ppermute of the boundary rows (the matrix-free parallel pattern)
+    from lam_tpu.apps import heat
+    g0 = heat.initial_grid(40, 36)
+    ref_grid, _, _ = heat.solve_heat_cg(g0, precision="f64",
+                                        rel_error=1e-11)
+    out, _, rel = heat.solve_heat_cg(g0, devices=mesh.devices.size,
+                                     rel_error=1e-11)
+    assert rel < 1e-11, f"heat: rel {rel}"
+    dmax = float(np.abs(out - ref_grid).max())
+    assert dmax < 1e-6, f"heat: mismatch {dmax}"
+    if jax.process_index() == 0:
+        print(f"MP_OK comm=heat-halo procs={args.num_processes} "
+              f"devices={mesh.devices.size} rel={rel:.3e}", flush=True)
     return 0
 
 
