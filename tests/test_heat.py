@@ -151,6 +151,16 @@ def test_bmp_roundtrip_and_colormap(tmp_path):
     np.testing.assert_array_equal(bmp.read_bmp(tmp_path / "t3.bmp"), rgb3)
 
 
+def test_heat_cli_devices_flag(tmp_path, capsys):
+    """lam-heat --devices routes through the sharded halo-exchange path."""
+    from lam_tpu.apps import heat_cli
+    out_bin = tmp_path / "heat.bin"
+    rc = heat_cli.main(["20", "16", str(out_bin), "100000",
+                        "--devices", "2"])
+    assert rc == 0
+    assert "converged" in capsys.readouterr().out
+
+
 def test_heat_cli_end_to_end(tmp_path, capsys):
     from lam_tpu.apps import bmp_cli, heat_cli
     out_bin = tmp_path / "heat.bin"
