@@ -11,8 +11,8 @@ Systems use the reference construction (eigenvalues exp(3.5*U(-1,1)),
 random orthogonal similarity, random U(-1,1) rhs); every solve's TRUE
 residual is validated host-side in f64. Engines: df64 = float-float
 Pallas (f64-parity), ir = f32 iterations + df64 iterative refinement.
-Each engine is timed best-of-2 (the remote tunnel shows sporadic
-multi-x stalls) with scalar readbacks (block_until_ready can no-op
+Each engine is timed best-of-3 (the remote tunnel shows sporadic
+multi-x stalls and ~20% bandwidth drift) with scalar readbacks (block_until_ready can no-op
 through the tunnel).
 
 Prints exactly one JSON line:
@@ -108,7 +108,7 @@ def _measure(n):
 
     def timed(fn):
         best, best_res = None, None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             r = fn()
             float(r.rel_residual)  # scalar readback forces execution
