@@ -286,6 +286,56 @@ def _symm_tables(nblk):
     return (_np.asarray(iis, _np.int32), _np.asarray(kks, _np.int32))
 
 
+def tri_tile_count(nblk):
+    """Tiles in the lower triangle of an nblk x nblk tile grid."""
+    return nblk * (nblk + 1) // 2
+
+
+# --- PACKED triangle storage -------------------------------------------------
+#
+# The symm kernels walk lower-triangle tiles in a FIXED order (the it/kt
+# tables). Storing only those tiles, stacked in walk order into a
+# (T*tb, tb) buffer, halves HBM *capacity* (the full-square layout halved
+# only reads — its upper half was allocated but never touched) and turns
+# the A index_map into the identity (t, 0): tile t of the walk is
+# block-row t of the packed buffer. Reads become fully sequential in HBM
+# (the full-square walk hops (it, kt) tile addresses). Round-3 addition;
+# the capacity halving is what lets N~60000 df64 fit ONE v5e
+# (BASELINE.md budget table) — the reference never exploits symmetry at
+# all (ConjugateGradient_GPU_CUDA.cu:171-223 streams all N^2 elements).
+
+
+def pack_tri_host(a, tb, it=None, kt=None):
+    """Pack a full square (n_p, n_p) host array into walk-order triangle
+    tiles (T*tb, tb). With it/kt given, packs THAT walk (slab tables);
+    default is the local row-major triangle walk."""
+    import numpy as _np
+    a = _np.asarray(a)
+    if it is None:
+        nblk = a.shape[0] // tb
+        it, kt = _symm_tables(nblk)
+    out = _np.empty((len(it) * tb, tb), dtype=a.dtype)
+    for t, (i, k) in enumerate(zip(it, kt)):
+        out[t * tb:(t + 1) * tb] = a[i * tb:(i + 1) * tb,
+                                     k * tb:(k + 1) * tb]
+    return out
+
+
+def _packed_geometry(buf, p, what):
+    """(tb, nblk, T) of a packed buffer + operand vector; validates."""
+    tb = buf.shape[1]
+    n = p.shape[0]
+    if tb < _LANES or tb & (tb - 1):
+        raise ValueError(f"{what}: packed tile width {tb} must be a "
+                         f"power-of-two multiple of {_LANES}")
+    if n % tb or buf.shape[0] % tb:
+        raise ValueError(f"{what}: n={n} and packed rows "
+                         f"{buf.shape[0]} must be multiples of tb={tb}")
+    nblk = n // tb
+    T = buf.shape[0] // tb
+    return tb, nblk, T
+
+
 def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
                           yd_ref, yt_ref, acc_d, acc_t):
     t = pl.program_id(0)
@@ -322,34 +372,45 @@ def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
         yt_ref[:] = acc_t[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tb",))
-def gemv_f32_symm(a, p, *, tb=None):
-    """y = A @ p for SYMMETRIC f32 A (n, n), reading only the lower
-    triangle (~half the HBM bytes of `gemv_f32`). n % tb == 0 required
+@functools.partial(jax.jit, static_argnames=("tb", "packed"))
+def gemv_f32_symm(a, p, *, tb=None, packed=False):
+    """y = A @ p for SYMMETRIC f32 A, reading only the lower triangle
+    (~half the HBM bytes of `gemv_f32`). n % tb == 0 required
     (operators pad); correctness requires A == A.T (CG's contract).
+
+    packed=False: a is the full square (n, n); the upper half is never
+    read (capacity unchanged). packed=True: a is the (T*tb, tb) walk-
+    order triangle buffer from `pack_tri_host` — half the capacity too.
 
     The products stay on the VPU deliberately: an MXU variant (two
     skinny dot_generals per tile) was measured WORSE on v5e — 0.81 s vs
     0.49 s for the N=20000 ir solve, needing 642 instead of 365 inner
     iterations, because the MXU's default-precision f32 matmul is
     bf16-class and degrades the inner CG's convergence."""
-    if tb is None:
-        tb = SYMM_TB
-    n = a.shape[0]
-    if a.shape != (n, n):
-        raise ValueError(f"symmetric gemv needs a square matrix, "
-                         f"got {a.shape}")
-    tb = _fit_tile(n, tb, "rows")
-    nblk = n // tb
+    n = p.shape[0]
+    if packed:
+        tb, nblk, T = _packed_geometry(a, p, "gemv_f32_symm")
+        if T != tri_tile_count(nblk):
+            raise ValueError(
+                f"packed buffer has {T} tiles, triangle of nblk={nblk} "
+                f"needs {tri_tile_count(nblk)}")
+        a_map = lambda t, it_ref, kt_ref: (t, t * 0)
+    else:
+        if tb is None:
+            tb = SYMM_TB
+        if a.shape != (n, n):
+            raise ValueError(f"symmetric gemv needs a square matrix, "
+                             f"got {a.shape}")
+        tb = _fit_tile(n, tb, "rows")
+        nblk = n // tb
+        a_map = lambda t, it_ref, kt_ref: (it_ref[t], kt_ref[t])
     it, kt = _symm_tables(nblk)
     grid = (len(it),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, tb),
-                         lambda t, it_ref, kt_ref:
-                         (it_ref[t], kt_ref[t]),
+            pl.BlockSpec((tb, tb), a_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb),
                          lambda t, it_ref, kt_ref: (t * 0, kt_ref[t]),
@@ -408,35 +469,50 @@ def _gemv_f32_symm_slab_kernel(it_ref, kt_ref, lt_ref, a_ref, prow_ref,
                           yd_ref, yt_ref, acc_d, acc_t)
 
 
-@functools.partial(jax.jit, static_argnames=("tb",))
-def gemv_f32_symm_slab(a_slab, p, it, kt, lt, *, tb=None):
+@functools.partial(jax.jit, static_argnames=("tb", "packed", "ms"))
+def gemv_f32_symm_slab(a_slab, p, it, kt, lt, *, tb=None, packed=False,
+                       ms=None):
     """Partial symmetric matvec over a slab of band rows.
 
-    a_slab: (ms, n) f32 — the shard's rows of the SYMMETRIC matrix (full
-    width; only lower-triangle tiles are ever read). p: (n,) f32. it/kt/
+    packed=False: a_slab is (ms, n) f32 — the shard's rows of the
+    SYMMETRIC matrix (full width; only lower-triangle tiles are ever
+    read). packed=True: a_slab is the (T*tb, tb) walk-order buffer of
+    the slab's triangle tiles (T == len(it)); `ms` (the slab's row
+    count, for the yd output) must then be given. p: (n,) f32. it/kt/
     lt: int32 tile tables (see module comment). Returns (yd (ms,), yt
     (n,)): y_global = scatter(yd -> owned rows) + yt, summed across
     shards."""
-    if tb is None:
-        tb = SYMM_TB
-    ms, n = a_slab.shape
-    fitted = _fit_tile(min(ms, n), tb, "rows")
-    if fitted != tb:
-        # the it/kt/lt tables are expressed in tb-tile units; a silent
-        # refit here would reinterpret them in the wrong units (finite
-        # but WRONG partial sums) — reject instead
-        raise ValueError(
-            f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
-            f"tables require tb to be a power-of-two multiple of 128 "
-            f"dividing the band size (nearest usable: {fitted})")
+    n = p.shape[0]
+    if packed:
+        tb, _, T = _packed_geometry(a_slab, p, "gemv_f32_symm_slab")
+        if T != it.shape[0]:
+            raise ValueError(f"packed slab has {T} tiles but the walk "
+                             f"table has {it.shape[0]}")
+        if ms is None or ms % tb:
+            raise ValueError("packed slab needs ms (a multiple of tb)")
+        a_map = lambda t, it_ref, kt_ref, lt_ref: (t, t * 0)
+    else:
+        if tb is None:
+            tb = SYMM_TB
+        ms, n_a = a_slab.shape
+        if n_a != n:
+            raise ValueError(f"slab width {n_a} != p length {n}")
+        fitted = _fit_tile(min(ms, n), tb, "rows")
+        if fitted != tb:
+            # the it/kt/lt tables are expressed in tb-tile units; a
+            # silent refit here would reinterpret them in the wrong
+            # units (finite but WRONG partial sums) — reject instead
+            raise ValueError(
+                f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
+                f"tables require tb to be a power-of-two multiple of "
+                f"128 dividing the band size (nearest usable: {fitted})")
+        a_map = lambda t, it_ref, kt_ref, lt_ref: (lt_ref[t], kt_ref[t])
     grid = (it.shape[0],)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, tb),
-                         lambda t, it_ref, kt_ref, lt_ref:
-                         (lt_ref[t], kt_ref[t]),
+            pl.BlockSpec((tb, tb), a_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb),
                          lambda t, it_ref, kt_ref, lt_ref:
@@ -783,29 +859,58 @@ def _gemv_df64_symm_kernel(it_ref, kt_ref, ah_ref, al_ref, prh_ref,
 DF64_SYMM_TB = int(_os.environ.get("LAM_TPU_DF64_SYMM_TB", 512))
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "comp"))
-def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None):
+def _lo_plane_map(a_hi, a_lo, a_map, tb, what):
+    """Index map for the lo plane: same walk as hi, or — when lo is a
+    single (tb, tb) tile — a constant (0, 0) broadcast. The broadcast
+    form represents an identically-zero lo plane without storing it
+    (gen-mode tridiagonal: entries {0,1,2} are exact in f32), reclaiming
+    half the df64 pair's HBM capacity; the repeated 1-tile read stays
+    resident and costs ~nothing."""
+    if a_lo.shape == a_hi.shape:
+        return a_map
+    if a_lo.shape != (tb, tb):
+        raise ValueError(
+            f"{what}: lo plane must match the hi plane {a_hi.shape} or "
+            f"be a single ({tb}, {tb}) broadcast tile, got {a_lo.shape}")
+    return lambda t, *refs: (t * 0, t * 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "comp", "packed"))
+def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None,
+                   packed=False):
     """(y_hi, y_lo) = A @ p in float-float for SYMMETRIC A, reading only
     the lower-triangle tiles of both planes (~half the HBM bytes of
     `gemv_df64`). n % tb == 0 required (operators pad); correctness
     requires A == A.T — CG's contract, checked at operator build
-    (lam_tpu/solver/operators.py _verifies_symmetric)."""
+    (lam_tpu/solver/operators.py _verifies_symmetric).
+
+    packed=True: planes are (T*tb, tb) walk-order triangle buffers
+    (`pack_tri_host`) — half the HBM *capacity* as well. The lo plane
+    may also be a single (tb, tb) zero tile (see _lo_plane_map)."""
     comp = _resolve_comp(comp)
-    if tb is None:
-        tb = DF64_SYMM_TB
-    n = a_hi.shape[0]
-    if a_hi.shape != (n, n) or a_lo.shape != (n, n):
-        raise ValueError(f"symmetric df64 gemv needs square equal planes, "
-                         f"got {a_hi.shape} / {a_lo.shape}")
-    tb = _fit_tile(n, tb, "rows")
-    nblk = n // tb
+    n = p_hi.shape[0]
+    if packed:
+        tb, nblk, T = _packed_geometry(a_hi, p_hi, "gemv_df64_symm")
+        if T != tri_tile_count(nblk):
+            raise ValueError(
+                f"packed buffer has {T} tiles, triangle of nblk={nblk} "
+                f"needs {tri_tile_count(nblk)}")
+        a_map = lambda t, it_ref, kt_ref: (t, t * 0)
+    else:
+        if tb is None:
+            tb = DF64_SYMM_TB
+        if a_hi.shape != (n, n):
+            raise ValueError(f"symmetric df64 gemv needs square planes, "
+                             f"got {a_hi.shape}")
+        tb = _fit_tile(n, tb, "rows")
+        nblk = n // tb
+        a_map = lambda t, it_ref, kt_ref: (it_ref[t], kt_ref[t])
+    lo_map = _lo_plane_map(a_hi, a_lo, a_map, tb, "gemv_df64_symm")
     it, kt = _symm_tables(nblk)
     grid = (len(it),)
 
-    def tile_spec():
-        return pl.BlockSpec((tb, tb),
-                            lambda t, it_ref, kt_ref:
-                            (it_ref[t], kt_ref[t]),
+    def tile_spec(index_map=a_map):
+        return pl.BlockSpec((tb, tb), index_map,
                             memory_space=pltpu.VMEM)
 
     def row_spec():
@@ -831,7 +936,7 @@ def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+        in_specs=[tile_spec(), tile_spec(lo_map), row_spec(), row_spec(),
                   col_spec(), col_spec()],
         out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
         scratch_shapes=[
@@ -873,36 +978,54 @@ def _gemv_df64_symm_slab_kernel(it_ref, kt_ref, lt_ref, ah_ref, al_ref,
                            acct_c, comp=comp)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "comp"))
+@functools.partial(jax.jit,
+                   static_argnames=("tb", "comp", "packed", "ms"))
 def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
-                        tb=None, comp=None):
+                        tb=None, comp=None, packed=False, ms=None):
     """Partial SYMMETRIC float-float matvec over a slab of band rows —
     the df64 twin of `gemv_f32_symm_slab` (same it/kt/lt tile tables,
     see lam_tpu/parallel/pcg_symm.py). Returns ((ydh, ydl) over the
     slab's rows, (yth, ytl) full length): y_global = scatter(yd ->
-    owned rows) + yt, summed across shards."""
+    owned rows) + yt, summed across shards.
+
+    packed=True: planes are (T*tb, tb) walk-order triangle buffers with
+    `ms` the slab's row count; the lo plane may be a single (tb, tb)
+    zero tile (see _lo_plane_map)."""
     comp = _resolve_comp(comp)
-    if tb is None:
-        tb = DF64_SYMM_TB
-    ms, n = ah_slab.shape
-    if al_slab.shape != (ms, n):
-        raise ValueError(f"plane shapes differ: {ah_slab.shape} vs "
-                         f"{al_slab.shape}")
-    fitted = _fit_tile(min(ms, n), tb, "rows")
-    if fitted != tb:
-        # the it/kt/lt tables are expressed in tb-tile units; a silent
-        # refit here would reinterpret them in the wrong units (finite
-        # but WRONG partial sums) — reject instead
-        raise ValueError(
-            f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
-            f"tables require tb to be a power-of-two multiple of 128 "
-            f"dividing the band size (nearest usable: {fitted})")
+    n = p_hi.shape[0]
+    if packed:
+        tb, _, T = _packed_geometry(ah_slab, p_hi, "gemv_df64_symm_slab")
+        if T != it.shape[0]:
+            raise ValueError(f"packed slab has {T} tiles but the walk "
+                             f"table has {it.shape[0]}")
+        if ms is None or ms % tb:
+            raise ValueError("packed slab needs ms (a multiple of tb)")
+        a_map = lambda t, it_ref, kt_ref, lt_ref: (t, t * 0)
+    else:
+        if tb is None:
+            tb = DF64_SYMM_TB
+        ms, n_a = ah_slab.shape
+        if al_slab.shape != (ms, n_a):
+            raise ValueError(f"plane shapes differ: {ah_slab.shape} vs "
+                             f"{al_slab.shape}")
+        if n_a != n:
+            raise ValueError(f"slab width {n_a} != p length {n}")
+        fitted = _fit_tile(min(ms, n), tb, "rows")
+        if fitted != tb:
+            # the it/kt/lt tables are expressed in tb-tile units; a
+            # silent refit here would reinterpret them in the wrong
+            # units (finite but WRONG partial sums) — reject instead
+            raise ValueError(
+                f"tb={tb} unusable for slab shape ({ms}, {n}): the tile "
+                f"tables require tb to be a power-of-two multiple of "
+                f"128 dividing the band size (nearest usable: {fitted})")
+        a_map = lambda t, it_ref, kt_ref, lt_ref: (lt_ref[t], kt_ref[t])
+    lo_map = _lo_plane_map(ah_slab, al_slab, a_map, tb,
+                           "gemv_df64_symm_slab")
     grid = (it.shape[0],)
 
-    def tile_spec():
-        return pl.BlockSpec((tb, tb),
-                            lambda t, it_ref, kt_ref, lt_ref:
-                            (lt_ref[t], kt_ref[t]),
+    def tile_spec(index_map=a_map):
+        return pl.BlockSpec((tb, tb), index_map,
                             memory_space=pltpu.VMEM)
 
     def row_spec():
@@ -932,7 +1055,7 @@ def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+        in_specs=[tile_spec(), tile_spec(lo_map), row_spec(), row_spec(),
                   col_spec(), col_spec()],
         out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
         scratch_shapes=[

@@ -158,6 +158,28 @@ def _mv_f32_of_df64_pallas_symm(operand, p):
     return gemv.gemv_f32_symm(operand[0], p)
 
 
+# Packed-triangle twins: the operand stores ONLY the lower-triangle
+# tiles in walk order (ops/gemv.py pack_tri_host) — half the HBM
+# *capacity*, not just half the reads (round 3; VERDICT.md item 1).
+
+def _mv_f32_pallas_symm_packed(a, p):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_symm(a, p, packed=True)
+
+
+def _mv_df64_pallas_symm_packed(operand, p):
+    from lam_tpu.ops import gemv
+    hi, lo = operand
+    ph, pl = split_f64(p)
+    yh, yl = gemv.gemv_df64_symm(hi, lo, ph, pl, packed=True)
+    return join_f64(yh, yl)
+
+
+def _mv_f32_of_df64_pallas_symm_packed(operand, p):
+    from lam_tpu.ops import gemv
+    return gemv.gemv_f32_symm(operand[0], p, packed=True)
+
+
 def _mv_f32_of_df64_xla(operand, p):
     return operand[0] @ p
 
@@ -252,9 +274,36 @@ MATVEC = {
     ("f32", "pallas_symm"): _mv_f32_pallas_symm,
     ("df64", "pallas_symm"): _mv_df64_pallas_symm,
     ("f32@df64", "pallas_symm"): _mv_f32_of_df64_pallas_symm,
+    # packed-triangle storage: HALF the HBM capacity as well
+    ("f32", "pallas_symm_packed"): _mv_f32_pallas_symm_packed,
+    ("df64", "pallas_symm_packed"): _mv_df64_pallas_symm_packed,
+    ("f32@df64", "pallas_symm_packed"): _mv_f32_of_df64_pallas_symm_packed,
 }
 
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
+
+
+def _packed_diagonal(buf, like=None):
+    """Diagonal of a walk-order packed triangle buffer (ops/gemv.py).
+
+    Row-tile i's diagonal tile sits at walk position i(i+1)/2 + i; its
+    diagonal is buf[t*tb + s, s]. A broadcast single-tile buffer (the
+    zero lo plane, shape (tb, tb)) contributes its own diagonal to
+    every row-tile; `like` supplies the packed sibling that defines the
+    tile count in that case."""
+    tb = buf.shape[1]
+    ref_rows = (like if like is not None else buf).shape[0]
+    ntri = ref_rows // tb
+    # invert T = nblk(nblk+1)/2
+    nblk = int((np.sqrt(8 * ntri + 1) - 1) / 2 + 0.5)
+    i = np.arange(nblk)
+    tdiag = i * (i + 1) // 2 + i
+    s = np.arange(tb)
+    if buf.shape[0] == tb and like is not None:
+        return jnp.tile(buf[s, s], nblk)
+    rows = (tdiag[:, None] * tb + s[None, :]).reshape(-1)
+    cols = np.tile(s, nblk)
+    return buf[jnp.asarray(rows), jnp.asarray(cols)]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -402,37 +451,52 @@ class DenseOperator(LinearOperator):
             raise ValueError(f"matrix must be square, got {a.shape}")
         if precision == "auto":
             precision = "df64" if jax.default_backend() == "tpu" else "f64"
+        symm_engines = ("pallas_symm", "pallas_symm_packed")
         if engine == "auto":
             if jax.default_backend() != "tpu":
                 engine = "xla"
             elif _verifies_symmetric(a):
-                engine = "pallas_symm"
+                # packed triangle: half the HBM capacity AND half the
+                # reads (round 3; full-square 'pallas_symm' remains
+                # selectable for comparison)
+                engine = "pallas_symm_packed"
             else:
                 engine = "pallas"
-        elif engine == "pallas_symm" and not _verifies_symmetric(a):
+        elif engine in symm_engines and not _verifies_symmetric(a):
             raise ValueError(
-                "engine='pallas_symm' requires a symmetric matrix (the "
+                f"engine={engine!r} requires a symmetric matrix (the "
                 "lower-triangle kernel mirrors A's lower half); the "
                 "random-vector check found A v != A^T v — use "
                 "engine='pallas'")
-        if precision == "f64" and engine in ("pallas", "pallas_symm"):
+        if precision == "f64" and engine != "xla":
             engine = "xla"  # no f64 in Mosaic; df64 is the pallas answer
 
-        pad = padded_size(n) if engine in ("pallas", "pallas_symm") else n
+        pad = padded_size(n) if engine != "xla" else n
         a = np.asarray(a, dtype=np.float64)
         if pad != n:
             a_p = np.zeros((pad, pad), dtype=np.float64)
             a_p[:n, :n] = a
             a = a_p
 
+        packed = engine == "pallas_symm_packed"
+        if packed:
+            from lam_tpu.ops.gemv import SYMM_TB, pack_tri_host
+            tb = SYMM_TB
+
         if precision == "f64":
             operand = jnp.asarray(a, dtype=jnp.float64)
             vdtype = jnp.float64
         elif precision == "f32":
-            operand = jnp.asarray(a, dtype=jnp.float32)
+            a32 = a.astype(np.float32)
+            if packed:
+                a32 = pack_tri_host(a32, tb)
+            operand = jnp.asarray(a32)
             vdtype = jnp.float32
         elif precision == "df64":
             hi, lo = split_f64_host(a)
+            if packed:
+                hi = pack_tri_host(hi, tb)
+                lo = pack_tri_host(lo, tb)
             operand = (jnp.asarray(hi), jnp.asarray(lo))
             vdtype = jnp.float64
         else:
@@ -440,10 +504,27 @@ class DenseOperator(LinearOperator):
 
         fn = _MATVEC_DOT[(precision, engine)]
         out = DenseOperator(fn, operand, n, pad, vdtype, precision, engine)
-        # block matvec = matmul on the same operand; the XLA variant
-        # handles (n, k) blocks for every precision's storage layout
-        out._mv_block = MATVEC[(precision, "xla")]
+        if not packed:
+            # block matvec = matmul on the same operand; the XLA variant
+            # handles (n, k) blocks for every precision's storage layout
+            # (the packed layout has no plain-matmul form — block CG
+            # raises NotImplementedError there)
+            out._mv_block = MATVEC[(precision, "xla")]
         return out
+
+    @staticmethod
+    def from_packed_planes(hi, lo, n, n_padded):
+        """df64 operator from PRE-PACKED walk-order triangle planes
+        ((T*tb, tb), ops/gemv.py pack_tri_host layout). `lo` may be a
+        single (tb, tb) zero tile — the broadcast form for matrices
+        whose entries are exact in f32 (gen-mode tridiagonal), which
+        halves the pair's HBM footprint again. The caller asserts the
+        planes represent a symmetric f64 matrix."""
+        operand = (jnp.asarray(hi, jnp.float32),
+                   jnp.asarray(lo, jnp.float32))
+        fn = _MATVEC_DOT[("df64", "pallas_symm_packed")]
+        return DenseOperator(fn, operand, n, n_padded, jnp.float64,
+                             "df64", "pallas_symm_packed")
 
     @staticmethod
     def from_df64_planes(hi, lo, n, engine):
@@ -467,6 +548,13 @@ class DenseOperator(LinearOperator):
         return out
 
     def diagonal(self):
+        if self.engine == "pallas_symm_packed":
+            if self.precision == "df64":
+                hi, lo = self.operand
+                return (_packed_diagonal(hi).astype(jnp.float64)
+                        + _packed_diagonal(lo, like=hi)
+                        .astype(jnp.float64))
+            return _packed_diagonal(self.operand)
         if self.precision == "df64":
             hi, lo = self.operand
             return (jnp.diagonal(hi).astype(jnp.float64)

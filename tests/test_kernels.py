@@ -265,3 +265,146 @@ def test_gemv_df64_symm_slab_partials_sum_to_full_matvec():
     ref = a @ p
     tol = 1e-13 if jax.default_backend() == "tpu" else 1e-6
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < tol
+
+
+# --- packed triangle storage (round 3) -------------------------------------
+
+
+def _symm_system(n, seed):
+    rng = np.random.default_rng(seed)
+    m = rng.uniform(-1, 1, size=(n, n))
+    return m + m.T, rng.uniform(-1, 1, size=n)
+
+
+def test_gemv_f32_symm_packed_matches_full():
+    # packed walk-order storage must be BIT-identical to the full-square
+    # kernel (same walk, same arithmetic; only the A index_map changes)
+    from lam_tpu.ops.gemv import gemv_f32_symm, pack_tri_host
+    a, p = _symm_system(512, 21)
+    a32 = a.astype(np.float32)
+    p32 = jnp.asarray(p, jnp.float32)
+    tb = 128
+    y_full = np.asarray(gemv_f32_symm(jnp.asarray(a32), p32, tb=tb))
+    y_pack = np.asarray(gemv_f32_symm(
+        jnp.asarray(pack_tri_host(a32, tb)), p32, packed=True))
+    assert np.array_equal(y_full, y_pack)
+
+
+def test_gemv_df64_symm_packed_matches_full():
+    from lam_tpu.ops.gemv import gemv_df64_symm, pack_tri_host
+    a, p = _symm_system(512, 22)
+    a_hi, a_lo = split_f64(a)
+    p_hi, p_lo = split_f64(p)
+    tb = 128
+    yh, yl = gemv_df64_symm(jnp.asarray(a_hi), jnp.asarray(a_lo),
+                            jnp.asarray(p_hi), jnp.asarray(p_lo), tb=tb)
+    yh2, yl2 = gemv_df64_symm(
+        jnp.asarray(pack_tri_host(a_hi, tb)),
+        jnp.asarray(pack_tri_host(a_lo, tb)),
+        jnp.asarray(p_hi), jnp.asarray(p_lo), packed=True)
+    assert np.array_equal(np.asarray(yh), np.asarray(yh2))
+    assert np.array_equal(np.asarray(yl), np.asarray(yl2))
+
+
+def test_gemv_df64_symm_packed_lo_broadcast_tile():
+    # a single (tb, tb) zero tile must behave exactly like a full zero
+    # lo plane (the gen-mode capacity optimization)
+    from lam_tpu.ops.gemv import gemv_df64_symm, pack_tri_host
+    a, p = _symm_system(512, 23)
+    a_hi = a.astype(np.float32)          # pretend entries are f32-exact
+    p_hi, p_lo = split_f64(p)
+    tb = 128
+    hi_p = jnp.asarray(pack_tri_host(a_hi, tb))
+    yh, yl = gemv_df64_symm(hi_p, jnp.zeros_like(hi_p),
+                            jnp.asarray(p_hi), jnp.asarray(p_lo),
+                            packed=True)
+    yh2, yl2 = gemv_df64_symm(hi_p, jnp.zeros((tb, tb), jnp.float32),
+                              jnp.asarray(p_hi), jnp.asarray(p_lo),
+                              packed=True)
+    assert np.array_equal(np.asarray(yh), np.asarray(yh2))
+    assert np.array_equal(np.asarray(yl), np.asarray(yl2))
+
+
+def test_gemv_symm_slab_packed_matches_full():
+    from lam_tpu.ops.gemv import (gemv_df64_symm_slab, gemv_f32_symm_slab,
+                                  pack_tri_host)
+    from lam_tpu.parallel.pcg_symm import _band_tables, _slab_row_ranges
+    n, g, tb = 1024, 2, 128
+    m = n // (2 * g)
+    it, kt, lt = _band_tables(g, m // tb, tb)
+    a, p = _symm_system(n, 24)
+    a_hi, a_lo = split_f64(a)
+    p_hi, p_lo = split_f64(p)
+    for c in range(g):
+        (r0a, ma), (r0b, mb) = _slab_row_ranges(c, g, m)
+        rows = np.concatenate([np.arange(r0a, r0a + ma),
+                               np.arange(r0b, r0b + mb)])
+        args32 = (jnp.asarray(p_hi), jnp.asarray(it[c]),
+                  jnp.asarray(kt[c]), jnp.asarray(lt[c]))
+        yd, yt = gemv_f32_symm_slab(jnp.asarray(a_hi[rows]), *args32,
+                                    tb=tb)
+        hi_pk = jnp.asarray(pack_tri_host(a_hi, tb, it=it[c], kt=kt[c]))
+        yd2, yt2 = gemv_f32_symm_slab(hi_pk, *args32, packed=True,
+                                      ms=2 * m)
+        assert np.array_equal(np.asarray(yd), np.asarray(yd2))
+        assert np.array_equal(np.asarray(yt), np.asarray(yt2))
+
+        lo_pk = jnp.asarray(pack_tri_host(a_lo, tb, it=it[c], kt=kt[c]))
+        full = gemv_df64_symm_slab(
+            jnp.asarray(a_hi[rows]), jnp.asarray(a_lo[rows]),
+            jnp.asarray(p_hi), jnp.asarray(p_lo),
+            jnp.asarray(it[c]), jnp.asarray(kt[c]), jnp.asarray(lt[c]),
+            tb=tb)
+        packed = gemv_df64_symm_slab(
+            hi_pk, lo_pk, jnp.asarray(p_hi), jnp.asarray(p_lo),
+            jnp.asarray(it[c]), jnp.asarray(kt[c]), jnp.asarray(lt[c]),
+            packed=True, ms=2 * m)
+        for f, q in zip(full, packed):
+            assert np.array_equal(np.asarray(f), np.asarray(q))
+
+
+def test_packed_geometry_rejections():
+    from lam_tpu.ops.gemv import gemv_f32_symm, gemv_f32_symm_slab
+    p = jnp.zeros((512,), jnp.float32)
+    # wrong tile count for the triangle
+    bad = jnp.zeros((5 * 128, 128), jnp.float32)
+    with pytest.raises(ValueError, match="tiles"):
+        gemv_f32_symm(bad, p, packed=True)
+    # missing ms on the packed slab
+    it = jnp.zeros((4,), jnp.int32)
+    buf = jnp.zeros((4 * 128, 128), jnp.float32)
+    with pytest.raises(ValueError, match="ms"):
+        gemv_f32_symm_slab(buf, p, it, it, it, packed=True)
+
+
+def test_packed_operator_solve_matches_symm_engine():
+    # DenseOperator engine='pallas_symm_packed' must reproduce the
+    # full-square symm engine exactly (same kernel walk, packed reads)
+    from lam_tpu import DenseOperator, cg_solve
+    from lam_tpu import generate as gen
+    n = 700
+    a, b = gen.random_spd_system(n, seed=25)
+    res = {}
+    for engine in ("pallas_symm", "pallas_symm_packed"):
+        op = DenseOperator.from_dense(a, precision="df64", engine=engine)
+        r = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+        res[engine] = (int(r.num_iters), np.asarray(r.x, np.float64))
+    assert res["pallas_symm"][0] == res["pallas_symm_packed"][0]
+    assert np.array_equal(res["pallas_symm"][1],
+                          res["pallas_symm_packed"][1])
+
+
+def test_packed_operator_diagonal_and_pcg():
+    from lam_tpu import DenseOperator, cg_solve
+    from lam_tpu import generate as gen
+    n = 600
+    a, b = gen.random_spd_system(n, seed=26)
+    op = DenseOperator.from_dense(a, precision="df64",
+                                  engine="pallas_symm_packed")
+    d = np.asarray(op.diagonal())[:n]
+    assert np.abs(d - np.diagonal(a)).max() < 1e-12
+    r = cg_solve(op, b, max_iters=2000, rel_error=1e-7,
+                 preconditioner="jacobi")
+    assert bool(r.converged)
+    x = np.asarray(r.x, np.float64)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
