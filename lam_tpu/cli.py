@@ -78,10 +78,14 @@ def build_parser():
     p.add_argument("--precision", default="auto",
                    choices=["f64", "f32", "df64", "ir", "auto"])
     p.add_argument("--engine", default="auto",
-                   choices=["pallas", "pallas_symm", "xla", "auto"],
+                   choices=["pallas", "pallas_symm", "pallas_symm_packed",
+                            "xla", "auto"],
                    help="pallas_symm reads only the lower triangle "
                         "(half the HBM bytes; requires symmetric A, "
-                        "which CG assumes anyway)")
+                        "which CG assumes anyway); pallas_symm_packed "
+                        "additionally STORES only the triangle tiles "
+                        "(half the HBM capacity; the default on TPU "
+                        "for symmetric input)")
     p.add_argument("--devices", type=int, default=None,
                    help="Number of mesh devices (default: all)")
     p.add_argument("--comm", default="gather",

@@ -127,6 +127,29 @@ def _tridiag_hi_slab_impl(n, n_padded, g, m):
     return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
 
 
+def _tridiag_hi_packed_impl(n, tb, it, kt):
+    """f32 hi plane of the gen-mode tridiagonal in PACKED triangle-walk
+    order (ops/gemv.py packed layout): block-row t of the (T*tb, tb)
+    output is tile (it[t], kt[t]) of the matrix. Built on device (one
+    fused XLA program, shardable via out_shardings) — with the packed
+    layout plus a broadcast zero lo tile, gen-mode df64 storage is a
+    QUARTER of the full-square pair (capacities in BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = it.shape[0] * tb
+    pr = jax.lax.broadcasted_iota(jnp.int32, (rows, tb), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, tb), 1)
+    t = pr // tb
+    i = it[t] * tb + pr % tb
+    j = kt[t] * tb + col
+    in_range = (i < n) & (j < n)
+    d = i - j
+    vals = jnp.where(d == 0, 2.0, jnp.where((d == 1) | (d == -1), 1.0,
+                                            0.0))
+    return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

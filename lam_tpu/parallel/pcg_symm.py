@@ -158,21 +158,45 @@ def _scatter_bands(yd, yt, c, g, m, n_p):
     return y
 
 
-def _make_mv32(axis, g, m, tb):
+def _packed_mv_jnp(buf_hi, buf_lo, it0, kt0, p):
+    """Exact (dtype-of-p) matvec partial over a packed triangle walk —
+    the off-TPU accurate path for packed storage (the unpacked slab's
+    full-row matmul fallback cannot apply: packed shards don't hold full
+    rows). Returns the FULL-length y partial (direct terms scattered by
+    it, transpose terms by kt); caller psums across shards."""
+    tb = buf_hi.shape[1]
+    T = it0.shape[0]
+    nblk = p.shape[0] // tb
+    tiles = buf_hi.reshape(T, tb, tb).astype(p.dtype)
+    if buf_lo.shape[0] == tb:                     # broadcast zero tile
+        tiles = tiles + buf_lo.astype(p.dtype)[None]
+    else:
+        tiles = tiles + buf_lo.reshape(T, tb, tb).astype(p.dtype)
+    pb = p.reshape(nblk, tb)
+    direct = jnp.einsum("tij,tj->ti", tiles, pb[kt0])
+    yd = jax.ops.segment_sum(direct, it0, num_segments=nblk)
+    mask = (kt0 < it0)[:, None]                   # diagonal: direct only
+    trans = jnp.einsum("tij,ti->tj", tiles, pb[it0]) * mask
+    yt = jax.ops.segment_sum(trans, kt0, num_segments=nblk)
+    return (yd + yt).reshape(-1)
+
+
+def _make_mv32(axis, g, m, tb, packed=False):
     from lam_tpu.ops import gemv
 
     def mv(operand, p):
         slab_hi, _, it, kt, lt = operand
         c = jax.lax.axis_index(axis)
         yd, yt = gemv.gemv_f32_symm_slab(slab_hi, p, it[0], kt[0], lt[0],
-                                         tb=tb)
+                                         tb=tb, packed=packed,
+                                         ms=2 * m if packed else None)
         y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
         return jax.lax.psum(y, axis)
 
     return mv
 
 
-def _make_mv_acc(axis, g, m, tb):
+def _make_mv_acc(axis, g, m, tb, packed=False):
     from lam_tpu.ops import gemv
     from lam_tpu.precision import join_f64
 
@@ -181,8 +205,8 @@ def _make_mv_acc(axis, g, m, tb):
     # inner kernel (gemv_df64_symm_slab: half the HBM bytes, measured
     # 2.30 s -> 1.85 s on the local N=20000 df64 solve). Off TPU (CPU
     # tests / virtual mesh) interpret-mode f32 compensation is defeated
-    # by excess precision, so use genuine-f64 XLA full-row instead —
-    # the same engine split the dense/sharded operators make.
+    # by excess precision, so use genuine-f64 XLA instead — full-row
+    # matmul for slab storage, the packed einsum walk for packed.
     use_pallas = jax.default_backend() == "tpu"
 
     def mv(operand, p):
@@ -191,9 +215,13 @@ def _make_mv_acc(axis, g, m, tb):
         if use_pallas:
             ph, plo = split_f64(p)
             ydh, ydl, yth, ytl = gemv.gemv_df64_symm_slab(
-                slab_hi, slab_lo, ph, plo, it[0], kt[0], lt[0], tb=tb)
+                slab_hi, slab_lo, ph, plo, it[0], kt[0], lt[0], tb=tb,
+                packed=packed, ms=2 * m if packed else None)
             yd = join_f64(ydh, ydl)
             yt = join_f64(yth, ytl)
+        elif packed:
+            y = _packed_mv_jnp(slab_hi, slab_lo, it[0], kt[0], p)
+            return jax.lax.psum(y, axis)
         else:
             yd = (slab_hi.astype(p.dtype) @ p
                   + slab_lo.astype(p.dtype) @ p)
@@ -210,8 +238,8 @@ def _operand_specs(axis):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_cg(mesh, axis, g, m, tb):
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
+def _build_symm_cg(mesh, axis, g, m, tb, packed):
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
 
     def local(operand, b, max_iters, rel_error):
         return _cg_loop(mv, operand, b, max_iters, rel_error)
@@ -226,9 +254,9 @@ def _build_symm_cg(mesh, axis, g, m, tb):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles):
-    mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb))
-    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
+def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, packed):
+    mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb, packed))
+    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
 
     def local(operand, b, max_iters, rel_error, inner_floor):
         return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
@@ -244,9 +272,9 @@ def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_pcg(mesh, axis, g, m, tb):
+def _build_symm_pcg(mesh, axis, g, m, tb, packed):
     from lam_tpu.solver.cg import _pcg_loop
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb))
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
 
     def local(operand, b, inv_diag, max_iters, rel_error):
         return _pcg_loop(mv, operand, b, inv_diag, max_iters, rel_error)
@@ -261,9 +289,9 @@ def _build_symm_pcg(mesh, axis, g, m, tb):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_matvec(mesh, axis, g, m, tb, which):
-    mv = (_make_mv32(axis, g, m, tb) if which == "f32"
-          else _make_mv_acc(axis, g, m, tb))
+def _build_symm_matvec(mesh, axis, g, m, tb, which, packed):
+    mv = (_make_mv32(axis, g, m, tb, packed) if which == "f32"
+          else _make_mv_acc(axis, g, m, tb, packed))
     mapped = shard_map(mv, mesh=mesh,
                        in_specs=(_operand_specs(axis), P()),
                        out_specs=P(), check_vma=False)
@@ -271,9 +299,9 @@ def _build_symm_matvec(mesh, axis, g, m, tb, which):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_chain(mesh, axis, g, m, tb, which, repeats):
-    mv = (_make_mv32(axis, g, m, tb) if which == "f32"
-          else _make_mv_acc(axis, g, m, tb))
+def _build_symm_chain(mesh, axis, g, m, tb, which, repeats, packed):
+    mv = (_make_mv32(axis, g, m, tb, packed) if which == "f32"
+          else _make_mv_acc(axis, g, m, tb, packed))
 
     def local(operand, p):
         def body(_, v):
@@ -300,32 +328,77 @@ class SymmShardedOperator(LinearOperator):
     a sharded build would need a full extra pass, so from_dense checks
     and from_row_block_fn documents)."""
 
-    def __init__(self, operand, n, n_padded, mesh, axis, g, m, tb):
+    def __init__(self, operand, n, n_padded, mesh, axis, g, m, tb,
+                 packed=False):
         # generic matvec_dot (checkpoint/segmented paths): the same
         # shard_map matvec program, composed under the caller's jit —
         # cached by _build_symm_matvec so instances with equal geometry
         # share one compilation
         super().__init__(
             _wrap_matvec(_build_symm_matvec(mesh, axis, g, m, tb,
-                                            "acc")),
+                                            "acc", packed)),
             operand, n, n_padded, jnp.float64)
         self.precision = "df64"
-        self.engine = "pallas_symm"
+        self.engine = "pallas_symm_packed" if packed else "pallas_symm"
         self.mesh = mesh
         self.axis = axis
         self._g = g
         self._m = m
         self._tb = tb
+        self._packed = packed
         self._which = "acc"
 
     @staticmethod
-    def from_row_block_fn(row_block_fn, n, mesh=None, tb=None):
+    def from_row_block_fn(row_block_fn, n, mesh=None, tb=None,
+                          packed=False):
         """Build from per-row-block reads of a SYMMETRIC f64 matrix.
 
         Each chip materializes only its two bands (the per-rank MPI-IO
-        analog, ConjugateGradient_CPU_MPI_OMP.hpp:325-363)."""
+        analog, ConjugateGradient_CPU_MPI_OMP.hpp:325-363). packed=True
+        stores each chip's lower-triangle tiles only (walk order,
+        ops/gemv.py) — HALF the HBM capacity of the slab layout."""
         (mesh, tb, axis, g, n_p, m, tables,
          a_sharding) = _geometry(n, mesh, tb)
+
+        if packed:
+            its, kts = tables[0], tables[1]
+            T = its.shape[1]
+            L = T * tb                 # packed rows per chip
+
+            def packed_block(row_start, num_rows):
+                if row_start % tb or num_rows % tb:
+                    raise ValueError("packed shard slices must be "
+                                     "tile-aligned")
+                out = np.empty((num_rows, tb), dtype=np.float64)
+                cache_i, cache_rows = -1, None
+                for tloc in range(num_rows // tb):
+                    tg = row_start // tb + tloc
+                    c, tl = divmod(tg, T)
+                    i, k = int(its[c, tl]), int(kts[c, tl])
+                    if cache_i != i:
+                        rows = np.zeros((tb, n_p), np.float64)
+                        src = max(0, min(n - i * tb, tb))
+                        if src > 0:
+                            rows[:src, :n] = row_block_fn(i * tb, src)
+                        cache_i, cache_rows = i, rows
+                    out[tloc * tb:(tloc + 1) * tb] = (
+                        cache_rows[:, k * tb:(k + 1) * tb])
+                return out
+
+            plane = df64_plane_provider(lambda key: packed_block(*key))
+
+            def mk(idx):
+                return jax.make_array_from_callback(
+                    (g * L, tb), a_sharding,
+                    lambda sl: plane(
+                        (sl[0].start or 0,
+                         (sl[0].stop or g * L) - (sl[0].start or 0)),
+                        idx))
+
+            operand = (mk(0), mk(1),
+                       *_table_arrays(tables, g, a_sharding))
+            return SymmShardedOperator(operand, n, n_p, mesh, axis, g,
+                                       m, tb, packed=True)
 
         def slab_block(row_start, num_rows):
             # rows of the stacked band layout S: chip c's slab is
@@ -355,15 +428,32 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
-    def from_gen_tridiagonal(n, mesh=None, tb=None):
+    def from_gen_tridiagonal(n, mesh=None, tb=None, packed=False):
         """Gen-mode tridiagonal in band-pair slab order, built ON DEVICE
         (each shard materializes in its owner's HBM via out_shardings) —
         see ShardedDenseOperator.from_gen_tridiagonal; here the hi plane
         is generated directly in the slab row permutation
-        (lam_tpu/generate.py::_tridiag_hi_slab_impl)."""
+        (lam_tpu/generate.py::_tridiag_hi_slab_impl). packed=True builds
+        the walk-order triangle buffer instead and represents the
+        identically-zero lo plane as ONE (tb, tb) tile per chip — a
+        QUARTER of the slab pair's HBM footprint (tridiagonal entries
+        {0,1,2} are exact in f32)."""
         from lam_tpu import generate as gen
         (mesh, tb, axis, g, n_p, m, tables,
          a_sharding) = _geometry(n, mesh, tb)
+        if packed:
+            its, kts = tables[0], tables[1]
+            flat_it = jnp.asarray(its.reshape(-1))
+            flat_kt = jnp.asarray(kts.reshape(-1))
+            hi = jax.jit(gen._tridiag_hi_packed_impl,
+                         static_argnums=(0, 1),
+                         out_shardings=a_sharding)(n, tb, flat_it,
+                                                   flat_kt)
+            lo = jax.jit(lambda: jnp.zeros((g * tb, tb), jnp.float32),
+                         out_shardings=a_sharding)()
+            operand = (hi, lo, *_table_arrays(tables, g, a_sharding))
+            return SymmShardedOperator(operand, n, n_p, mesh, axis, g,
+                                       m, tb, packed=True)
         hi = jax.jit(gen._tridiag_hi_slab_impl, static_argnums=(0, 1, 2, 3),
                      out_shardings=a_sharding)(n, n_p, g, m)
         lo = jax.jit(lambda: jnp.zeros((n_p, n_p), jnp.float32),
@@ -372,7 +462,7 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
-    def from_dense(a, mesh=None, tb=None):
+    def from_dense(a, mesh=None, tb=None, packed=False):
         from lam_tpu.solver.operators import _verifies_symmetric
         a = np.asarray(a, dtype=np.float64)
         n = a.shape[0]
@@ -383,10 +473,11 @@ class SymmShardedOperator(LinearOperator):
                 "SymmShardedOperator requires a symmetric matrix (the "
                 "band walk mirrors the lower triangle)")
         return SymmShardedOperator.from_row_block_fn(
-            lambda s, mrows: a[s:s + mrows, :], n, mesh=mesh, tb=tb)
+            lambda s, mrows: a[s:s + mrows, :], n, mesh=mesh, tb=tb,
+            packed=packed)
 
     @staticmethod
-    def from_file(path, mesh=None, tb=None):
+    def from_file(path, mesh=None, tb=None, packed=False):
         from lam_tpu import io as lio
         rows, cols = lio.read_header(path)
         if rows != cols:
@@ -394,7 +485,7 @@ class SymmShardedOperator(LinearOperator):
                              f"({rows}x{cols})")
         return SymmShardedOperator.from_row_block_fn(
             lambda s, mrows: lio.read_matrix_rows(path, s, mrows), rows,
-            mesh=mesh, tb=tb)
+            mesh=mesh, tb=tb, packed=packed)
 
     # -- solve path ----------------------------------------------------------
 
@@ -411,18 +502,19 @@ class SymmShardedOperator(LinearOperator):
 
     def matvec(self, p_padded):
         fn = _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
-                                self._tb, self._which)
+                                self._tb, self._which, self._packed)
         return fn(self.operand, p_padded)
 
     def matvec_chain(self, p_padded, repeats):
         fn = _build_symm_chain(self.mesh, self.axis, self._g, self._m,
-                               self._tb, self._which, repeats)
+                               self._tb, self._which, repeats,
+                               self._packed)
         return fn(self.operand, p_padded)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         del loop_fn
         solver = _build_symm_cg(self.mesh, self.axis, self._g, self._m,
-                                self._tb)
+                                self._tb, self._packed)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -433,31 +525,55 @@ class SymmShardedOperator(LinearOperator):
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_symm_cg_ir(self.mesh, self.axis, self._g,
-                                   self._m, self._tb, max_cycles)
+                                   self._m, self._tb, max_cycles,
+                                   self._packed)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 
     def diagonal(self):
-        axis, g, m = self.axis, self._g, self._m
+        axis, g, m, tb = self.axis, self._g, self._m, self._tb
         n_p = self.n_padded
 
-        def local_diag(operand):
-            hi, lo, _, _, _ = operand
-            c = jax.lax.axis_index(axis)
-            d = jnp.zeros(n_p, jnp.float64)
-            for half in range(2):
-                r0 = c * m if half == 0 else (2 * g - 1 - c) * m
-                rows = hi[half * m:(half + 1) * m]
-                rows_l = lo[half * m:(half + 1) * m]
-                cols = (r0 + jnp.arange(m))[:, None]
-                band_d = (
-                    jnp.take_along_axis(rows, cols, axis=1)[:, 0]
-                    .astype(jnp.float64)
-                    + jnp.take_along_axis(rows_l, cols, axis=1)[:, 0]
-                    .astype(jnp.float64))
-                d = jax.lax.dynamic_update_slice(d, band_d, (r0,))
-            return jax.lax.psum(d, axis)
+        if self._packed:
+            mt = m // tb
+
+            def local_diag(operand):
+                hi, lo, it, kt, lt = operand
+                it0, kt0 = it[0], kt[0]
+                # each owned band row-tile ends in exactly one diagonal
+                # tile -> 2*mt hits per chip, a static count
+                pos = jnp.nonzero(it0 == kt0, size=2 * mt)[0]
+                s = jnp.arange(tb)
+                rr = pos[:, None] * tb + s[None, :]
+                dv = hi[rr, s[None, :]].astype(jnp.float64)
+                if lo.shape[0] == tb:       # broadcast zero tile
+                    dv = dv + lo[s, s].astype(jnp.float64)[None, :]
+                else:
+                    dv = dv + lo[rr, s[None, :]].astype(jnp.float64)
+                gidx = (it0[pos][:, None] * tb + s[None, :]).reshape(-1)
+                d = jnp.zeros(n_p, jnp.float64).at[gidx].set(
+                    dv.reshape(-1))
+                return jax.lax.psum(d, axis)
+
+        else:
+
+            def local_diag(operand):
+                hi, lo, _, _, _ = operand
+                c = jax.lax.axis_index(axis)
+                d = jnp.zeros(n_p, jnp.float64)
+                for half in range(2):
+                    r0 = c * m if half == 0 else (2 * g - 1 - c) * m
+                    rows = hi[half * m:(half + 1) * m]
+                    rows_l = lo[half * m:(half + 1) * m]
+                    cols = (r0 + jnp.arange(m))[:, None]
+                    band_d = (
+                        jnp.take_along_axis(rows, cols, axis=1)[:, 0]
+                        .astype(jnp.float64)
+                        + jnp.take_along_axis(rows_l, cols, axis=1)[:, 0]
+                        .astype(jnp.float64))
+                    d = jax.lax.dynamic_update_slice(d, band_d, (r0,))
+                return jax.lax.psum(d, axis)
 
         mapped = shard_map(local_diag, mesh=self.mesh,
                            in_specs=(_operand_specs(axis),),
@@ -468,7 +584,7 @@ class SymmShardedOperator(LinearOperator):
         d = self.diagonal()
         inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
         solver = _build_symm_pcg(self.mesh, self.axis, self._g, self._m,
-                                 self._tb)
+                                 self._tb, self._packed)
         return solver(self.operand, b_padded, inv_d, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -476,7 +592,7 @@ class SymmShardedOperator(LinearOperator):
         """f32 triangle-walk view sharing this operator's buffers."""
         out = SymmShardedOperator(self.operand, self.n, self.n_padded,
                                   self.mesh, self.axis, self._g, self._m,
-                                  self._tb)
+                                  self._tb, packed=self._packed)
         out.vector_dtype = jnp.float32
         out.precision = "f32"
         out._which = "f32"
@@ -486,7 +602,7 @@ class SymmShardedOperator(LinearOperator):
         # ShardedDenseOperator.as_f32)
         out._matvec_dot_fn = _wrap_matvec(
             _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
-                               self._tb, "f32"))
+                               self._tb, "f32", self._packed))
         return out
 
 

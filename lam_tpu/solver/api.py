@@ -80,18 +80,21 @@ class ConjugateGradient:
                 block_fn, n, mesh=self._mesh,
                 precision=self._base_precision(), engine=self.engine)
         if self.backend == "sharded":
-            if self.engine == "pallas_symm":
+            if self.engine in ("pallas_symm", "pallas_symm_packed"):
                 # band-pair triangle-walk operator: half the HBM bytes
                 # per sharded matvec (lam_tpu/parallel/pcg_symm.py);
-                # df64 accurate plane + f32 triangle inner (ir)
+                # df64 accurate plane + f32 triangle inner (ir).
+                # _packed additionally stores ONLY the triangle tiles —
+                # half the HBM capacity per chip as well
                 if self._base_precision() not in ("auto", "df64"):
                     raise ValueError(
-                        "--backend sharded --engine pallas_symm "
+                        f"--backend sharded --engine {self.engine} "
                         "supports precision df64/ir (the df64 pair is "
                         "the storage layout)")
                 from lam_tpu.parallel.pcg_symm import SymmShardedOperator
                 return SymmShardedOperator.from_row_block_fn(
-                    row_block_fn, n, mesh=self._mesh_or_make())
+                    row_block_fn, n, mesh=self._mesh_or_make(),
+                    packed=self.engine == "pallas_symm_packed")
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),
@@ -156,10 +159,11 @@ class ConjugateGradient:
         if self._base_precision() not in ("auto", "df64"):
             return None
         if self.backend == "sharded":
-            if self.engine == "pallas_symm":
+            if self.engine in ("pallas_symm", "pallas_symm_packed"):
                 from lam_tpu.parallel.pcg_symm import SymmShardedOperator
                 return SymmShardedOperator.from_gen_tridiagonal(
-                    rows, mesh=self._mesh_or_make())
+                    rows, mesh=self._mesh_or_make(),
+                    packed=self.engine == "pallas_symm_packed")
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_gen_tridiagonal(
                 rows, mesh=self._mesh_or_make(), engine=self.engine,
@@ -168,11 +172,26 @@ class ConjugateGradient:
             return None
         from lam_tpu.solver.operators import DenseOperator, padded_size
         import jax.numpy as jnp
+        # symmetric by construction -> packed lower-triangle engine by
+        # default: triangle tiles only + ONE broadcast zero lo tile =
+        # a QUARTER of the full-square pair's HBM (entries {0,1,2} are
+        # exact in f32, so lo == 0 exactly)
+        engine = ("pallas_symm_packed" if self.engine == "auto"
+                  else self.engine)
+        if engine == "pallas_symm_packed":
+            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+            tb = SYMM_TB
+            n_p = padded_size(rows, tb)
+            it, kt = _symm_tables(n_p // tb)
+            hi = jax.jit(gen._tridiag_hi_packed_impl,
+                         static_argnums=(0, 1))(rows, tb,
+                                                jnp.asarray(it),
+                                                jnp.asarray(kt))
+            lo = jnp.zeros((tb, tb), jnp.float32)
+            return DenseOperator.from_packed_planes(hi, lo, rows, n_p)
         n_p = padded_size(rows)
         hi = gen.tridiagonal_hi_plane_device(rows, n_p)
         lo = jnp.zeros((n_p, n_p), jnp.float32)  # exact: no f32 error
-        # symmetric by construction -> lower-triangle engine by default
-        engine = "pallas_symm" if self.engine == "auto" else self.engine
         return DenseOperator.from_df64_planes(hi, lo, rows,
                                               engine=engine)
 

@@ -483,3 +483,86 @@ def test_symm_sharded_gen_tridiagonal_device_side():
     res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
     x = np.asarray(res.x, np.float64)[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+# -- packed triangle storage on the band-pair operator (round 3) ------------
+
+
+def test_symm_sharded_packed_matches_slab(mesh8):
+    """packed=True must reproduce the slab operator's matvec (f32 walk
+    bit-identical; accurate path within f64 reduction-order noise) at
+    half the stored bytes."""
+    a, _ = _spd_system(n=512, seed=61)
+    p = gen.random_rhs(512, seed=2)
+    for g in (1, 2, 4):
+        slab = _symm_op(a, g)
+        pk = _symm_op_packed(a, g)
+        # capacity: packed stores exactly the lower-triangle tile count
+        # (= (nblk+1)/(2*nblk) of the square -> 1/2 for large nblk)
+        assert pk.operand[0].shape[1] == 128
+        nblk = slab.n_padded // 128
+        tri = nblk * (nblk + 1) // 2
+        assert pk.operand[0].shape[0] == tri * 128
+        ap_s = np.asarray(slab.matvec(slab.prepare_b(p)))[:512]
+        ap_p = np.asarray(pk.matvec(pk.prepare_b(p)))[:512]
+        np.testing.assert_allclose(ap_p, ap_s, rtol=1e-13, atol=1e-13)
+        f32s = np.asarray(slab.as_f32().matvec(
+            slab.as_f32().prepare_b(p.astype(np.float32))))
+        f32p = np.asarray(pk.as_f32().matvec(
+            pk.as_f32().prepare_b(p.astype(np.float32))))
+        np.testing.assert_array_equal(f32s, f32p)
+
+
+def _symm_op_packed(a, g, tb=128):
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    return SymmShardedOperator.from_dense(a, mesh=make_mesh(g), tb=tb,
+                                          packed=True)
+
+
+def test_symm_sharded_packed_cg_and_ir(mesh8):
+    from lam_tpu.solver.cg import cg_solve_ir
+    a, b = _spd_system(n=512, seed=62)
+    op = _symm_op_packed(a, 4)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                       rel_error=1e-9)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ np.asarray(res2.x)) / bn < 1e-8
+
+
+def test_symm_sharded_packed_diagonal_and_pcg(mesh8):
+    a, b = _spd_system(n=512, seed=63)
+    s = np.exp(np.linspace(0, 3, 512))
+    a = a * np.outer(s, s)
+    op = _symm_op_packed(a, 4)
+    d = np.asarray(op.diagonal())
+    np.testing.assert_allclose(d[:512], np.diagonal(a), rtol=1e-12)
+    r = cg_solve(op, b, max_iters=3000, rel_error=1e-9,
+                 preconditioner="jacobi")
+    assert bool(r.converged)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(r.x)) / bn < 1e-8
+
+
+def test_symm_sharded_packed_gen_tridiagonal(mesh8):
+    """Device-built packed gen-mode operator: walk-order hi plane plus a
+    broadcast (tb, tb) zero lo tile — matvec must be exact."""
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    n = 700
+    op = SymmShardedOperator.from_gen_tridiagonal(n, mesh=make_mesh(4),
+                                                  tb=128, packed=True)
+    assert op.operand[1].shape[0] == 4 * 128  # one zero tile per shard
+    at = gen.tridiagonal_matrix(n)
+    p = gen.random_rhs(n, seed=5)
+    ap = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    np.testing.assert_allclose(ap, at @ p, rtol=1e-13, atol=1e-13)
+    b = gen.ones_rhs(n)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - at @ np.asarray(res.x)) / np.linalg.norm(
+        b) < 1e-8
