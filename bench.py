@@ -30,10 +30,13 @@ import numpy as np
 # Reference anchors (BASELINE.md): N=10000/20000 are 1x A100-40GB fp64;
 # N=40000 is the 4x A100 NCCL row (8.782 s incl ~7.8 s NCCL init — the
 # smallest reference config that ran this size; see BASELINE.md for the
-# 8-GPU comparison). 40000 is opt-in via LAM_BENCH_SIZES because its
-# 12.8 GB system costs ~7 min of np.load alone on this host.
+# 8-GPU comparison) and is IN the default set since round 3 (VERDICT.md
+# item 2) — its cached .npy ships in io/bench/ so the ~7 min np.load is
+# the only cost. N=57344 (largest packed-triangle fit on one v5e) is
+# opt-in via LAM_BENCH_SIZES: its 26 GB load would dominate the
+# driver's bench window; the measured row lives in results/ instead.
 BASELINES = {10000: 0.261, 20000: 0.866, 40000: 8.782}
-DEFAULT_SIZES = (10000, 20000)
+DEFAULT_SIZES = (10000, 20000, 40000)
 SIZES = tuple(int(s) for s in os.environ.get(
     "LAM_BENCH_SIZES", ",".join(map(str, DEFAULT_SIZES))).split(","))
 HEADLINE_N = SIZES[0]

@@ -12,6 +12,18 @@ import sys
 
 
 def main(argv=None):
+    """Entry point: converts I/O and argument errors into the
+    reference's clean print-to-stderr-and-exit behavior
+    (ConjugateGradient_CPU_MPI_OMP.hpp:325-329; the reference never
+    shows a backtrace on a missing or corrupt file)."""
+    try:
+        return _cli_main(argv)
+    except (OSError, ValueError) as e:
+        print(f"lam-heat-to-bmp: {e}", file=sys.stderr)
+        return 1
+
+
+def _cli_main(argv=None):
     p = argparse.ArgumentParser(prog="lam-heat-to-bmp")
     p.add_argument("input_file", nargs="?", default="io/heat.bin")
     p.add_argument("output_file", nargs="?", default="io/heat.bmp")

@@ -15,6 +15,18 @@ import time
 
 
 def main(argv=None):
+    """Entry point: converts I/O and argument errors into the
+    reference's clean print-to-stderr-and-exit behavior
+    (ConjugateGradient_CPU_MPI_OMP.hpp:325-329; the reference never
+    shows a backtrace on a missing or corrupt file)."""
+    try:
+        return _cli_main(argv)
+    except (OSError, ValueError) as e:
+        print(f"lam-heat: {e}", file=sys.stderr)
+        return 1
+
+
+def _cli_main(argv=None):
     p = argparse.ArgumentParser(prog="lam-heat")
     p.add_argument("nx", nargs="?", type=int, default=10)
     p.add_argument("ny", nargs="?", type=int, default=10)

@@ -140,6 +140,18 @@ def build_parser():
 
 
 def main(argv=None):
+    """Entry point: converts I/O and argument errors into the
+    reference's clean print-to-stderr-and-exit behavior
+    (ConjugateGradient_CPU_MPI_OMP.hpp:325-329; the reference never
+    shows a backtrace on a missing or corrupt file)."""
+    try:
+        return _cli_main(argv)
+    except (OSError, ValueError) as e:
+        print(f"lam-cg: {e}", file=sys.stderr)
+        return 1
+
+
+def _cli_main(argv=None):
     args = build_parser().parse_args(argv)
     if args.help:
         print("Usage: lam-cg [ (-A -b | -s) -o -e -i -h -v]")

@@ -127,27 +127,52 @@ def _tridiag_hi_slab_impl(n, n_padded, g, m):
     return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
 
 
-def _tridiag_hi_packed_impl(n, tb, it, kt):
+def _tridiag_hi_packed_impl(n, tb, it, kt, nblk):
     """f32 hi plane of the gen-mode tridiagonal in PACKED triangle-walk
     order (ops/gemv.py packed layout): block-row t of the (T*tb, tb)
-    output is tile (it[t], kt[t]) of the matrix. Built on device (one
-    fused XLA program, shardable via out_shardings) — with the packed
-    layout plus a broadcast zero lo tile, gen-mode df64 storage is a
-    QUARTER of the full-square pair (capacities in BASELINE.md)."""
+    output is tile (it[t], kt[t]) of the matrix. Built on device; with
+    the packed layout plus a broadcast zero lo tile, gen-mode df64
+    storage is a QUARTER of the full-square pair (BASELINE.md).
+
+    SPARSITY-AWARE: a tridiagonal's packed buffer has only two kinds of
+    nonzero tile — the nblk diagonal tiles (in-tile tridiagonal) and
+    the nblk-1 subdiagonal-neighbor tiles (it == kt+1, a single 1 in
+    the top-right corner). Scattering just those into zeros keeps the
+    construction's working set at ~n*tb elements; the first (dense
+    per-element gather) formulation materialized several full-buffer
+    int32 temporaries and OOM'd one v5e above N~48000. `nblk` (static)
+    = total row-tiles = n_padded // tb."""
     import jax
     import jax.numpy as jnp
 
     rows = it.shape[0] * tb
-    pr = jax.lax.broadcasted_iota(jnp.int32, (rows, tb), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, tb), 1)
-    t = pr // tb
-    i = it[t] * tb + pr % tb
-    j = kt[t] * tb + col
-    in_range = (i < n) & (j < n)
-    d = i - j
-    vals = jnp.where(d == 0, 2.0, jnp.where((d == 1) | (d == -1), 1.0,
-                                            0.0))
-    return jnp.where(in_range, vals, 0.0).astype(jnp.float32)
+    out = jnp.zeros((rows, tb), jnp.float32)
+
+    # diagonal tiles: walk positions where it == kt (each global
+    # row-tile has exactly one -> static count nblk across the table)
+    dpos = jnp.nonzero(it == kt, size=nblk, fill_value=0)[0]
+    i0 = it[dpos]                                     # (nblk,)
+    r = jax.lax.broadcasted_iota(jnp.int32, (nblk, tb, tb), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nblk, tb, tb), 2)
+    gi = i0[:, None, None] * tb + r
+    gj = i0[:, None, None] * tb + c
+    d = r - c
+    vals = jnp.where(d == 0, 2.0,
+                     jnp.where((d == 1) | (d == -1), 1.0, 0.0))
+    vals = jnp.where((gi < n) & (gj < n), vals, 0.0).astype(jnp.float32)
+    ridx = (dpos[:, None] * tb
+            + jnp.arange(tb, dtype=jnp.int32)[None, :]).reshape(-1)
+    out = out.at[ridx].set(vals.reshape(nblk * tb, tb))
+
+    # subdiagonal-neighbor tiles: A[i*tb, i*tb - 1] = 1 at the tile's
+    # top-right corner (row 0, col tb-1); nblk-1 of them globally
+    if nblk > 1:
+        cpos = jnp.nonzero(it == kt + 1, size=nblk - 1, fill_value=0)[0]
+        ic = it[cpos]
+        val = jnp.where((ic * tb < n) & (ic > 0), 1.0,
+                        0.0).astype(jnp.float32)
+        out = out.at[cpos * tb, tb - 1].set(val)
+    return out
 
 
 def ones_rhs(n, dtype=np.float64):

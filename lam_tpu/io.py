@@ -32,9 +32,22 @@ _HEADER = struct.Struct("<QQ")
 
 
 def read_header(path):
-    """Return (num_rows, num_cols) from a reference-format binary file."""
+    """Return (num_rows, num_cols) from a reference-format binary file.
+
+    Raises IOError with a one-line message on a short/corrupt header —
+    the CLI converts these to the reference's clean stderr-and-exit
+    behavior (ConjugateGradient_CPU_MPI_OMP.hpp:325-329) instead of a
+    traceback."""
     with open(path, "rb") as f:
-        return _HEADER.unpack(f.read(_HEADER.size))
+        head = f.read(_HEADER.size)
+    if len(head) != _HEADER.size:
+        raise IOError(f"{path}: not a LAM binary file (header is "
+                      f"{len(head)} bytes, need {_HEADER.size})")
+    rows, cols = _HEADER.unpack(head)
+    if rows == 0 or cols == 0 or rows * cols > (1 << 48):
+        raise IOError(f"{path}: implausible header ({rows}x{cols}) — "
+                      f"corrupt or not a LAM binary file")
+    return rows, cols
 
 
 def read_matrix(path, dtype=np.float64):

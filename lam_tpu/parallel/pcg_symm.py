@@ -446,9 +446,9 @@ class SymmShardedOperator(LinearOperator):
             flat_it = jnp.asarray(its.reshape(-1))
             flat_kt = jnp.asarray(kts.reshape(-1))
             hi = jax.jit(gen._tridiag_hi_packed_impl,
-                         static_argnums=(0, 1),
+                         static_argnums=(0, 1, 4),
                          out_shardings=a_sharding)(n, tb, flat_it,
-                                                   flat_kt)
+                                                   flat_kt, n_p // tb)
             lo = jax.jit(lambda: jnp.zeros((g * tb, tb), jnp.float32),
                          out_shardings=a_sharding)()
             operand = (hi, lo, *_table_arrays(tables, g, a_sharding))

@@ -184,9 +184,10 @@ class ConjugateGradient:
             n_p = padded_size(rows, tb)
             it, kt = _symm_tables(n_p // tb)
             hi = jax.jit(gen._tridiag_hi_packed_impl,
-                         static_argnums=(0, 1))(rows, tb,
-                                                jnp.asarray(it),
-                                                jnp.asarray(kt))
+                         static_argnums=(0, 1, 4))(rows, tb,
+                                                   jnp.asarray(it),
+                                                   jnp.asarray(kt),
+                                                   n_p // tb)
             lo = jnp.zeros((tb, tb), jnp.float32)
             return DenseOperator.from_packed_planes(hi, lo, rows, n_p)
         n_p = padded_size(rows)

@@ -20,6 +20,18 @@ import time
 
 
 def main(argv=None):
+    """Entry point: converts I/O and argument errors into the
+    reference's clean print-to-stderr-and-exit behavior
+    (ConjugateGradient_CPU_MPI_OMP.hpp:325-329; the reference never
+    shows a backtrace on a missing or corrupt file)."""
+    try:
+        return _cli_main(argv)
+    except (OSError, ValueError) as e:
+        print(f"lam-spd-gen: {e}", file=sys.stderr)
+        return 1
+
+
+def _cli_main(argv=None):
     p = argparse.ArgumentParser(
         prog="lam-spd-gen",
         description="Generate a random SPD system in the reference "

@@ -217,7 +217,100 @@ def test_cli_jacobi_preconditioner(tmp_path, capsys):
                             "sharded", "--devices", "4"]) == 0
     srow = capsys.readouterr().out.strip().split(",")
     assert float(srow[7]) < 1e-9
-    # ir + preconditioner is rejected
-    with pytest.raises(ValueError, match="ir"):
-        cli.main(base + ["--preconditioner", "jacobi",
-                         "--precision", "ir"])
+    # ir + preconditioner is rejected (clean one-line error since
+    # round 3, not a traceback)
+    assert cli.main(base + ["--preconditioner", "jacobi",
+                            "--precision", "ir"]) == 1
+    assert "ir" in capsys.readouterr().err
+
+
+# -- clean error surface (round 3; reference prints one line and exits:
+# ConjugateGradient_CPU_MPI_OMP.hpp:325-329) ---------------------------------
+
+
+def _err_run(args, capsys):
+    rc = cli.main(args)
+    err = capsys.readouterr().err
+    return rc, err
+
+
+def test_cli_missing_matrix_file(capsys):
+    rc, err = _err_run(["-A", "/nonexistent_lam.bin", "-b", "x.bin"],
+                       capsys)
+    assert rc == 1
+    assert "lam-cg:" in err and "Traceback" not in err
+
+
+def test_cli_corrupt_header(tmp_path, capsys):
+    p = tmp_path / "corrupt.bin"
+    p.write_bytes(b"short")
+    rc, err = _err_run(["-A", str(p)], capsys)
+    assert rc == 1
+    assert "not a LAM binary file" in err
+
+
+def test_cli_truncated_payload(tmp_path, capsys):
+    good = tmp_path / "trunc.bin"
+    lio.write_matrix(str(good), np.eye(16))
+    data = good.read_bytes()
+    good.write_bytes(data[:len(data) // 2])
+    rc, err = _err_run(["-A", str(good)], capsys)
+    assert rc == 1
+    assert "truncated" in err
+
+
+def test_cli_non_square_matrix(tmp_path, capsys):
+    p = tmp_path / "rect.bin"
+    lio.write_matrix(str(p), np.ones((4, 6)))
+    rc, err = _err_run(["-A", str(p), "-b", str(p)], capsys)
+    assert rc == 1
+    assert "square" in err
+
+
+def test_cli_rhs_size_mismatch(tmp_path, capsys):
+    m = tmp_path / "m.bin"
+    r = tmp_path / "r.bin"
+    lio.write_matrix(str(m), np.eye(8) * 2)
+    lio.write_matrix(str(r), np.ones(5))
+    rc, err = _err_run(["-A", str(m), "-b", str(r)], capsys)
+    assert rc == 1
+    assert "right hand side" in err
+
+
+def test_heat_cli_bad_args(capsys):
+    from lam_tpu.apps import heat_cli
+    rc = heat_cli.main(["-3", "10", "/tmp/heat_out.bin"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    # reference-parity message (heat_equation.cpp argument validation)
+    assert "Wrong argument value" in err and "Traceback" not in err
+
+
+def test_bmp_cli_missing_input(tmp_path, capsys):
+    from lam_tpu.apps import bmp_cli
+    rc = bmp_cli.main([str(tmp_path / "nope.bin"),
+                       str(tmp_path / "out.bmp")])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "lam-heat-to-bmp:" in err
+
+
+def test_spd_gen_bad_size(capsys):
+    from lam_tpu.tools import spd_gen
+    rc = spd_gen.main(["-5", "/tmp/m.bin", "/tmp/r.bin"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "Wrong argument value" in err
+
+
+def test_spd_gen_unwritable_output(tmp_path, capsys):
+    # a path THROUGH a regular file fails os.makedirs with
+    # NotADirectoryError regardless of privileges (tests run as root)
+    from lam_tpu.tools import spd_gen
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    rc = spd_gen.main(["32", str(blocker / "m.bin"),
+                       str(tmp_path / "r.bin")])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "lam-spd-gen:" in err and "Traceback" not in err
