@@ -61,18 +61,20 @@ class ConjugateGradient:
             self._mesh = make_mesh(self.n_devices)
         return self._mesh
 
+    def _mesh2d_or_make(self):
+        if self._mesh is None:
+            import math
+
+            from lam_tpu.parallel.pcg2d import make_mesh2d
+            r = math.isqrt(self.n_devices or len(jax.devices()))
+            self._mesh = make_mesh2d(r)
+        return self._mesh
+
     def _build_operator(self, row_block_fn, n, full_matrix=None,
                         block_fn=None):
         if self.backend == "sharded2d":
-            import math
-
-            from lam_tpu.parallel.pcg2d import (
-                Sharded2DOperator,
-                make_mesh2d,
-            )
-            if self._mesh is None:
-                r = math.isqrt(self.n_devices or len(jax.devices()))
-                self._mesh = make_mesh2d(r)
+            from lam_tpu.parallel.pcg2d import Sharded2DOperator
+            self._mesh2d_or_make()
             if block_fn is None:
                 def block_fn(r0, c0, h, w):
                     return row_block_fn(r0, h)[:, c0:c0 + w]
@@ -158,6 +160,10 @@ class ConjugateGradient:
             return None
         if self._base_precision() not in ("auto", "df64"):
             return None
+        if self.backend == "sharded2d":
+            from lam_tpu.parallel.pcg2d import Sharded2DOperator
+            return Sharded2DOperator.from_gen_tridiagonal(
+                rows, mesh=self._mesh2d_or_make(), engine=self.engine)
         if self.backend == "sharded":
             if self.engine in ("pallas_symm", "pallas_symm_packed"):
                 from lam_tpu.parallel.pcg_symm import SymmShardedOperator

@@ -85,6 +85,27 @@ def main(argv=None):
     sop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128)
     check(cg_solve(sop, b, max_iters=2000, rel_error=1e-9), "symm")
 
+    # packed-triangle variant: per-process construction of the walk-
+    # order tile buffer (half the stored bytes; round 3)
+    pop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128,
+                                         packed=True)
+    check(cg_solve(pop, b, max_iters=2000, rel_error=1e-9),
+          "symm-packed")
+
+    # 2-D (SUMMA) grid spanning BOTH processes: pick two devices from
+    # each so the transpose ppermute and the cols-psum cross the
+    # process boundary (round 3; the in-process dryrun leg already
+    # covers the single-process grid)
+    if args.num_processes == 2 and args.local_devices >= 2:
+        from lam_tpu.parallel.pcg2d import AXES, Sharded2DOperator
+        devs = jax.devices()
+        per = args.local_devices
+        sel = np.array(devs[:2] + devs[per:per + 2]).reshape(2, 2)
+        mesh2 = jax.sharding.Mesh(sel, AXES)
+        op2 = Sharded2DOperator.from_dense(a, mesh=mesh2,
+                                           precision="f64")
+        check(cg_solve(op2, b, max_iters=2000, rel_error=1e-9), "2d")
+
     # heat demo: row-sharded halo-exchange stencil with CROSS-PROCESS
     # ppermute of the boundary rows (the matrix-free parallel pattern)
     from lam_tpu.apps import heat
