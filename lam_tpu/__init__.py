@@ -42,15 +42,21 @@ if not _os.environ.get("LAM_TPU_NO_X64"):
 # large fused solve loops through a remote-tunneled chip). Opt out with
 # LAM_TPU_NO_COMPILE_CACHE=1 or point LAM_TPU_COMPILE_CACHE elsewhere.
 #
-# The cache is gated OFF when the process forces a CPU-only platform
-# (JAX_PLATFORMS=cpu — the test suite / virtual-mesh path): XLA:CPU
-# executables are AOT-compiled for a specific machine, and through the
-# remote-tunneled TPU backend the compiling machine can differ from
-# this host — loading such an entry in a CPU-only run risks SIGILL
-# ("machine type ... doesn't match", cpu_aot_loader). TPU executables
-# have no such host dependence.
-_platforms = _os.environ.get("JAX_PLATFORMS", "")
-if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE") and _platforms != "cpu":
+# The cache is gated OFF unless the env names a non-CPU platform
+# (JAX_PLATFORMS=tpu / axon / "tpu,cpu"-style lists WITHOUT a cpu
+# entry): XLA:CPU executables are AOT-compiled for a specific machine,
+# and through the remote-tunneled TPU backend the compiling machine can
+# differ from this host — loading such an entry in a CPU run risks
+# SIGILL ("machine type ... doesn't match", cpu_aot_loader). TPU
+# executables have no such host dependence. An EMPTY/unset env also
+# disables the cache: on a host with no accelerator JAX silently falls
+# back to CPU and the same hazard applies (the advisor's round-2
+# finding); TPU sessions here always carry JAX_PLATFORMS=axon.
+_platform_list = [p.strip().lower() for p in
+                  _os.environ.get("JAX_PLATFORMS", "").split(",")
+                  if p.strip()]
+_cache_safe = bool(_platform_list) and "cpu" not in _platform_list
+if not _os.environ.get("LAM_TPU_NO_COMPILE_CACHE") and _cache_safe:
     _cache_dir = _os.environ.get(
         "LAM_TPU_COMPILE_CACHE",
         _os.path.join(_os.path.expanduser("~"), ".cache", "lam_tpu_xla"))

@@ -68,7 +68,9 @@ def _cli_main(argv=None):
     # warm-up pass compiles the fused solve program (the reference has
     # no JIT — its timed region is pure execution); the persistent
     # compilation cache (lam_tpu/__init__.py) makes this near-free on
-    # repeat invocations at the same grid shape
+    # repeat invocations at the same grid shape. The measured span also
+    # includes operator/mesh construction (repeated by the timed solve
+    # below), so it is reported as warm-up time, not pure compile time.
     t_init = time.perf_counter()
     if args.solver == "jacobi":
         heat.solve_heat_jacobi(grid, max_iters=0, epsilon=args.epsilon)
@@ -90,7 +92,7 @@ def _cli_main(argv=None):
         metric = f"rel_residual={rel:e}"
         converged = rel < args.rel_error
     dt = time.perf_counter() - t0
-    print(f"Compile (init) time: {init_s:f} s")
+    print(f"Warm-up (compile + construction) time: {init_s:f} s")
     if converged:
         print(f"Iterations converged in {iters} iterations with {metric}")
     else:

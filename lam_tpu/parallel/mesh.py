@@ -37,17 +37,33 @@ def distributed_init(coordinator_address=None, num_processes=None,
     idempotently. After it returns, `jax.devices()` is the GLOBAL device
     list and the same mesh program runs unchanged across processes."""
     state = getattr(jax.distributed, "global_state", None)
+    if state is None:  # newer jax moved it out of the public module
+        try:
+            from jax._src.distributed import global_state as state
+        except ImportError:  # pragma: no cover
+            state = None
     if state is not None and getattr(state, "client", None) is not None:
         if coordinator_address is not None:
-            # the explicit form MUST take effect or fail loudly; a prior
-            # initialization (possibly a different topology) cannot be
-            # re-bootstrapped, so silently continuing would run the
+            # the explicit form must either already be in effect (exact
+            # topology match -> idempotent no-op, like a repeated
+            # MPI_Initialized check) or fail loudly: a prior
+            # initialization with a DIFFERENT topology cannot be
+            # re-bootstrapped, and silently continuing would run the
             # wrong mesh — the moral equivalent of a second MPI_Init
-            raise RuntimeError(
-                "jax.distributed is already initialized; the requested "
-                "coordinator/process topology cannot be applied in "
-                "this process")
-        return  # auto-detect form: idempotent no-op
+            same = (
+                getattr(state, "coordinator_address", None)
+                == coordinator_address
+                and (num_processes is None
+                     or getattr(state, "num_processes", None)
+                     == num_processes)
+                and (process_id is None
+                     or getattr(state, "process_id", None) == process_id))
+            if not same:
+                raise RuntimeError(
+                    "jax.distributed is already initialized with a "
+                    "different coordinator/process topology; it cannot "
+                    "be re-bootstrapped in this process")
+        return  # already initialized (matching or auto-detect): no-op
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -320,9 +320,12 @@ class SymmShardedOperator(LinearOperator):
     """Band-pair sharded SYMMETRIC df64 matrix over a 1-D mesh.
 
     The mixed-precision (ir) configuration of this operator is the
-    mesh-scale flagship: inner f32 matvecs read each matrix element
-    once ACROSS THE WHOLE MESH (triangle walk), the accurate df64
-    matvec runs full-row on the slab. Requires a symmetric matrix —
+    mesh-scale flagship: BOTH matvecs — the f32 inner and the
+    compensated df64 accurate one — run the lower-triangle slab walk
+    (gemv_f32_symm_slab / gemv_df64_symm_slab), reading each matrix
+    element once across the whole mesh. With packed=True the walk
+    tiles are also the STORAGE (half the HBM capacity per chip,
+    round 3). Requires a symmetric matrix —
     CG's contract anyway (the constructor trusts the caller the same
     way DenseOperator's engine='pallas_symm' verifies; verification on
     a sharded build would need a full extra pass, so from_dense checks
