@@ -198,12 +198,6 @@ def _cli_main(argv=None):
     if not mode_generate and not mode_load:
         # reference defaults to file mode paths when nothing is given
         mode_load = True
-    if args.precision == "ir" and args.checkpoint:
-        # cg_solve_resumable runs the plain recurrence; silently running
-        # df64 when ir was requested would misreport the config
-        print("--precision ir cannot be used with --checkpoint.",
-              file=sys.stderr)
-        return 1
     if args.preconditioner and args.checkpoint:
         # the resumable segmented driver has no PCG plumbing — reject
         # rather than silently running unpreconditioned CG
@@ -296,10 +290,20 @@ def _cli_main(argv=None):
 
             from lam_tpu.solver import checkpoint as ckpt
             t0 = _time.perf_counter()
-            result, _ = ckpt.cg_solve_resumable(
-                cg.op, cg.rhs, max_iters=args.max_iters,
-                rel_error=args.rel_error, segment=args.checkpoint_every,
-                checkpoint_path=args.checkpoint, resume=args.resume)
+            if cg.precision == "ir":
+                # round 3: ir checkpoints at refinement-CYCLE
+                # boundaries (the natural restart points;
+                # --checkpoint-every does not apply)
+                result, _ = ckpt.cg_solve_ir_resumable(
+                    cg.op.as_f32(), cg.op, cg.rhs,
+                    max_iters=args.max_iters, rel_error=args.rel_error,
+                    checkpoint_path=args.checkpoint, resume=args.resume)
+            else:
+                result, _ = ckpt.cg_solve_resumable(
+                    cg.op, cg.rhs, max_iters=args.max_iters,
+                    rel_error=args.rel_error,
+                    segment=args.checkpoint_every,
+                    checkpoint_path=args.checkpoint, resume=args.resume)
             dt = _time.perf_counter() - t0
             converged = cg.record_result(result, dt)
         else:

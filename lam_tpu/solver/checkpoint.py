@@ -147,3 +147,114 @@ def cg_solve_resumable(op, b, *, max_iters=1000, rel_error=1e-9,
     result = CGResult(x=op.extract_x(state.x), num_iters=num_iters,
                       rel_residual=rel, converged=converged)
     return result, seg_times
+
+
+# --- resumable mixed-precision (ir) solving --------------------------------
+#
+# Round-3 addition (VERDICT.md item 7): refinement-CYCLE boundaries are
+# natural restart points — the outer state is just (x, r, k, cycle) in
+# f64, and the f64 binary format round-trips bit-exactly, so a resumed
+# solve continues with the same per-cycle arithmetic as an uninterrupted
+# one. One cycle below is the same math as one _cg_ir_loop body
+# (lam_tpu/solver/cg.py): inner tolerance from the current relative
+# residual, normalized f32 inner CG, f64 correction + true residual.
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _ir_cycle(matvec_dot32, matvec_dot_acc, operand, b, x, r, k_left,
+              rel_error, inner_floor):
+    """One refinement cycle from (x, r); returns (x', r', inner_iters).
+
+    Matches _cg_ir_loop's body exactly (same inner-tolerance schedule,
+    same update order) so a cycle-checkpointed solve follows the same
+    trajectory as the fused on-device loop."""
+    from lam_tpu.solver.cg import _cg_loop
+    dtype = b.dtype
+    bb = jnp.vdot(b, b)
+    eps = jnp.asarray(rel_error, dtype)
+    rnorm = jnp.sqrt(jnp.vdot(r, r))
+    rel = rnorm / jnp.sqrt(bb)
+    inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
+    r32 = (r / rnorm).astype(jnp.float32)
+    inner = _cg_loop(matvec_dot32, operand, r32, k_left,
+                     inner_tol.astype(jnp.float32))
+    x = x + inner.x.astype(dtype) * rnorm
+    r = b - matvec_dot_acc(operand, x)[0]
+    return x, r, inner.num_iters
+
+
+def save_ir_state(path, x, r, k, cycle, n):
+    os.makedirs(path, exist_ok=True)
+    lio.write_matrix(os.path.join(path, "x.bin"), np.asarray(x))
+    lio.write_matrix(os.path.join(path, "r.bin"), np.asarray(r))
+    with open(os.path.join(path, "ir_state.json"), "w") as f:
+        json.dump({"k": int(k), "cycle": int(cycle), "n": int(n),
+                   "n_padded": int(x.shape[0])}, f)
+
+
+def load_ir_state(path, op):
+    with open(os.path.join(path, "ir_state.json")) as f:
+        meta = json.load(f)
+    if meta["n"] != op.n or meta["n_padded"] != op.n_padded:
+        raise ValueError(
+            f"ir checkpoint is for n={meta['n']}/pad={meta['n_padded']}, "
+            f"operator has n={op.n}/pad={op.n_padded}")
+    x = jnp.asarray(lio.read_vector(os.path.join(path, "x.bin")),
+                    dtype=op.vector_dtype)
+    r = jnp.asarray(lio.read_vector(os.path.join(path, "r.bin")),
+                    dtype=op.vector_dtype)
+    return x, r, meta["k"], meta["cycle"]
+
+
+def cg_solve_ir_resumable(op32, op_acc, b, *, max_iters=10000,
+                          rel_error=1e-9, inner_floor=1e-5, max_cycles=6,
+                          checkpoint_path=None, resume=False,
+                          on_cycle=None):
+    """Mixed-precision refinement with per-cycle checkpointing.
+
+    Same contract as cg_solve_ir (lam_tpu/solver/cg.py) plus: after
+    every refinement cycle the outer state persists to
+    `checkpoint_path` (f64 vectors in the reference binary format + a
+    JSON sidecar), and `resume=True` continues from it bit-exactly.
+    Returns (CGResult, [(inner_iters, cycle_seconds), ...])."""
+    if op32.operand is not op_acc.operand:
+        raise ValueError(
+            "cg_solve_ir requires the f32 operator to be a VIEW of the "
+            "accurate operator (use op_acc.as_f32())")
+    b_p = op_acc.prepare_b(b)
+    if resume:
+        if not checkpoint_path:
+            raise ValueError("resume=True requires checkpoint_path")
+        x, r, k, cycle = load_ir_state(checkpoint_path, op_acc)
+    else:
+        x, r, k, cycle = jnp.zeros_like(b_p), b_p, 0, 0
+
+    bb = float(jnp.vdot(b_p, b_p))
+    cyc_times = []
+    mv32 = op32._matvec_dot_fn
+    mv_acc = op_acc._matvec_dot_fn
+    while True:
+        rel_now = float(jnp.sqrt(jnp.vdot(r, r))) / np.sqrt(bb)
+        if rel_now < rel_error or k >= max_iters or cycle >= max_cycles:
+            break
+        t0 = time.perf_counter()
+        x, r, inner_iters = _ir_cycle(mv32, mv_acc, op_acc.operand, b_p,
+                                      x, r, jnp.int32(max_iters - k),
+                                      rel_error,
+                                      jnp.asarray(inner_floor,
+                                                  b_p.dtype))
+        k += int(inner_iters)  # device sync bounds the cycle timing too
+        cycle += 1
+        cyc_times.append((int(inner_iters), time.perf_counter() - t0))
+        if checkpoint_path:
+            save_ir_state(checkpoint_path, np.asarray(x), np.asarray(r),
+                          k, cycle, op_acc.n)
+        if on_cycle is not None:
+            on_cycle(x, r, k, cycle)
+
+    rel = jnp.sqrt(jnp.vdot(r, r) / bb)
+    converged = rel < rel_error
+    result = CGResult(x=op_acc.extract_x(x),
+                      num_iters=jnp.int32(k), rel_residual=rel,
+                      converged=converged)
+    return result, cyc_times

@@ -94,3 +94,91 @@ def test_resumable_on_sharded_and_symm_backends(tmp_path):
         assert bool(res2.converged)
         x = np.asarray(res2.x)
         assert np.linalg.norm(b - a @ x) / bn < 1e-8
+
+
+# --- resumable ir (round 3; VERDICT.md item 7) ------------------------------
+
+
+def test_ir_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """A solve interrupted at a cycle boundary and resumed must land on
+    EXACTLY the state of an uninterrupted resumable solve (f64 binary
+    round-trip is exact), and agree with the fused cg_solve_ir loop."""
+    import numpy as np
+
+    from lam_tpu import DenseOperator, cg_solve_ir
+    from lam_tpu import generate as gen
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+
+    n = 300
+    a, b = gen.random_spd_system(n, seed=33)
+    op = DenseOperator.from_dense(a, precision="df64")
+    op32 = op.as_f32()
+
+    # uninterrupted resumable run
+    full, cycles = cg_solve_ir_resumable(op32, op, b, max_iters=10000,
+                                         rel_error=1e-9)
+    assert bool(full.converged) and len(cycles) >= 2
+
+    # interrupted after 1 cycle, checkpointed, resumed
+    ck = str(tmp_path / "ir_ck")
+    part, _ = cg_solve_ir_resumable(op32, op, b, max_iters=10000,
+                                    rel_error=1e-9, max_cycles=1,
+                                    checkpoint_path=ck)
+    assert not bool(part.converged)
+    res, _ = cg_solve_ir_resumable(op32, op, b, max_iters=10000,
+                                   rel_error=1e-9, checkpoint_path=ck,
+                                   resume=True)
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+
+    # and the fused on-device loop agrees on quality
+    fused = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=1e-9)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+    assert np.linalg.norm(b - a @ np.asarray(fused.x)) / bn < 1e-8
+
+
+def test_ir_checkpoint_wrong_size_rejected(tmp_path):
+    import pytest
+
+    from lam_tpu import DenseOperator
+    from lam_tpu import generate as gen
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+
+    a, b = gen.random_spd_system(200, seed=34)
+    op = DenseOperator.from_dense(a, precision="df64")
+    ck = str(tmp_path / "ck")
+    cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=100,
+                          rel_error=1e-9, max_cycles=1,
+                          checkpoint_path=ck)
+    a2, b2 = gen.random_spd_system(300, seed=35)
+    op2 = DenseOperator.from_dense(a2, precision="df64")
+    with pytest.raises(ValueError, match="checkpoint"):
+        cg_solve_ir_resumable(op2.as_f32(), op2, b2, checkpoint_path=ck,
+                              resume=True)
+
+
+def test_ir_checkpoint_sharded(tmp_path):
+    """The resumable ir driver is backend-generic: the packed symmetric
+    band-pair operator's shard_map matvecs compose under _ir_cycle."""
+    import numpy as np
+
+    from lam_tpu import generate as gen
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+
+    n = 300
+    a, b = gen.random_spd_system(n, seed=36)
+    op = SymmShardedOperator.from_dense(a, mesh=make_mesh(4), tb=128,
+                                        packed=True)
+    ck = str(tmp_path / "ck")
+    cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=10000,
+                          rel_error=1e-9, max_cycles=1,
+                          checkpoint_path=ck)
+    res, _ = cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=10000,
+                                   rel_error=1e-9, checkpoint_path=ck,
+                                   resume=True)
+    assert bool(res.converged)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8

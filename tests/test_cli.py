@@ -177,13 +177,27 @@ def test_cli_init_col(capsys, tmp_path):
     assert int(fields[7]) == 6        # num_iter (cap+1) shifted right
 
 
-def test_cli_ir_checkpoint_rejected(tmp_path, capsys):
-    """cg_solve_resumable runs the plain recurrence; an explicit ir
-    request must error, not silently run df64."""
-    rc = cli.main(["-s", "64", "--precision", "ir",
-                   "--checkpoint", str(tmp_path / "ck")])
-    assert rc == 1
+def test_cli_ir_checkpoint_runs(tmp_path, capsys):
+    """Round 3: --precision ir composes with --checkpoint (per-cycle
+    persistence, lam_tpu/solver/checkpoint.py cg_solve_ir_resumable)."""
+    ck = str(tmp_path / "ck")
+    rc = cli.main(["-s", "200", "--precision", "ir", "-e", "1e-9",
+                   "--checkpoint", ck,
+                   "-o", str(tmp_path / "sol.bin")])
+    assert rc == 0
+    row = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert float(row[7]) < 1e-9          # converged rel residual
+    import os
+    assert os.path.exists(os.path.join(ck, "ir_state.json"))
+    # resume from the converged checkpoint: exits immediately, same x
+    rc = cli.main(["-s", "200", "--precision", "ir", "-e", "1e-9",
+                   "--checkpoint", ck, "--resume",
+                   "-o", str(tmp_path / "sol2.bin")])
+    assert rc == 0
     capsys.readouterr()
+    x1 = lio.read_vector(str(tmp_path / "sol.bin"))
+    x2 = lio.read_vector(str(tmp_path / "sol2.bin"))
+    np.testing.assert_array_equal(x1, x2)
 
 
 def test_cli_preconditioner_checkpoint_rejected(tmp_path, capsys):
