@@ -80,6 +80,17 @@ def rows(n, a, b, bnorm, iters_ref):
                cg_solve_ir(sop.as_f32(), sop, b, max_iters=10000,
                            rel_error=1e-9),
                n * 4)
+        # packed triangle storage (round 3): same walk, half the
+        # stored bytes — convergence must be invariant too
+        pop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128,
+                                             packed=True)
+        record("symm_packed", g,
+               cg_solve(pop, b, max_iters=2000, rel_error=1e-9),
+               n * 8)
+        record("symm_packed_ir", g,
+               cg_solve_ir(pop.as_f32(), pop, b, max_iters=10000,
+                           rel_error=1e-9),
+               n * 4)
 
     # 2-D grid (square mesh sizes only): transpose ppermute + psum of
     # N/R values per chip — the O(N/sqrt(G)) exchange
