@@ -158,8 +158,27 @@ class ConjugateGradient:
         per-rank fill (ConjugateGradient_CPU_MPI_OMP.hpp:237-247)."""
         if jax.default_backend() != "tpu":
             return None
-        if self._base_precision() not in ("auto", "df64"):
+        if self._base_precision() not in ("auto", "df64", "f32"):
             return None
+        if self._base_precision() == "f32":
+            # f32 gen: the tridiagonal is exact in f32, so the packed
+            # hi plane IS the matrix — device-built, no host transfer
+            # (the host fallback cost 470 s at N=40000 vs ~2 s here)
+            if self.backend != "local" or self.engine not in (
+                    "auto", "pallas_symm_packed"):
+                return None
+            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+            from lam_tpu.solver.operators import DenseOperator, padded_size
+            import jax.numpy as jnp
+            tb = SYMM_TB
+            n_p = padded_size(rows, tb)
+            it, kt = _symm_tables(n_p // tb)
+            hi = jax.jit(gen._tridiag_hi_packed_impl,
+                         static_argnums=(0, 1, 4))(rows, tb,
+                                                   jnp.asarray(it),
+                                                   jnp.asarray(kt),
+                                                   n_p // tb)
+            return DenseOperator.from_packed_f32(hi, rows, n_p)
         if self.backend == "sharded2d":
             from lam_tpu.parallel.pcg2d import Sharded2DOperator
             return Sharded2DOperator.from_gen_tridiagonal(

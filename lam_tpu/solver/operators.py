@@ -513,6 +513,16 @@ class DenseOperator(LinearOperator):
         return out
 
     @staticmethod
+    def from_packed_f32(a_packed, n, n_padded):
+        """f32 operator from a PRE-PACKED walk-order triangle plane —
+        the gen-mode device-build path for precision='f32' (entries
+        {0,1,2} are exact in f32; the hi plane IS the matrix)."""
+        fn = _MATVEC_DOT[("f32", "pallas_symm_packed")]
+        return DenseOperator(fn, jnp.asarray(a_packed, jnp.float32), n,
+                             n_padded, jnp.float32, "f32",
+                             "pallas_symm_packed")
+
+    @staticmethod
     def from_packed_planes(hi, lo, n, n_padded):
         """df64 operator from PRE-PACKED walk-order triangle planes
         ((T*tb, tb), ops/gemv.py pack_tri_host layout). `lo` may be a

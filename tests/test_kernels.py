@@ -408,3 +408,20 @@ def test_packed_operator_diagonal_and_pcg():
     assert bool(r.converged)
     x = np.asarray(r.x, np.float64)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
+
+
+def test_from_packed_f32_matvec():
+    # the gen-mode f32 device-build path: operator from a pre-packed
+    # walk-order f32 plane (lam_tpu/solver/api.py _generate_fast)
+    from lam_tpu import generate as gen
+    from lam_tpu.ops.gemv import pack_tri_host
+    from lam_tpu.solver.operators import DenseOperator, padded_size
+    n, tb = 700, 128
+    n_p = padded_size(n, tb)
+    full = np.zeros((n_p, n_p), np.float32)
+    full[:n, :n] = gen.tridiagonal_matrix(n, dtype=np.float32)
+    op = DenseOperator.from_packed_f32(pack_tri_host(full, tb), n, n_p)
+    p = gen.random_rhs(n).astype(np.float32)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    ref = gen.tridiagonal_matrix(n) @ p.astype(np.float64)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-6
