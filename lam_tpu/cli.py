@@ -74,7 +74,10 @@ def build_parser():
     p.add_argument("--backend", default="auto",
                    choices=["local", "sharded", "sharded2d", "auto"],
                    help="sharded2d = SUMMA-style R x R block grid "
-                        "(O(N/sqrt(G)) exchange per chip vs 1-D's O(N))")
+                        "(O(N/sqrt(G)) exchange per chip vs 1-D's "
+                        "O(N)); with --engine pallas_symm[_packed] the "
+                        "grid also stores each symmetric element ONCE "
+                        "(half the HBM, dual-product half-slab walk)")
     p.add_argument("--precision", default="auto",
                    choices=["f64", "f32", "df64", "ir", "auto"])
     p.add_argument("--engine", default="auto",

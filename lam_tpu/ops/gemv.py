@@ -1081,3 +1081,281 @@ def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
       p_hi.reshape(n, 1), p_lo.reshape(n, 1))
     return (ydh.reshape(ms), ydl.reshape(ms),
             yth.reshape(n), ytl.reshape(n))
+
+
+# ---------------------------------------------------------------------------
+# DUAL gemv: (S @ p, S^T @ q) from ONE read of a dense rectangle
+# ---------------------------------------------------------------------------
+#
+# The off-diagonal building block of the SYMMETRIC 2-D grid
+# (lam_tpu/parallel/pcg2d_symm.py): chips (i, j) and (j, i) each hold
+# one half-slab S of the lower block A_{max,min}; each computes BOTH the
+# direct product S @ p (rows of its half) and the transpose product
+# S^T @ q (columns -> the mirror block's rows) from a single pass over
+# S, so every matrix element is stored once and read once per matvec
+# across the mesh. The reference has no symmetric storage at all — its
+# backends stream all N^2 elements every matvec
+# (ConjugateGradient_GPU_CUDA.cu:171-211 and clones).
+#
+# Storage is the walk-order tile packing used by the packed symm
+# kernels: block-row t of the (T*tb, tb) buffer is tile (t // cb,
+# t % cb) of S (row-major rectangle walk, cb = n // tb); T may EXCEED
+# the rectangle's tile count (mb * cb) — trailing pad tiles keep the
+# per-chip buffer shape uniform with the diagonal chips' triangle
+# buffers inside one shard_map operand and are never visited.
+
+
+def _dual_geometry(buf, p, q, what):
+    tb = buf.shape[1]
+    n = p.shape[0]
+    ms = q.shape[0]
+    if tb < _LANES or tb & (tb - 1):
+        raise ValueError(f"{what}: packed tile width {tb} must be a "
+                         f"power-of-two multiple of {_LANES}")
+    if n % tb or ms % tb or buf.shape[0] % tb:
+        raise ValueError(f"{what}: n={n}, ms={ms} and packed rows "
+                         f"{buf.shape[0]} must be multiples of tb={tb}")
+    mb, cb = ms // tb, n // tb
+    if buf.shape[0] // tb < mb * cb:
+        raise ValueError(
+            f"{what}: packed buffer has {buf.shape[0] // tb} tiles, "
+            f"rectangle ({ms}, {n}) needs {mb * cb}")
+    return tb, mb, cb
+
+
+def _gemv_f32_dual_kernel(a_ref, p_ref, q_ref, yd_ref, yt_ref,
+                          acc_d, acc_t):
+    li = pl.program_id(0)
+    k = pl.program_id(1)
+    nli = pl.num_programs(0)
+    nk = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(li == 0, k == 0))
+    def _():
+        acc_t[:] = jnp.zeros_like(acc_t)
+
+    @pl.when(k == 0)
+    def _():
+        acc_d[:] = jnp.zeros_like(acc_d)
+
+    a = a_ref[:]                       # (TB, TB)
+    tb = a.shape[0]
+
+    # direct: yd[li] += S_lik @ p_k (128 lane accumulators)
+    acc_d[:] = _lane_fold(a * p_ref[:], acc_d[:])
+
+    @pl.when(k == nk - 1)
+    def _():
+        yd_ref[:] = _lane_tree(acc_d[:])
+
+    # transpose: yt[k] += S_lik^T @ q_li — EVERY tile (dense rectangle;
+    # the symm kernels' k<i guard has no analog here)
+    tpart = jnp.sum(a * q_ref[:], axis=0, keepdims=True)  # (1, TB)
+    idx = pl.dslice(k * tb, tb)
+    acc_t[:, idx] = acc_t[:, idx] + tpart
+
+    @pl.when(jnp.logical_and(li == nli - 1, k == nk - 1))
+    def _():
+        yt_ref[:] = acc_t[:]
+
+
+@jax.jit
+def gemv_f32_dual(buf, p, q):
+    """(S @ p, S^T @ q) for a dense f32 rectangle S (ms, n) stored as
+    the (T*tb, tb) row-major tile packing `buf` (T >= ms/tb * n/tb;
+    trailing pad tiles unread). p: (n,), q: (ms,). One HBM pass."""
+    tb, mb, cb = _dual_geometry(buf, p, q, "gemv_f32_dual")
+    n = p.shape[0]
+    ms = q.shape[0]
+    grid = (mb, cb)
+    yd, yt = pl.pallas_call(
+        _gemv_f32_dual_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), lambda li, k: (li * cb + k, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(buf, p.reshape(1, n), q.reshape(ms, 1))
+    return yd.reshape(ms), yt.reshape(n)
+
+
+def _gemv_df64_dual_kernel(ah_ref, al_ref, ph_ref, pl_ref, qh_ref,
+                           ql_ref, ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                           accd_s, accd_c, acct_s, acct_c, *, comp):
+    li = pl.program_id(0)
+    k = pl.program_id(1)
+    nli = pl.num_programs(0)
+    nk = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(li == 0, k == 0))
+    def _():
+        acct_s[:] = jnp.zeros_like(acct_s)
+        acct_c[:] = jnp.zeros_like(acct_c)
+
+    @pl.when(k == 0)
+    def _():
+        accd_s[:] = jnp.zeros_like(accd_s)
+        accd_c[:] = jnp.zeros_like(accd_c)
+
+    ah = ah_ref[:]                    # (TB, TB)
+    al = al_ref[:]
+    tb = ah.shape[0]
+
+    # direct: yd[li] += S_lik @ p_k (lane-compensated fold)
+    t_hi, t_lo = _df64_exact_tile(ah, al, ph_ref[:], pl_ref[:], comp)
+    s = accd_s[:]
+    c = accd_c[:]
+    for j in range(tb // _LANES):
+        sl = slice(j * _LANES, (j + 1) * _LANES)
+        s, e = two_sum(s, t_hi[:, sl])
+        c = c + (e + t_lo[:, sl])
+    accd_s[:] = s
+    accd_c[:] = c
+
+    @pl.when(k == nk - 1)
+    def _():
+        s_ = accd_s[:]
+        c_ = accd_c[:]
+        width = _LANES
+        while width > 1:
+            half = width // 2
+            s2, e = two_sum(s_[:, :half], s_[:, half:width])
+            c_ = c_[:, :half] + c_[:, half:width] + e
+            s_ = s2
+            width = half
+        hi, lo = fast_two_sum(s_, c_)
+        ydh_ref[:] = hi
+        ydl_ref[:] = lo
+
+    # transpose: yt[k] += S_lik^T @ q_li — every tile (dense rectangle)
+    u_hi, u_lo = _df64_exact_tile(ah, al, qh_ref[:], ql_ref[:], comp)
+    width = tb
+    while width > _SYMM_T_SUBLANES:
+        half = width // 2
+        s2, e = two_sum(u_hi[:half], u_hi[half:width])
+        u_lo = u_lo[:half] + u_lo[half:width] + e
+        u_hi = s2
+        width = half
+    idx = pl.dslice(k * tb, tb)
+    s2, e = two_sum(acct_s[:, idx], u_hi)
+    acct_s[:, idx] = s2
+    acct_c[:, idx] = acct_c[:, idx] + (e + u_lo)
+
+    @pl.when(jnp.logical_and(li == nli - 1, k == nk - 1))
+    def _():
+        s_ = acct_s[:]
+        c_ = acct_c[:]
+        width = _SYMM_T_SUBLANES
+        while width > 1:
+            half = width // 2
+            s2, e = two_sum(s_[:half], s_[half:width])
+            c_ = c_[:half] + c_[half:width] + e
+            s_ = s2
+            width = half
+        hi, lo = fast_two_sum(s_, c_)
+        yth_ref[:] = hi
+        ytl_ref[:] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("comp",))
+def gemv_df64_dual(buf_hi, buf_lo, p_hi, p_lo, q_hi, q_lo, *, comp=None):
+    """Float-float dual matvec: ((S@p)_hi, (S@p)_lo, (S^T@q)_hi,
+    (S^T@q)_lo) for a dense rectangle S stored as the (T*tb, tb)
+    row-major tile packing (see `gemv_f32_dual`), with the same
+    compensated arithmetic as `gemv_df64_symm_slab`. The lo plane may
+    be a single (tb, tb) zero tile (see _lo_plane_map)."""
+    comp = _resolve_comp(comp)
+    tb, mb, cb = _dual_geometry(buf_hi, p_hi, q_hi, "gemv_df64_dual")
+    n = p_hi.shape[0]
+    ms = q_hi.shape[0]
+    a_map = lambda li, k: (li * cb + k, li * 0)
+    if buf_lo.shape == buf_hi.shape:
+        lo_map = a_map
+    elif buf_lo.shape == (tb, tb):
+        lo_map = lambda li, k: (li * 0, li * 0)
+    else:
+        raise ValueError(
+            f"gemv_df64_dual: lo plane must match the hi plane "
+            f"{buf_hi.shape} or be a single ({tb}, {tb}) broadcast "
+            f"tile, got {buf_lo.shape}")
+    grid = (mb, cb)
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_df64_dual_kernel, comp=comp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tb), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(buf_hi, buf_lo, p_hi.reshape(1, n), p_lo.reshape(1, n),
+      q_hi.reshape(ms, 1), q_lo.reshape(ms, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))
+
+
+def pack_rect_host(s, tb, pad_tiles=0):
+    """Pack a dense host rectangle (ms, n) into the row-major (T*tb, tb)
+    tile layout of the dual kernels, plus `pad_tiles` trailing zero
+    tiles (shape uniformity with triangle buffers)."""
+    import numpy as _np
+    s = _np.asarray(s)
+    ms, n = s.shape
+    mb, cb = ms // tb, n // tb
+    out = _np.zeros(((mb * cb + pad_tiles) * tb, tb), dtype=s.dtype)
+    for li in range(mb):
+        for k in range(cb):
+            t = li * cb + k
+            out[t * tb:(t + 1) * tb] = s[li * tb:(li + 1) * tb,
+                                         k * tb:(k + 1) * tb]
+    return out

@@ -73,11 +73,24 @@ class ConjugateGradient:
     def _build_operator(self, row_block_fn, n, full_matrix=None,
                         block_fn=None):
         if self.backend == "sharded2d":
-            from lam_tpu.parallel.pcg2d import Sharded2DOperator
             self._mesh2d_or_make()
             if block_fn is None:
                 def block_fn(r0, c0, h, w):
                     return row_block_fn(r0, h)[:, c0:c0 + w]
+            if self.engine in ("pallas_symm", "pallas_symm_packed"):
+                # symmetric 2-D grid: each element stored ONCE across
+                # the mesh (packed triangle diagonal + half-slab
+                # mirrors) AND O(N/R) per-iteration exchange
+                # (lam_tpu/parallel/pcg2d_symm.py)
+                if self._base_precision() not in ("auto", "df64"):
+                    raise ValueError(
+                        f"--backend sharded2d --engine {self.engine} "
+                        "supports precision df64/ir (the df64 pair is "
+                        "the storage layout)")
+                from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+                return Symm2DOperator.from_block_fn(
+                    block_fn, n, mesh=self._mesh)
+            from lam_tpu.parallel.pcg2d import Sharded2DOperator
             return Sharded2DOperator.from_block_fn(
                 block_fn, n, mesh=self._mesh,
                 precision=self._base_precision(), engine=self.engine)
@@ -180,6 +193,10 @@ class ConjugateGradient:
                                                    n_p // tb)
             return DenseOperator.from_packed_f32(hi, rows, n_p)
         if self.backend == "sharded2d":
+            if self.engine in ("pallas_symm", "pallas_symm_packed"):
+                from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+                return Symm2DOperator.from_gen_tridiagonal(
+                    rows, mesh=self._mesh2d_or_make())
             from lam_tpu.parallel.pcg2d import Sharded2DOperator
             return Sharded2DOperator.from_gen_tridiagonal(
                 rows, mesh=self._mesh2d_or_make(), engine=self.engine)

@@ -130,3 +130,45 @@ def test_sharded_packed_mesh_solve(tpu_backend, spd_system):
     x = np.asarray(res.x)
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 5e-9
+
+
+def test_dual_kernels_hardware_accuracy(tpu_backend):
+    # the SYMMETRIC 2-D grid's off-diagonal building block
+    # (lam_tpu/parallel/pcg2d_symm.py): both products of one half-slab
+    # read, with the same EFT guarantees as the symm kernels
+    from lam_tpu.ops.gemv import (gemv_df64_dual, gemv_f32_dual,
+                                  pack_rect_host)
+    from lam_tpu.precision import split_f64
+    import jax.numpy as jnp
+    rng = np.random.default_rng(6)
+    ms, n = 512, 1024
+    s = rng.uniform(-1, 1, (ms, n))
+    p = rng.uniform(-1, 1, n)
+    q = rng.uniform(-1, 1, ms)
+    tb = 512
+    # f32
+    b32 = pack_rect_host(s.astype(np.float32), tb, pad_tiles=1)
+    d, t = gemv_f32_dual(jnp.asarray(b32),
+                         jnp.asarray(p, jnp.float32),
+                         jnp.asarray(q, jnp.float32))
+    assert _rel(np.asarray(d, np.float64), s @ p) < 1e-5
+    assert _rel(np.asarray(t, np.float64), s.T @ q) < 1e-5
+    # df64: f64-quality for BOTH products from one pass
+    sh, sl = split_f64(s)
+    bh = pack_rect_host(np.asarray(sh), tb, pad_tiles=1)
+    bl = pack_rect_host(np.asarray(sl), tb, pad_tiles=1)
+    ph, pl = split_f64(p)
+    qh, ql = split_f64(q)
+    dh, dl, th, tl = gemv_df64_dual(jnp.asarray(bh), jnp.asarray(bl),
+                                    ph, pl, qh, ql)
+    d64 = np.asarray(dh, np.float64) + np.asarray(dl, np.float64)
+    t64 = np.asarray(th, np.float64) + np.asarray(tl, np.float64)
+    assert _rel(d64, s @ p) < 1e-13
+    assert _rel(t64, s.T @ q) < 1e-13
+    # broadcast zero lo tile (gen-mode quarter-capacity form)
+    zl = jnp.zeros((tb, tb), jnp.float32)
+    s32 = np.asarray(sh, np.float64)
+    dh2, dl2, th2, tl2 = gemv_df64_dual(jnp.asarray(bh), zl, ph, pl,
+                                        qh, ql)
+    d2 = np.asarray(dh2, np.float64) + np.asarray(dl2, np.float64)
+    assert _rel(d2, s32 @ p) < 1e-13
