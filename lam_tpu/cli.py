@@ -79,7 +79,12 @@ def build_parser():
                         "grid also stores each symmetric element ONCE "
                         "(half the HBM, dual-product half-slab walk)")
     p.add_argument("--precision", default="auto",
-                   choices=["f64", "f32", "df64", "ir", "auto"])
+                   choices=["f64", "f32", "df64", "ir", "dfq", "irq",
+                            "auto"],
+                   help="dfq = packed symmetric storage with the lo "
+                        "plane quantized to int16 (6 B/element — fits "
+                        "N=70000 on one 16 GB chip); irq = mixed-"
+                        "precision refinement on dfq storage")
     p.add_argument("--engine", default="auto",
                    choices=["pallas", "pallas_symm", "pallas_symm_packed",
                             "xla", "auto"],
@@ -293,7 +298,7 @@ def _cli_main(argv=None):
 
             from lam_tpu.solver import checkpoint as ckpt
             t0 = _time.perf_counter()
-            if cg.precision == "ir":
+            if cg.precision in ("ir", "irq"):
                 # round 3: ir checkpoints at refinement-CYCLE
                 # boundaries (the natural restart points;
                 # --checkpoint-every does not apply)

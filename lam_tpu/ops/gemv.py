@@ -779,10 +779,18 @@ def _gemv_df64_symm_kernel(it_ref, kt_ref, ah_ref, al_ref, prh_ref,
                            yth_ref, ytl_ref, accd_s, accd_c, acct_s,
                            acct_c, *, comp):
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
-    i = it_ref[t]
-    k = kt_ref[t]
+    _symm_df64_step(it_ref[t], kt_ref[t], t, pl.num_programs(0),
+                    ah_ref[:], al_ref[:], prh_ref, prl_ref, pch_ref,
+                    pcl_ref, ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
 
+
+def _symm_df64_step(i, k, t, nt, ah, al, prh_ref, prl_ref, pch_ref,
+                    pcl_ref, ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp):
+    """One triangle-walk grid step of the compensated symmetric matvec —
+    shared by the df64 kernel (al read from the lo plane) and the dfq
+    kernel (al dequantized from an int16 tile, see `gemv_dfq_symm`)."""
     @pl.when(t == 0)
     def _():
         acct_s[:] = jnp.zeros_like(acct_s)
@@ -793,8 +801,6 @@ def _gemv_df64_symm_kernel(it_ref, kt_ref, ah_ref, al_ref, prh_ref,
         accd_s[:] = jnp.zeros_like(accd_s)
         accd_c[:] = jnp.zeros_like(accd_c)
 
-    ah = ah_ref[:]                    # (TB, TB)
-    al = al_ref[:]
     tb = ah.shape[0]
 
     # direct: y_i += A_ik @ p_k (lane-compensated fold, as gemv_df64)
@@ -961,6 +967,150 @@ def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None,
       p_hi.reshape(1, n), p_lo.reshape(1, n),
       p_hi.reshape(n, 1), p_lo.reshape(n, 1))
     # combine the direct and transpose (hi, lo) pairs, compensated
+    s, e = two_sum(ydh.reshape(n), yth.reshape(n))
+    lo = ydl.reshape(n) + ytl.reshape(n) + e
+    return fast_two_sum(s, lo)
+
+
+# ---------------------------------------------------------------------------
+# dfq: quantized-lo packed symmetric gemv — the 6-byte f64 element
+# ---------------------------------------------------------------------------
+#
+# The df64 pair costs 8 B/element even packed; at N=70000 that is
+# ~20 GB — over one v5e's 16 GB HBM, which is why the reference-scale
+# north-star (N=70000 to 1e-9, SURVEY.md §6) stayed a projection. The lo
+# plane, however, carries only the f64 bits BELOW f32: |lo| <= ulp(hi)/2.
+# Quantizing each packed lo TILE to int16 against a per-tile power-of-two
+# scale (scale = 2^ceil(log2(max|lo|/32767)), reconstruction exact)
+# stores those bits in 2 bytes: the element becomes hi f32 + lo int16 =
+# 6 bytes, a 25% capacity cut that fits N=70000 packed on ONE v5e.
+#
+# Accuracy: quantization error <= scale/2 <= max|lo_tile|/32767 — about
+# 2^-39 * max|a_tile| absolute per element, ~16 of the 29 lo bits kept.
+# That is far below f32 storage (2^-24) and, after iterative refinement
+# with THIS operator as the accurate matvec, lands true residuals at the
+# 1e-10 scale (validated on hardware, tests/test_tpu.py). To keep tiles
+# homogeneous the matrix DIAGONAL — systematically the largest entries
+# of an SPD matrix, which would otherwise set every diagonal tile's
+# scale — is extracted exactly (stored as an (n,) df64 pair in the
+# operator) and zeroed in the planes; see DenseOperator dfq handling in
+# lam_tpu/solver/operators.py.
+
+
+def quantize_lo_tiles(lo_packed, tb):
+    """Quantize a packed (T*tb, tb) f32 lo plane to (int16 tiles,
+    per-tile f32 power-of-two scales). Reconstruction q * scale is exact
+    (scale is a power of two); |lo - q*scale| <= scale/2 elementwise."""
+    import numpy as _np
+    lo_packed = _np.asarray(lo_packed, dtype=_np.float32)
+    T = lo_packed.shape[0] // tb
+    q = _np.empty_like(lo_packed, dtype=_np.int16)
+    scales = _np.zeros((T,), dtype=_np.float32)
+    for t in range(T):
+        tile = lo_packed[t * tb:(t + 1) * tb]
+        m = float(_np.abs(tile).max())
+        if m == 0.0:
+            q[t * tb:(t + 1) * tb] = 0
+            continue
+        scale = 2.0 ** _np.ceil(_np.log2(m / 32767.0))
+        scales[t] = scale
+        qt = _np.rint(tile.astype(_np.float64) / scale)
+        q[t * tb:(t + 1) * tb] = _np.clip(qt, -32767, 32767)
+    return q, scales
+
+
+def _gemv_dfq_symm_kernel(it_ref, kt_ref, sc_ref, ah_ref, alq_ref,
+                          prh_ref, prl_ref, pch_ref, pcl_ref, ydh_ref,
+                          ydl_ref, yth_ref, ytl_ref, accd_s, accd_c,
+                          acct_s, acct_c, *, comp):
+    t = pl.program_id(0)
+    # dequantize in VMEM: int16 -> f32 convert + one scalar multiply
+    # (exact: power-of-two scale). ~2 extra VPU ops/element against the
+    # ~25% HBM-byte saving — strictly bandwidth-bound territory.
+    al = alq_ref[:].astype(jnp.float32) * sc_ref[t]
+    _symm_df64_step(it_ref[t], kt_ref[t], t, pl.num_programs(0),
+                    ah_ref[:], al, prh_ref, prl_ref, pch_ref, pcl_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp",))
+def gemv_dfq_symm(a_hi, a_loq, sc, p_hi, p_lo, *, comp=None):
+    """(y_hi, y_lo) = A @ p for SYMMETRIC A in quantized-lo packed
+    storage: a_hi the (T*tb, tb) walk-order f32 triangle (pack_tri_host),
+    a_loq the int16 quantized lo tiles, sc the (T,) per-tile scales
+    (quantize_lo_tiles). Same compensated triangle walk as
+    `gemv_df64_symm(packed=True)`; lo values are dequantized in VMEM."""
+    comp = _resolve_comp(comp)
+    n = p_hi.shape[0]
+    tb, nblk, T = _packed_geometry(a_hi, p_hi, "gemv_dfq_symm")
+    if T != tri_tile_count(nblk):
+        raise ValueError(
+            f"packed buffer has {T} tiles, triangle of nblk={nblk} "
+            f"needs {tri_tile_count(nblk)}")
+    if a_loq.shape != a_hi.shape:
+        raise ValueError(f"quantized lo plane shape {a_loq.shape} != hi "
+                         f"plane {a_hi.shape}")
+    if sc.shape != (T,):
+        raise ValueError(f"scale table shape {sc.shape} != ({T},)")
+    it, kt = _symm_tables(nblk)
+    grid = (len(it),)
+    a_map = lambda t, it_ref, kt_ref, sc_ref: (t, t * 0)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (1, tb),
+            lambda t, it_ref, kt_ref, sc_ref: (t * 0, kt_ref[t]),
+            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, sc_ref: (it_ref[t], t * 0),
+            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, sc_ref: (it_ref[t], t * 0),
+            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec(
+            (1, n),
+            lambda t, it_ref, kt_ref, sc_ref: (t * 0, t * 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+                  col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_dfq_symm_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), sc, a_hi, a_loq,
+      p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
     s, e = two_sum(ydh.reshape(n), yth.reshape(n))
     lo = ydl.reshape(n) + ytl.reshape(n) + e
     return fast_two_sum(s, lo)

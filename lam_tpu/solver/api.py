@@ -50,9 +50,14 @@ class ConjugateGradient:
     # -- internal ----------------------------------------------------------
 
     def _base_precision(self):
-        # 'ir' runs on a df64 base operator plus its f32 sibling.
+        # 'ir' runs on a df64 base operator plus its f32 sibling;
+        # 'irq' is the same refinement loop on the 6-byte quantized-lo
+        # storage ("dfq", lam_tpu/solver/operators.py) — the capacity
+        # form that fits N=70000 on one 16 GB chip.
         if self.precision == "ir":
             return "df64"
+        if self.precision == "irq":
+            return "dfq"
         return self.precision
 
     def _mesh_or_make(self):
@@ -258,9 +263,9 @@ class ConjugateGradient:
         """
         if self.op is None or self.rhs is None:
             raise RuntimeError("load/generate a system first")
-        if preconditioner is not None and self.precision == "ir":
-            raise ValueError(
-                "preconditioner is not combinable with precision='ir'")
+        if preconditioner is not None and self.precision in ("ir", "irq"):
+            raise ValueError("preconditioner is not combinable with "
+                             f"precision={self.precision!r}")
 
         def solver(iters, tol):
             return self._solve_once(iters, tol, preconditioner)
@@ -314,7 +319,7 @@ class ConjugateGradient:
         return n
 
     def _solve_once(self, max_iters, rel_error, preconditioner=None):
-        if self.precision == "ir":
+        if self.precision in ("ir", "irq"):
             return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
                                max_iters=max_iters, rel_error=rel_error)
         return cg_solve(self.op, self.rhs, max_iters=max_iters,
@@ -350,7 +355,7 @@ class ConjugateGradient:
         column times — avg_gemv_s x num_iters then tracks total_cg_s.
         The accurate matvec is reported separately as avg_gemv_acc_s."""
         dt = self._time_matvec(self.op, repeats)
-        if self.precision == "ir":
+        if self.precision in ("ir", "irq"):
             self.timings["avg_gemv_acc_s"] = dt
             dt = self._time_matvec(self.op.as_f32(), repeats)
         self.timings["avg_gemv_s"] = dt

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lam_tpu.precision import join_f64, split_f64
+from lam_tpu.precision import (df_mul, fast_two_sum, join_f64, split_f64,
+                               two_sum)
 
 def _pad_multiple():
     # Kernel tiles are powers of two, so their lcm is the max; shapes
@@ -180,6 +181,33 @@ def _mv_f32_of_df64_pallas_symm_packed(operand, p):
     return gemv.gemv_f32_symm(operand[0], p, packed=True)
 
 
+# Quantized-lo packed storage ("dfq", ops/gemv.py): operand =
+# (hi_packed f32, loq int16, scales f32 (T,), diag_hi f32, diag_lo f32).
+# The diagonal is extracted EXACTLY (df64 pair) and zeroed in the planes
+# so per-tile quantization scales track the off-diagonal magnitude; the
+# matvec adds the diagonal term back with compensated elementwise
+# arithmetic. 6 bytes/element: the capacity form that fits N=70000 on
+# one 16 GB chip (SURVEY.md §6 north-star).
+
+def _mv_dfq_pallas_symm_packed(operand, p):
+    from lam_tpu.ops import gemv
+    hi, loq, sc, dh, dl = operand
+    ph, pl_ = split_f64(p)
+    yh, yl = gemv.gemv_dfq_symm(hi, loq, sc, ph, pl_)
+    th, tl = df_mul((dh, dl), (ph, pl_))     # exact diagonal term
+    s, e = two_sum(yh, th)
+    zh, zl = fast_two_sum(s, yl + tl + e)
+    return join_f64(zh, zl)
+
+
+def _mv_f32_of_dfq_pallas_symm_packed(operand, p):
+    # inner-loop view: f32 triangle matvec on the shared hi plane plus
+    # the (f32) diagonal term the planes no longer carry
+    from lam_tpu.ops import gemv
+    return (gemv.gemv_f32_symm(operand[0], p, packed=True)
+            + operand[3] * p)
+
+
 def _mv_f32_of_df64_xla(operand, p):
     return operand[0] @ p
 
@@ -278,6 +306,9 @@ MATVEC = {
     ("f32", "pallas_symm_packed"): _mv_f32_pallas_symm_packed,
     ("df64", "pallas_symm_packed"): _mv_df64_pallas_symm_packed,
     ("f32@df64", "pallas_symm_packed"): _mv_f32_of_df64_pallas_symm_packed,
+    # quantized-lo packed storage: 6 B/element (3/4 of the df64 pair)
+    ("dfq", "pallas_symm_packed"): _mv_dfq_pallas_symm_packed,
+    ("f32@dfq", "pallas_symm_packed"): _mv_f32_of_dfq_pallas_symm_packed,
 }
 
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
@@ -451,6 +482,12 @@ class DenseOperator(LinearOperator):
             raise ValueError(f"matrix must be square, got {a.shape}")
         if precision == "auto":
             precision = "df64" if jax.default_backend() == "tpu" else "f64"
+        if precision == "dfq":
+            if engine not in ("auto", "pallas_symm_packed"):
+                raise ValueError(
+                    "precision='dfq' implies the packed symmetric "
+                    f"engine; engine={engine!r} is not combinable")
+            return DenseOperator.from_dense_dfq(a)
         symm_engines = ("pallas_symm", "pallas_symm_packed")
         if engine == "auto":
             if jax.default_backend() != "tpu":
@@ -513,6 +550,70 @@ class DenseOperator(LinearOperator):
         return out
 
     @staticmethod
+    def from_dense_dfq(a, check_symmetric=True):
+        """Quantized-lo packed operator ("dfq"): hi plane f32 + lo plane
+        int16 against per-tile power-of-two scales + the diagonal
+        extracted as a df64 pair (~2^-48) = 6 bytes/element in the lower
+        triangle (3/4 of
+        the packed df64 pair, 3/8 of the reference's fp64 square). Built
+        STREAMING by row-tile so the host never materializes full hi/lo
+        planes — `a` may be a np.memmap; peak host memory is the packed
+        buffers plus one (tb, n_p) row block.
+
+        Accuracy: elementwise |A_stored - A| <= max|lo|_tile / 32767
+        (~2^-39 * max|A|_tile); see ops/gemv.py `gemv_dfq_symm`. With
+        iterative refinement against THIS operator (precision='irq'),
+        measured true residuals land at the 1e-10 scale — the capacity
+        form of the f64-parity story, built for the N=70000 north-star
+        (SURVEY.md §6) on a single 16 GB chip."""
+        from lam_tpu.ops.gemv import (SYMM_TB, quantize_lo_tiles,
+                                      tri_tile_count)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        if check_symmetric and not _verifies_symmetric(a):
+            raise ValueError(
+                "precision='dfq' requires a symmetric matrix (the "
+                "lower-triangle kernel mirrors A's lower half); the "
+                "random-vector check found A v != A^T v")
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        nblk = n_p // tb
+        T = tri_tile_count(nblk)
+        hi_p = np.empty((T * tb, tb), np.float32)
+        loq = np.empty((T * tb, tb), np.int16)
+        sc = np.zeros((T,), np.float32)
+        dh = np.zeros((n_p,), np.float32)
+        dl = np.zeros((n_p,), np.float32)
+        t = 0
+        for i in range(nblk):
+            r0, r1 = i * tb, min((i + 1) * tb, n)
+            width = (i + 1) * tb
+            cw = min(width, n)
+            blk = np.zeros((tb, width), np.float64)
+            if r1 > r0:
+                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
+                rr = np.arange(r1 - r0)
+                dvals = blk[rr, r0 + rr].copy()
+                dhi = dvals.astype(np.float32)
+                dh[r0:r1] = dhi
+                dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
+                    np.float32)
+                blk[rr, r0 + rr] = 0.0
+            bh, bl = split_f64_host(blk)
+            for k in range(i + 1):
+                hi_p[t * tb:(t + 1) * tb] = bh[:, k * tb:(k + 1) * tb]
+                qt, st = quantize_lo_tiles(bl[:, k * tb:(k + 1) * tb], tb)
+                loq[t * tb:(t + 1) * tb] = qt
+                sc[t] = st[0]
+                t += 1
+        operand = (jnp.asarray(hi_p), jnp.asarray(loq), jnp.asarray(sc),
+                   jnp.asarray(dh), jnp.asarray(dl))
+        fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
+        return DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
+                             "pallas_symm_packed")
+
+    @staticmethod
     def from_packed_f32(a_packed, n, n_padded):
         """f32 operator from a PRE-PACKED walk-order triangle plane —
         the gen-mode device-build path for precision='f32' (entries
@@ -558,6 +659,9 @@ class DenseOperator(LinearOperator):
         return out
 
     def diagonal(self):
+        if self.precision == "dfq":
+            _, _, _, dh, dl = self.operand
+            return dh.astype(jnp.float64) + dl.astype(jnp.float64)
         if self.engine == "pallas_symm_packed":
             if self.precision == "df64":
                 hi, lo = self.operand
@@ -581,6 +685,8 @@ class DenseOperator(LinearOperator):
             return self
         if self.precision == "df64":
             key = ("f32@df64", self.engine)
+        elif self.precision == "dfq":
+            key = ("f32@dfq", self.engine)
         else:
             key = ("f32@f64", "xla")
         out = DenseOperator(_MATVEC_DOT[key], self.operand, self.n,

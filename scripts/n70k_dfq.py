@@ -1,0 +1,116 @@
+"""The north-star measurement: N=70000 solved to 1e-9 on ONE v5e.
+
+SURVEY.md §6 derives the honest target from the reference corpus: the
+nearest measured anchor is the 8x A100 MPI run (1.672 s, 360 iters,
+TESTS/BEST_RESULTS:378; MERGE_GPU_MPI.txt row `70000,8,...`) — eight
+40 GB GPUs, because N=70000 fp64 is a 39.2 GB matrix. One v5e has
+16 GB of HBM; even the round-3 packed-triangle df64 pair (8 B/elem over
+the lower triangle) needs 19.7 GB. The quantized-lo storage ("dfq",
+lam_tpu/solver/operators.py from_dense_dfq) stores the triangle at
+6 B/element (f32 hi + int16 lo against per-tile power-of-two scales +
+the diagonal extracted as a df64 pair) = 14.8 GB — the first layout
+that fits this problem on the chip at all.
+
+Solve: irq = f32 packed-triangle inner CG + refinement against the dfq
+accurate matvec. The TRUE residual is validated host-side against the
+full f64 matrix (memory-mapped; the 39 GB never enters device or host
+RAM at once).
+
+Run (needs io/bench/lam_bench_spd_N70000_s2024.npy, ~75 min to build
+via bench.py's generator):  python scripts/n70k_dfq.py \
+    | tee -a results/N70K_DFQ_r03.log
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+N = 70000
+SEED = 2024
+TOL = 1e-9
+
+
+def main():
+    import jax
+
+    import lam_tpu  # noqa: F401
+    from lam_tpu import DenseOperator, cg_solve_ir
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    print("device:", jax.devices()[0], flush=True)
+    path = os.path.join(HERE, "io", "bench",
+                        f"lam_bench_spd_N{N}_s{SEED}.npy")
+    a = np.load(path, mmap_mode="r")  # 39.2 GB stays on disk
+    assert a.shape == (N, N), a.shape
+    from lam_tpu import generate as gen
+    b = gen.random_rhs(N, seed=SEED + 10)
+    bn = np.linalg.norm(b)
+
+    t0 = time.time()
+    # symmetric by construction (random_spd_matrix_fast symmetrizes
+    # explicitly); skipping the check avoids two more 39 GB disk passes
+    op = DenseOperator.from_dense_dfq(a, check_symmetric=False)
+    pack_s = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(op.operand)
+    xfer_s = time.time() - t0
+    hi, loq, sc, dh, dl = op.operand
+    gb = (hi.size * 4 + loq.size * 2) / 1024**3
+    print(f"dfq operator: host pack {pack_s:.0f}s, device transfer "
+          f"{xfer_s:.0f}s; {gb:.2f} GB resident "
+          f"(padded {op.n_padded})", flush=True)
+
+    op32 = op.as_f32()
+
+    def true_rel(x):
+        # streamed host matvec over the memory-mapped f64 matrix
+        x = np.asarray(x, np.float64)
+        r = b.copy()
+        blk = 4096
+        for s in range(0, N, blk):
+            r[s:s + blk] -= a[s:s + blk] @ x
+        return float(np.linalg.norm(r) / bn)
+
+    # compile once (excluded from the timed solves)
+    t0 = time.time()
+    w = cg_solve_ir(op32, op, b, max_iters=30, rel_error=1e-2)
+    float(w.rel_residual)
+    print(f"compile+first-execute {time.time()-t0:.0f}s", flush=True)
+
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        res = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=TOL)
+        float(res.rel_residual)  # scalar readback forces execution
+        dt = time.perf_counter() - t0
+        print(f"  rep{rep}: {dt:.3f}s iters={int(res.num_iters)} "
+              f"conv={bool(res.converged)} "
+              f"rec={float(res.rel_residual):.3e}", flush=True)
+        if best is None or dt < best[0]:
+            best = (dt, res)
+    dt, res = best
+    tr = true_rel(res.x)
+    print(f"irq+dfq N={N}: {dt:.3f}s iters={int(res.num_iters)} "
+          f"conv={bool(res.converged)} rec={float(res.rel_residual):.3e} "
+          f"TRUE={tr:.3e}", flush=True)
+    print(f"[anchor: 8x A100-40GB MPI 1.672 s "
+          f"(TESTS/BEST_RESULTS:378); this is ONE 16 GB v5e]",
+          flush=True)
+
+    # reference-contract CSV row appended to the ir corpus
+    iters = max(int(res.num_iters), 1)
+    row = (f"{N},1,1,{pack_s + xfer_s:g},{dt/iters:g},{dt/iters:g},"
+           f"{int(res.num_iters)},{tr:g},{dt:g}")
+    with open(os.path.join(HERE, "results", "MERGE_TPU_IR.txt"),
+              "a") as fh:
+        fh.write(row + "\n")
+    print("row appended:", row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

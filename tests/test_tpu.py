@@ -172,3 +172,23 @@ def test_dual_kernels_hardware_accuracy(tpu_backend):
                                         qh, ql)
     d2 = np.asarray(dh2, np.float64) + np.asarray(dl2, np.float64)
     assert _rel(d2, s32 @ p) < 1e-13
+
+
+def test_dfq_quantized_storage_hardware_accuracy(tpu_backend, spd_system):
+    # the 6-byte element (f32 hi + int16 quantized lo + extracted df64
+    # diagonal, lam_tpu/solver/operators.py from_dense_dfq): on compiled
+    # Mosaic the matvec must sit at the QUANTIZATION bound (~1e-12
+    # relative), far below f32 (2e-7) — and iterative refinement against
+    # it must still land true 1e-9 residuals. This storage is what fits
+    # the N=70000 north-star (SURVEY.md §6) on one 16 GB chip.
+    from lam_tpu import DenseOperator, cg_solve_ir
+    a, b = spd_system
+    op = DenseOperator.from_dense(a, precision="dfq")
+    rng = np.random.default_rng(11)
+    p = rng.uniform(-1, 1, a.shape[0])
+    y = np.asarray(op.extract_x(op.matvec(op.prepare_b(p))))
+    assert _rel(y, a @ p) < 5e-11
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000, rel_error=1e-9)
+    x = np.asarray(res.x)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
