@@ -106,7 +106,7 @@ def main():
     iters = max(int(res.num_iters), 1)
     row = (f"{N},1,1,{pack_s + xfer_s:g},{dt/iters:g},{dt/iters:g},"
            f"{int(res.num_iters)},{tr:g},{dt:g}")
-    with open(os.path.join(HERE, "results", "MERGE_TPU_IR.txt"),
+    with open(os.path.join(HERE, "results", "MERGE_TPU_IRQ.txt"),
               "a") as fh:
         fh.write(row + "\n")
     print("row appended:", row, flush=True)
