@@ -1233,6 +1233,108 @@ def gemv_df64_symm_slab(ah_slab, al_slab, p_hi, p_lo, it, kt, lt, *,
             yth.reshape(n), ytl.reshape(n))
 
 
+def _gemv_dfq_symm_slab_kernel(it_ref, kt_ref, lt_ref, sc_ref, ah_ref,
+                               alq_ref, prh_ref, prl_ref, pch_ref,
+                               pcl_ref, ydh_ref, ydl_ref, yth_ref,
+                               ytl_ref, accd_s, accd_c, acct_s, acct_c,
+                               *, comp):
+    t = pl.program_id(0)
+    # dequantize the int16 lo tile in VMEM (exact: power-of-two scale),
+    # then run the identical compensated slab walk step
+    al = alq_ref[:].astype(jnp.float32) * sc_ref[t]
+    _symm_df64_step(it_ref[t], kt_ref[t], t, pl.num_programs(0),
+                    ah_ref[:], al, prh_ref, prl_ref, pch_ref, pcl_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp", "ms"))
+def gemv_dfq_symm_slab(ah_slab, alq_slab, sc, p_hi, p_lo, it, kt, lt, *,
+                       ms, comp=None):
+    """Partial SYMMETRIC quantized-lo matvec over a band-pair shard —
+    the dfq twin of `gemv_df64_symm_slab(packed=True)` (same it/kt/lt
+    walk tables, lam_tpu/parallel/pcg_symm.py): hi plane f32 walk-order
+    triangle tiles, lo plane int16 against per-tile power-of-two scales
+    (quantize_lo_tiles), 6 B/element per shard. Returns ((ydh, ydl)
+    over the slab's ms rows, (yth, ytl) full length); caller scatters
+    yd to the owned bands and psums across shards. The diagonal term is
+    NOT included (it is extracted as a replicated df64 pair by the
+    operator — see SymmShardedOperator dfq storage)."""
+    comp = _resolve_comp(comp)
+    n = p_hi.shape[0]
+    tb, _, T = _packed_geometry(ah_slab, p_hi, "gemv_dfq_symm_slab")
+    if T != it.shape[0]:
+        raise ValueError(f"packed slab has {T} tiles but the walk "
+                         f"table has {it.shape[0]}")
+    if alq_slab.shape != ah_slab.shape:
+        raise ValueError(f"quantized lo plane shape {alq_slab.shape} "
+                         f"!= hi plane {ah_slab.shape}")
+    if sc.shape != (T,):
+        raise ValueError(f"scale table shape {sc.shape} != ({T},)")
+    if ms is None or ms % tb:
+        raise ValueError("packed slab needs ms (a multiple of tb)")
+    a_map = lambda t, it_ref, kt_ref, lt_ref, sc_ref: (t, t * 0)
+    grid = (T,)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec((1, tb),
+                            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                            (t * 0, kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                            (it_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                            (lt_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec((1, n),
+                            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                            (t * 0, t * 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), row_spec(), row_spec(),
+                  col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_dfq_symm_slab_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt),
+      jnp.asarray(sc), ah_slab, alq_slab,
+      p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))
+
+
 # ---------------------------------------------------------------------------
 # DUAL gemv: (S @ p, S^T @ q) from ONE read of a dense rectangle
 # ---------------------------------------------------------------------------

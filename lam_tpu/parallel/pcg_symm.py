@@ -181,37 +181,79 @@ def _packed_mv_jnp(buf_hi, buf_lo, it0, kt0, p):
     return (yd + yt).reshape(-1)
 
 
-def _make_mv32(axis, g, m, tb, packed=False):
+def _own_rows(p, c, g, m):
+    """Chip c's owned rows of a replicated vector, in slab order
+    (band c then band 2g-1-c) — the dual of _scatter_bands."""
+    p0 = jax.lax.dynamic_slice(p, (c * m,), (m,))
+    p1 = jax.lax.dynamic_slice(p, ((2 * g - 1 - c) * m,), (m,))
+    return jnp.concatenate([p0, p1])
+
+
+def _make_mv32(axis, g, m, tb, storage="slab"):
     from lam_tpu.ops import gemv
+    packed = storage != "slab"
 
     def mv(operand, p):
-        slab_hi, _, it, kt, lt = operand
         c = jax.lax.axis_index(axis)
+        if storage == "dfq":
+            slab_hi, _, _, dh, _, it, kt, lt = operand
+        else:
+            slab_hi, _, it, kt, lt = operand
         yd, yt = gemv.gemv_f32_symm_slab(slab_hi, p, it[0], kt[0], lt[0],
                                          tb=tb, packed=packed,
                                          ms=2 * m if packed else None)
+        if storage == "dfq":
+            # planes carry zeroed diagonals; the owner adds its (local,
+            # slab-order) diagonal term before the psum
+            yd = yd + dh * _own_rows(p, c, g, m)
         y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
         return jax.lax.psum(y, axis)
 
     return mv
 
 
-def _make_mv_acc(axis, g, m, tb, packed=False):
+def _make_mv_acc(axis, g, m, tb, storage="slab"):
     from lam_tpu.ops import gemv
-    from lam_tpu.precision import join_f64
+    from lam_tpu.precision import df_mul, fast_two_sum, join_f64, two_sum
+    packed = storage != "slab"
 
     # On TPU the compensated Pallas kernel IS the accurate matvec — and
     # since round 2 it runs the SAME lower-triangle slab walk as the f32
     # inner kernel (gemv_df64_symm_slab: half the HBM bytes, measured
-    # 2.30 s -> 1.85 s on the local N=20000 df64 solve). Off TPU (CPU
-    # tests / virtual mesh) interpret-mode f32 compensation is defeated
-    # by excess precision, so use genuine-f64 XLA instead — full-row
-    # matmul for slab storage, the packed einsum walk for packed.
+    # 2.30 s -> 1.85 s on the local N=20000 df64 solve; gemv_dfq_symm_slab
+    # for the 6 B/element quantized-lo storage). Off TPU (CPU tests /
+    # virtual mesh) interpret-mode f32 compensation is defeated by excess
+    # precision, so use genuine-f64 XLA instead — full-row matmul for
+    # slab storage, the packed einsum walk for packed/dfq.
     use_pallas = jax.default_backend() == "tpu"
 
     def mv(operand, p):
-        slab_hi, slab_lo, it, kt, lt = operand
         c = jax.lax.axis_index(axis)
+        if storage == "dfq":
+            slab_hi, loq, sc, dh, dl, it, kt, lt = operand
+            ph, plo = split_f64(p)
+            po = _own_rows(p, c, g, m)
+            poh, pol = split_f64(po)
+            th, tl = df_mul((dh, dl), (poh, pol))  # exact diagonal term
+            if use_pallas:
+                ydh, ydl, yth, ytl = gemv.gemv_dfq_symm_slab(
+                    slab_hi, loq, sc[0], ph, plo, it[0], kt[0], lt[0],
+                    ms=2 * m)
+                s, e = two_sum(ydh, th)
+                zh, zl = fast_two_sum(s, ydl + tl + e)
+                yd = join_f64(zh, zl)
+                yt = join_f64(yth, ytl)
+            else:
+                T = it.shape[1]
+                lo_deq = (loq.reshape(T, tb, tb).astype(jnp.float32)
+                          * sc[0][:, None, None]).reshape(T * tb, tb)
+                y = _packed_mv_jnp(slab_hi, lo_deq, it[0], kt[0], p)
+                yd = join_f64(th, tl)
+                return jax.lax.psum(
+                    _scatter_bands(yd, y, c, g, m, p.shape[0]), axis)
+            y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
+            return jax.lax.psum(y, axis)
+        slab_hi, slab_lo, it, kt, lt = operand
         if use_pallas:
             ph, plo = split_f64(p)
             ydh, ydl, yth, ytl = gemv.gemv_df64_symm_slab(
@@ -232,21 +274,24 @@ def _make_mv_acc(axis, g, m, tb, packed=False):
     return mv
 
 
-def _operand_specs(axis):
+def _operand_specs(axis, storage="slab"):
     row = P(axis, None)
+    if storage == "dfq":
+        # hi, loq, sc, diag_hi, diag_lo (slab-order, row-sharded), tables
+        return (row, row, row, P(axis), P(axis), row, row, row)
     return (row, row, row, row, row)  # hi, lo, it, kt, lt
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_cg(mesh, axis, g, m, tb, packed):
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
+def _build_symm_cg(mesh, axis, g, m, tb, storage):
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, storage))
 
     def local(operand, b, max_iters, rel_error):
         return _cg_loop(mv, operand, b, max_iters, rel_error)
 
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(_operand_specs(axis), P(), P(), P()),
+        in_specs=(_operand_specs(axis, storage), P(), P(), P()),
         out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False)
@@ -254,9 +299,9 @@ def _build_symm_cg(mesh, axis, g, m, tb, packed):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, packed):
-    mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb, packed))
-    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
+def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, storage):
+    mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb, storage))
+    mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb, storage))
 
     def local(operand, b, max_iters, rel_error, inner_floor):
         return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
@@ -264,7 +309,7 @@ def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, packed):
 
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(_operand_specs(axis), P(), P(), P(), P()),
+        in_specs=(_operand_specs(axis, storage), P(), P(), P(), P()),
         out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False)
@@ -272,16 +317,16 @@ def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, packed):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_pcg(mesh, axis, g, m, tb, packed):
+def _build_symm_pcg(mesh, axis, g, m, tb, storage):
     from lam_tpu.solver.cg import _pcg_loop
-    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, packed))
+    mv = _wrap_matvec(_make_mv_acc(axis, g, m, tb, storage))
 
     def local(operand, b, inv_diag, max_iters, rel_error):
         return _pcg_loop(mv, operand, b, inv_diag, max_iters, rel_error)
 
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(_operand_specs(axis), P(), P(), P(), P()),
+        in_specs=(_operand_specs(axis, storage), P(), P(), P(), P()),
         out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False)
@@ -289,19 +334,19 @@ def _build_symm_pcg(mesh, axis, g, m, tb, packed):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_matvec(mesh, axis, g, m, tb, which, packed):
-    mv = (_make_mv32(axis, g, m, tb, packed) if which == "f32"
-          else _make_mv_acc(axis, g, m, tb, packed))
+def _build_symm_matvec(mesh, axis, g, m, tb, which, storage):
+    mv = (_make_mv32(axis, g, m, tb, storage) if which == "f32"
+          else _make_mv_acc(axis, g, m, tb, storage))
     mapped = shard_map(mv, mesh=mesh,
-                       in_specs=(_operand_specs(axis), P()),
+                       in_specs=(_operand_specs(axis, storage), P()),
                        out_specs=P(), check_vma=False)
     return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_chain(mesh, axis, g, m, tb, which, repeats, packed):
-    mv = (_make_mv32(axis, g, m, tb, packed) if which == "f32"
-          else _make_mv_acc(axis, g, m, tb, packed))
+def _build_symm_chain(mesh, axis, g, m, tb, which, repeats, storage):
+    mv = (_make_mv32(axis, g, m, tb, storage) if which == "f32"
+          else _make_mv_acc(axis, g, m, tb, storage))
 
     def local(operand, p):
         def body(_, v):
@@ -311,7 +356,7 @@ def _build_symm_chain(mesh, axis, g, m, tb, which, repeats, packed):
         return jax.lax.fori_loop(0, repeats, body, p)
 
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(_operand_specs(axis), P()),
+                       in_specs=(_operand_specs(axis, storage), P()),
                        out_specs=P(), check_vma=False)
     return jax.jit(mapped)
 
@@ -332,36 +377,53 @@ class SymmShardedOperator(LinearOperator):
     and from_row_block_fn documents)."""
 
     def __init__(self, operand, n, n_padded, mesh, axis, g, m, tb,
-                 packed=False):
+                 packed=False, storage=None):
+        if storage is None:
+            storage = "packed" if packed else "slab"
         # generic matvec_dot (checkpoint/segmented paths): the same
         # shard_map matvec program, composed under the caller's jit —
         # cached by _build_symm_matvec so instances with equal geometry
         # share one compilation
         super().__init__(
             _wrap_matvec(_build_symm_matvec(mesh, axis, g, m, tb,
-                                            "acc", packed)),
+                                            "acc", storage)),
             operand, n, n_padded, jnp.float64)
-        self.precision = "df64"
-        self.engine = "pallas_symm_packed" if packed else "pallas_symm"
+        self.precision = "dfq" if storage == "dfq" else "df64"
+        self.engine = ("pallas_symm" if storage == "slab"
+                       else "pallas_symm_packed")
         self.mesh = mesh
         self.axis = axis
         self._g = g
         self._m = m
         self._tb = tb
-        self._packed = packed
+        self._storage = storage
+        self._packed = storage != "slab"
         self._which = "acc"
 
     @staticmethod
     def from_row_block_fn(row_block_fn, n, mesh=None, tb=None,
-                          packed=False):
+                          packed=False, precision="df64"):
         """Build from per-row-block reads of a SYMMETRIC f64 matrix.
 
         Each chip materializes only its two bands (the per-rank MPI-IO
         analog, ConjugateGradient_CPU_MPI_OMP.hpp:325-363). packed=True
         stores each chip's lower-triangle tiles only (walk order,
-        ops/gemv.py) — HALF the HBM capacity of the slab layout."""
+        ops/gemv.py) — HALF the HBM capacity of the slab layout.
+        precision='dfq' additionally quantizes the lo plane to int16
+        against per-tile power-of-two scales with the diagonal extracted
+        as a df64 pair (6 B/element per shard — see
+        DenseOperator.from_dense_dfq); implies packed storage."""
         (mesh, tb, axis, g, n_p, m, tables,
          a_sharding) = _geometry(n, mesh, tb)
+
+        if precision == "dfq":
+            return SymmShardedOperator._from_row_block_fn_dfq(
+                row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
+                a_sharding)
+        if precision != "df64":
+            raise ValueError(
+                f"SymmShardedOperator precision must be 'df64' or "
+                f"'dfq', got {precision!r}")
 
         if packed:
             its, kts = tables[0], tables[1]
@@ -431,6 +493,97 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
+    def _from_row_block_fn_dfq(row_block_fn, n, mesh, tb, axis, g, n_p,
+                               m, tables, a_sharding):
+        """Per-chip quantized-lo pack: each chip's walk tiles stored as
+        f32 hi + int16 lo (per-tile power-of-two scale) with its bands'
+        diagonal extracted to a slab-order df64 pair. One read of the
+        chip's rows (row-block cache, as the packed df64 path); a
+        process only packs chips it addresses (callback placement)."""
+        from lam_tpu.ops.gemv import quantize_lo_tiles
+        from lam_tpu.solver.operators import split_f64_host
+        its, kts, lts = tables
+        T = its.shape[1]
+        L = T * tb
+        cache = {}
+
+        def chip_pack(c):
+            if c not in cache:
+                hi = np.empty((L, tb), np.float32)
+                loq = np.empty((L, tb), np.int16)
+                sc = np.zeros((T,), np.float32)
+                dh = np.zeros((2 * m,), np.float32)
+                dl = np.zeros((2 * m,), np.float32)
+                cur_i, rows = -1, None
+                for t in range(T):
+                    i, k = int(its[c, t]), int(kts[c, t])
+                    if cur_i != i:
+                        rows = np.zeros((tb, n_p), np.float64)
+                        src = max(0, min(n - i * tb, tb))
+                        if src > 0:
+                            rows[:src, :n] = row_block_fn(i * tb, src)
+                        cur_i = i
+                    tile = rows[:, k * tb:(k + 1) * tb]
+                    if i == k:
+                        # diagonal entries — systematically the largest
+                        # of an SPD matrix — would set the tile's scale;
+                        # extract them EXACTLY (df64 pair, slab order)
+                        # and quantize the zeroed tile instead
+                        tile = tile.copy()
+                        dv = np.diagonal(tile).copy()
+                        dhi = dv.astype(np.float32)
+                        lt = int(lts[c, t])
+                        dh[lt * tb:(lt + 1) * tb] = dhi
+                        dl[lt * tb:(lt + 1) * tb] = (
+                            dv - dhi.astype(np.float64)
+                        ).astype(np.float32)
+                        np.fill_diagonal(tile, 0.0)
+                    bh, bl = split_f64_host(tile)
+                    hi[t * tb:(t + 1) * tb] = bh
+                    q, s = quantize_lo_tiles(bl, tb)
+                    loq[t * tb:(t + 1) * tb] = q
+                    sc[t] = s[0]
+                cache[c] = (hi, loq, sc, dh, dl)
+            return cache[c]
+
+        def chip_rows_cb(which, rows_pc, sl, total):
+            r = sl[0]
+            start = r.start or 0
+            stop = r.stop if r.stop is not None else total
+            chunks = []
+            pos = start
+            while pos < stop:
+                c, off = divmod(pos, rows_pc)
+                take = min(rows_pc - off, stop - pos)
+                chunks.append(chip_pack(c)[which][off:off + take])
+                pos += take
+            return np.concatenate(chunks, axis=0)
+
+        def mk_plane(which):
+            return jax.make_array_from_callback(
+                (g * L, tb), a_sharding,
+                lambda sl: chip_rows_cb(which, L, sl, g * L)[:, sl[1]])
+
+        def mk_sc():
+            def cb(sl):
+                r = sl[0]
+                cs = range(r.start or 0,
+                           r.stop if r.stop is not None else g)
+                return np.stack([chip_pack(c)[2] for c in cs])[:, sl[1]]
+
+            return jax.make_array_from_callback((g, T), a_sharding, cb)
+
+        def mk_diag(which):
+            return jax.make_array_from_callback(
+                (n_p,), NamedSharding(mesh, P(axis)),
+                lambda sl: chip_rows_cb(which, 2 * m, sl, n_p))
+
+        operand = (mk_plane(0), mk_plane(1), mk_sc(), mk_diag(3),
+                   mk_diag(4), *_table_arrays(tables, g, a_sharding))
+        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m,
+                                   tb, storage="dfq")
+
+    @staticmethod
     def from_gen_tridiagonal(n, mesh=None, tb=None, packed=False):
         """Gen-mode tridiagonal in band-pair slab order, built ON DEVICE
         (each shard materializes in its owner's HBM via out_shardings) —
@@ -465,7 +618,8 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
-    def from_dense(a, mesh=None, tb=None, packed=False):
+    def from_dense(a, mesh=None, tb=None, packed=False,
+                   precision="df64"):
         from lam_tpu.solver.operators import _verifies_symmetric
         a = np.asarray(a, dtype=np.float64)
         n = a.shape[0]
@@ -477,10 +631,11 @@ class SymmShardedOperator(LinearOperator):
                 "band walk mirrors the lower triangle)")
         return SymmShardedOperator.from_row_block_fn(
             lambda s, mrows: a[s:s + mrows, :], n, mesh=mesh, tb=tb,
-            packed=packed)
+            packed=packed, precision=precision)
 
     @staticmethod
-    def from_file(path, mesh=None, tb=None, packed=False):
+    def from_file(path, mesh=None, tb=None, packed=False,
+                  precision="df64"):
         from lam_tpu import io as lio
         rows, cols = lio.read_header(path)
         if rows != cols:
@@ -488,7 +643,7 @@ class SymmShardedOperator(LinearOperator):
                              f"({rows}x{cols})")
         return SymmShardedOperator.from_row_block_fn(
             lambda s, mrows: lio.read_matrix_rows(path, s, mrows), rows,
-            mesh=mesh, tb=tb, packed=packed)
+            mesh=mesh, tb=tb, packed=packed, precision=precision)
 
     # -- solve path ----------------------------------------------------------
 
@@ -505,19 +660,19 @@ class SymmShardedOperator(LinearOperator):
 
     def matvec(self, p_padded):
         fn = _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
-                                self._tb, self._which, self._packed)
+                                self._tb, self._which, self._storage)
         return fn(self.operand, p_padded)
 
     def matvec_chain(self, p_padded, repeats):
         fn = _build_symm_chain(self.mesh, self.axis, self._g, self._m,
                                self._tb, self._which, repeats,
-                               self._packed)
+                               self._storage)
         return fn(self.operand, p_padded)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         del loop_fn
         solver = _build_symm_cg(self.mesh, self.axis, self._g, self._m,
-                                self._tb, self._packed)
+                                self._tb, self._storage)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -529,7 +684,7 @@ class SymmShardedOperator(LinearOperator):
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_symm_cg_ir(self.mesh, self.axis, self._g,
                                    self._m, self._tb, max_cycles,
-                                   self._packed)
+                                   self._storage)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
@@ -538,7 +693,21 @@ class SymmShardedOperator(LinearOperator):
         axis, g, m, tb = self.axis, self._g, self._m, self._tb
         n_p = self.n_padded
 
-        if self._packed:
+        if self._storage == "dfq":
+
+            def local_diag(operand):
+                # the diagonal already lives in the operand as a
+                # slab-order df64 pair; scatter it to original rows
+                _, _, _, dh, dl, _, _, _ = operand
+                c = jax.lax.axis_index(axis)
+                dv = dh.astype(jnp.float64) + dl.astype(jnp.float64)
+                d = jnp.zeros(n_p, jnp.float64)
+                d = jax.lax.dynamic_update_slice(d, dv[:m], (c * m,))
+                d = jax.lax.dynamic_update_slice(
+                    d, dv[m:], ((2 * g - 1 - c) * m,))
+                return jax.lax.psum(d, axis)
+
+        elif self._packed:
             mt = m // tb
 
             def local_diag(operand):
@@ -579,7 +748,8 @@ class SymmShardedOperator(LinearOperator):
                 return jax.lax.psum(d, axis)
 
         mapped = shard_map(local_diag, mesh=self.mesh,
-                           in_specs=(_operand_specs(axis),),
+                           in_specs=(_operand_specs(axis,
+                                                    self._storage),),
                            out_specs=P(), check_vma=False)
         return jax.jit(mapped)(self.operand)
 
@@ -587,7 +757,7 @@ class SymmShardedOperator(LinearOperator):
         d = self.diagonal()
         inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
         solver = _build_symm_pcg(self.mesh, self.axis, self._g, self._m,
-                                 self._tb, self._packed)
+                                 self._tb, self._storage)
         return solver(self.operand, b_padded, inv_d, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -595,7 +765,7 @@ class SymmShardedOperator(LinearOperator):
         """f32 triangle-walk view sharing this operator's buffers."""
         out = SymmShardedOperator(self.operand, self.n, self.n_padded,
                                   self.mesh, self.axis, self._g, self._m,
-                                  self._tb, packed=self._packed)
+                                  self._tb, storage=self._storage)
         out.vector_dtype = jnp.float32
         out.precision = "f32"
         out._which = "f32"
@@ -605,7 +775,7 @@ class SymmShardedOperator(LinearOperator):
         # ShardedDenseOperator.as_f32)
         out._matvec_dot_fn = _wrap_matvec(
             _build_symm_matvec(self.mesh, self.axis, self._g, self._m,
-                               self._tb, "f32", self._packed))
+                               self._tb, "f32", self._storage))
         return out
 
 

@@ -100,21 +100,34 @@ class ConjugateGradient:
                 block_fn, n, mesh=self._mesh,
                 precision=self._base_precision(), engine=self.engine)
         if self.backend == "sharded":
-            if self.engine in ("pallas_symm", "pallas_symm_packed"):
+            base = self._base_precision()
+            engine = self.engine
+            if base == "dfq" and engine == "auto":
+                # quantized-lo storage exists only as packed triangle
+                # tiles — route to the band-pair symmetric operator
+                engine = "pallas_symm_packed"
+            if engine in ("pallas_symm", "pallas_symm_packed"):
                 # band-pair triangle-walk operator: half the HBM bytes
                 # per sharded matvec (lam_tpu/parallel/pcg_symm.py);
                 # df64 accurate plane + f32 triangle inner (ir).
                 # _packed additionally stores ONLY the triangle tiles —
-                # half the HBM capacity per chip as well
-                if self._base_precision() not in ("auto", "df64"):
+                # half the HBM capacity per chip as well; dfq/irq
+                # quantizes the lo plane (6 B/element per shard)
+                if base not in ("auto", "df64", "dfq"):
                     raise ValueError(
-                        f"--backend sharded --engine {self.engine} "
-                        "supports precision df64/ir (the df64 pair is "
-                        "the storage layout)")
+                        f"--backend sharded --engine {engine} "
+                        "supports precision df64/ir/dfq/irq (the df64 "
+                        "pair or its quantized-lo form is the storage "
+                        "layout)")
+                if base == "dfq" and engine != "pallas_symm_packed":
+                    raise ValueError(
+                        "precision='dfq'/'irq' implies packed storage; "
+                        "use engine='pallas_symm_packed' (or 'auto')")
                 from lam_tpu.parallel.pcg_symm import SymmShardedOperator
                 return SymmShardedOperator.from_row_block_fn(
                     row_block_fn, n, mesh=self._mesh_or_make(),
-                    packed=self.engine == "pallas_symm_packed")
+                    packed=engine == "pallas_symm_packed",
+                    precision="dfq" if base == "dfq" else "df64")
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),

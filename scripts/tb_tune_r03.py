@@ -1,13 +1,15 @@
 """Round-3 tile-width sweep for the packed symmetric kernels.
 
-An N=20480 probe showed the packed f32 triangle matvec at tb=1024
-running 24% faster than the tb=512 default (458 vs 374 GB/s): fewer
-grid steps amortize per-tile overheads (accumulator flushes, the
+An early N=20480 probe showed the packed f32 triangle matvec at
+tb=1024 running ~24% faster than the tb=512 default (458 vs 374 GB/s):
+fewer grid steps amortize per-tile overheads (accumulator flushes, the
 transpose tree) over 4x the elements. This script measures matvec
-chains at N=40960 (the largest cached size that packs quickly) for
-f32 / df64 / dfq packed storage across tile widths, then a full irq
-solve at the winning width, to decide whether SYMM_TB/DF64_SYMM_TB
-defaults should move.
+chains at N=20480 for f32 / df64 / dfq packed storage across tile
+widths, then a FULL irq+dfq solve at N=40000 with the winning width,
+to decide whether the SYMM_TB default should move. (An earlier variant
+packed N=40000 three times on the 1-core host — ~40 min of prep that a
+single tunnel hiccup discarded; chains at 20480 carry the same signal
+at a quarter of the pack cost, and the solve-level check runs once.)
 
 Run: python scripts/tb_tune_r03.py | tee -a results/TB_TUNE_r03.log
 """
@@ -21,8 +23,22 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-N = 40000
+N_CHAIN = 20480
+N_SOLVE = 40000
+SOLVE_TB = 1024       # challenger; incumbent record is tb=512, 1.732 s
 SEED = 2024
+
+
+def _retry(fn, what, tries=3):
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # tunnel hiccups (broken pipe etc.)
+            print(f"  [{what}: attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {e}]", flush=True)
+            if attempt == tries - 1:
+                raise
+            time.sleep(20)
 
 
 def main():
@@ -30,6 +46,7 @@ def main():
     import jax.numpy as jnp
 
     import lam_tpu  # noqa: F401
+    import lam_tpu.ops.gemv as gv
     from lam_tpu.ops.gemv import (gemv_df64_symm, gemv_dfq_symm,
                                   gemv_f32_symm, pack_tri_host,
                                   quantize_lo_tiles)
@@ -37,10 +54,6 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     print("device:", jax.devices()[0], flush=True)
-    a = np.load(os.path.join(HERE, "io", "bench",
-                             f"lam_bench_spd_N{N}_s{SEED}.npy"),
-                mmap_mode="r")
-    rng = np.random.default_rng(0)
 
     def chain_time(mv, p0, reps=50):
         @jax.jit
@@ -50,17 +63,24 @@ def main():
                 return w / jnp.sqrt(jnp.vdot(w, w))
             return jax.lax.fori_loop(0, reps, body, p)
 
-        out = chain(p0)
-        float(jnp.vdot(out, out))
+        def once():
+            out = chain(p0)
+            return float(jnp.vdot(out, out))
+
+        _retry(once, "compile+warm")
         t0 = time.perf_counter()
-        out = chain(p0)
-        float(jnp.vdot(out, out))
+        once()
         return (time.perf_counter() - t0) / reps
 
+    # -- matvec chains at N_CHAIN across tile widths -----------------------
+    from lam_tpu import generate as gen
+    a = gen.random_spd_matrix_fast(N_CHAIN, seed=SEED)
+    rng = np.random.default_rng(0)
+
     for tb in (512, 1024, 2048):
-        n_p = -(-N // tb) * tb
+        n_p = -(-N_CHAIN // tb) * tb
         ap = np.zeros((n_p, n_p), np.float64)
-        ap[:N, :N] = a
+        ap[:N_CHAIN, :N_CHAIN] = a
         hi, lo = split_f64_host(ap)
         hip = pack_tri_host(hi, tb)
         p32 = jnp.asarray(rng.uniform(-1, 1, n_p), jnp.float32)
@@ -71,8 +91,8 @@ def main():
               f"{gb32/dt:4.0f} GB/s", flush=True)
         if tb <= 1024:  # df64 pair at tb=2048 exceeds the VMEM budget
             lop = pack_tri_host(lo, tb)
-            ph, pl = (jnp.asarray(x) for x in split_f64_host(
-                rng.uniform(-1, 1, n_p)))
+            ph = jnp.asarray(split_f64_host(
+                rng.uniform(-1, 1, n_p))[0])
             hj, lj = jnp.asarray(hip), jnp.asarray(lop)
             gb = (hip.nbytes + lop.nbytes) / 1e9
             dt = chain_time(
@@ -91,6 +111,43 @@ def main():
             print(f"tb={tb} dfq : {dt*1e3:7.3f} ms  {gbq:5.2f} GB  "
                   f"{gbq/dt:4.0f} GB/s", flush=True)
         del ap, hi, lo, hip
+
+    # -- full irq+dfq solve at N_SOLVE with the challenger width -----------
+    from lam_tpu import DenseOperator, cg_solve_ir
+    path = os.path.join(HERE, "io", "bench",
+                        f"lam_bench_spd_N{N_SOLVE}_s{SEED}.npy")
+    if not os.path.exists(path):
+        print(f"[skip solve: no cached system at {path}]", flush=True)
+        return
+    gv.SYMM_TB = SOLVE_TB
+    am = np.load(path, mmap_mode="r")
+    b = gen.random_rhs(N_SOLVE, seed=SEED + 10)
+    t0 = time.time()
+    op = DenseOperator.from_dense_dfq(am, check_symmetric=False)
+    print(f"dfq pack at tb={SOLVE_TB}: {time.time()-t0:.0f}s "
+          f"(padded {op.n_padded})", flush=True)
+    op32 = op.as_f32()
+    _retry(lambda: float(cg_solve_ir(op32, op, b, max_iters=30,
+                                     rel_error=1e-2).rel_residual),
+           "solve compile")
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        res = cg_solve_ir(op32, op, b, max_iters=10000, rel_error=1e-9)
+        float(res.rel_residual)
+        dt = time.perf_counter() - t0
+        print(f"  rep{rep}: {dt:.3f}s iters={int(res.num_iters)} "
+              f"conv={bool(res.converged)}", flush=True)
+        best = dt if best is None else min(best, dt)
+    bn = np.linalg.norm(b)
+    x = np.asarray(res.x, np.float64)[:N_SOLVE]
+    r = b.copy()
+    blk = 4096
+    for s in range(0, N_SOLVE, blk):
+        r[s:s + blk] -= am[s:s + blk] @ x
+    print(f"irq+dfq N={N_SOLVE} tb={SOLVE_TB}: {best:.3f}s "
+          f"TRUE={np.linalg.norm(r)/bn:.3e} "
+          f"[incumbent tb=512: 1.732 s]", flush=True)
 
 
 if __name__ == "__main__":

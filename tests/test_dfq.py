@@ -150,9 +150,15 @@ def test_dfq_error_paths():
     asym = np.triu(np.ones((512, 512)))
     with pytest.raises(ValueError, match="symmetric"):
         DenseOperator.from_dense(asym, precision="dfq")
-    # sharded backends reject dfq storage cleanly
+    # sharded dfq/irq is supported (round 3, band-pair quantized
+    # storage) — but only as packed triangle tiles; the slab engine
+    # has no quantized form and is rejected cleanly
     from lam_tpu.solver.api import ConjugateGradient
     cg = ConjugateGradient(backend="sharded", precision="irq",
                            engine="pallas_symm_packed", n_devices=2)
-    with pytest.raises(ValueError, match="df64"):
-        cg.generate_matrix(512)
+    assert cg.generate_matrix(512)
+    assert cg.op._storage == "dfq" and cg.op.precision == "dfq"
+    bad = ConjugateGradient(backend="sharded", precision="irq",
+                            engine="pallas_symm", n_devices=2)
+    with pytest.raises(ValueError, match="packed"):
+        bad.generate_matrix(512)

@@ -566,3 +566,118 @@ def test_symm_sharded_packed_gen_tridiagonal(mesh8):
     assert bool(res.converged)
     assert np.linalg.norm(b - at @ np.asarray(res.x)) / np.linalg.norm(
         b) < 1e-8
+
+
+# -- quantized-lo (dfq) storage on the band-pair operator (round 3) ---------
+
+
+def _symm_op_dfq(a, g, tb=128):
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    return SymmShardedOperator.from_dense(a, mesh=make_mesh(g), tb=tb,
+                                          precision="dfq")
+
+
+def test_symm_sharded_dfq_matvec_diag_capacity(mesh8):
+    """Sharded dfq: 6 B/element per shard (f32 hi + int16 lo tiles),
+    matvec within the quantization bound of the dense product, diagonal
+    carried exactly as a slab-order df64 pair."""
+    a, _ = _spd_system(n=512, seed=71)
+    p = gen.random_rhs(512, seed=3)
+    for g in (1, 2, 4):
+        op = _symm_op_dfq(a, g)
+        assert op._storage == "dfq" and op.precision == "dfq"
+        hi, loq, sc, dh, dl, *_ = op.operand
+        assert hi.dtype == np.float32 and loq.dtype == np.int16
+        assert hi.shape == loq.shape          # 4 B + 2 B per element
+        assert dh.shape == (op.n_padded,) and dl.shape == (op.n_padded,)
+        ap = np.asarray(op.matvec(op.prepare_b(p)))[:512]
+        ref = a @ p
+        err = np.linalg.norm(ap - ref) / np.linalg.norm(ref)
+        assert err < 1e-9, err                # ~2^-39-scale quantization
+        d = np.asarray(op.diagonal())[:512]
+        np.testing.assert_allclose(d, np.diagonal(a), rtol=0,
+                                   atol=1e-12)
+
+
+def test_symm_sharded_dfq_stores_local_dfq_tiles(mesh8, monkeypatch):
+    """AT THE SAME TILE WIDTH the band-pair walk stores the same tiles
+    as the local packed triangle (different order, extra zero padding
+    tiles); per-tile quantization is order-free, so every real tile's
+    (hi, loq, scale) content must match the local operator's bit for
+    bit. Storage comparison only — matvec KERNEL equality between the
+    two is a hardware assertion (the local dfq matvec runs the
+    interpret-mode Pallas kernel off-chip, where XLA:CPU's excess
+    precision defeats its compensated arithmetic; the sharded off-TPU
+    path uses the XLA f64 walk instead, docs/REPORT.md §3)."""
+    from lam_tpu.ops.gemv import _symm_tables
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    tb = 128
+    a, _ = _spd_system(n=512, seed=72)
+    local = DenseOperator.from_dense_dfq(a)
+    lhi, lloq, lsc, _, _ = (np.asarray(x) for x in local.operand)
+    assert lhi.shape[1] == tb
+    nblk_l = local.n_padded // tb
+    lit, lkt = _symm_tables(nblk_l)
+    tiles = {(int(i), int(k)): t for t, (i, k) in enumerate(zip(lit,
+                                                                lkt))}
+    op = _symm_op_dfq(a, 4, tb=tb)
+    shi, sloq, ssc = (np.asarray(x) for x in op.operand[:3])
+    sit, skt = (np.asarray(x) for x in op.operand[5:7])
+    g, T = sit.shape
+    checked = 0
+    for c in range(g):
+        for t in range(T):
+            i, k = int(sit[c, t]), int(skt[c, t])
+            row = c * T + t
+            if (i, k) in tiles:
+                tl = tiles[(i, k)]
+                np.testing.assert_array_equal(
+                    shi[row * tb:(row + 1) * tb],
+                    lhi[tl * tb:(tl + 1) * tb])
+                np.testing.assert_array_equal(
+                    sloq[row * tb:(row + 1) * tb],
+                    lloq[tl * tb:(tl + 1) * tb])
+                assert ssc[c, t] == lsc[tl]
+                checked += 1
+            else:                     # band-padding tile: exact zeros
+                assert not shi[row * tb:(row + 1) * tb].any()
+                assert not sloq[row * tb:(row + 1) * tb].any()
+    assert checked == len(tiles)      # every real tile stored once
+
+
+def test_symm_sharded_dfq_cg_and_irq(mesh8):
+    from lam_tpu.solver.cg import cg_solve_ir
+    a, b = _spd_system(n=512, seed=73)
+    op = _symm_op_dfq(a, 4)
+    bn = np.linalg.norm(b)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                       rel_error=1e-9)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ np.asarray(res2.x)) / bn < 1e-8
+
+
+def test_symm_sharded_irq_via_api(mesh8, tmp_path):
+    """backend='sharded' + precision='irq' routes to the dfq band-pair
+    operator (engine auto -> pallas_symm_packed) and solves through the
+    facade, including the file path."""
+    from lam_tpu import io as lio
+    from lam_tpu.solver.api import ConjugateGradient
+
+    n = 512
+    a, b = _spd_system(n=n, seed=74)
+    mpath, bpath = tmp_path / "m.bin", tmp_path / "b.bin"
+    lio.write_matrix(str(mpath), a)
+    lio.write_matrix(str(bpath), b)
+    cg = ConjugateGradient(backend="sharded", precision="irq",
+                           n_devices=4)
+    assert cg.load_matrix_from_file(str(mpath))
+    assert cg.load_rhs_from_file(str(bpath))
+    assert cg.op._storage == "dfq"
+    assert cg.solve(max_iters=10000, rel_error=1e-9)
+    x = cg.x[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8

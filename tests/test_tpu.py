@@ -192,3 +192,28 @@ def test_dfq_quantized_storage_hardware_accuracy(tpu_backend, spd_system):
     x = np.asarray(res.x)
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_sharded_dfq_slab_kernel_hardware_accuracy(tpu_backend,
+                                                   spd_system):
+    # compiled gemv_dfq_symm_slab (band-pair quantized-lo storage,
+    # round 3): on a 1-device mesh the shard_map wrapping is trivial
+    # but the slab walk, in-VMEM dequantization, and diagonal df64 pair
+    # all execute on hardware. Matvec at the quantization bound; irq
+    # refinement lands a true 1e-9 residual.
+    from lam_tpu import cg_solve_ir
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    a, b = spd_system
+    n = a.shape[0]
+    op = SymmShardedOperator.from_dense(a, mesh=make_mesh(1),
+                                        precision="dfq")
+    rng = np.random.default_rng(13)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    assert _rel(y, a @ p) < 5e-11
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-9)
+    x = np.asarray(res.x)[:n]
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
