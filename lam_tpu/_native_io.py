@@ -58,6 +58,10 @@ def _load():
     lib.ln_tridiagonal_rows.restype = None
     lib.ln_tridiagonal_rows_split.argtypes = [u64, u64, u64, f32p, f32p]
     lib.ln_tridiagonal_rows_split.restype = None
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.ln_pack_dfq.argtypes = [ctypes.c_char_p, u64, u64, u64, u64,
+                                f32p, i16p, f32p, f32p, f32p]
+    lib.ln_pack_dfq.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -119,6 +123,29 @@ def tridiagonal_rows(row_start, num_rows, n):
     out = np.empty((num_rows, n), dtype=np.float64)
     lib.ln_tridiagonal_rows(row_start, num_rows, n, _f64p(out))
     return out
+
+
+def pack_dfq(path, data_off, n, n_pad, tb):
+    """Fused read+split+quantize of a symmetric f64 matrix file into the
+    quantized-lo packed triangle layout (see native ln_pack_dfq): reads
+    only the lower-triangle bytes and never materializes f64/f32 plane
+    temporaries. Returns (hi, loq, sc, dh, dl) matching
+    DenseOperator.from_dense_dfq's host buffers bit-for-bit."""
+    lib = _load()
+    nblk = n_pad // tb
+    T = nblk * (nblk + 1) // 2
+    hi = np.empty((T * tb, tb), dtype=np.float32)
+    loq = np.empty((T * tb, tb), dtype=np.int16)
+    sc = np.empty((T,), dtype=np.float32)
+    dh = np.empty((n_pad,), dtype=np.float32)
+    dl = np.empty((n_pad,), dtype=np.float32)
+    rc = lib.ln_pack_dfq(
+        str(path).encode(), data_off, n, n_pad, tb, _f32p(hi),
+        loq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _f32p(sc),
+        _f32p(dh), _f32p(dl))
+    if rc != 0:
+        raise IOError(f"native dfq pack of {path} failed (rc={rc})")
+    return hi, loq, sc, dh, dl
 
 
 def tridiagonal_rows_split(row_start, num_rows, n):

@@ -1012,7 +1012,11 @@ def quantize_lo_tiles(lo_packed, tb):
         if m == 0.0:
             q[t * tb:(t + 1) * tb] = 0
             continue
-        scale = 2.0 ** _np.ceil(_np.log2(m / 32767.0))
+        # smallest power of two >= m/32767, frexp-exact (no libm log2
+        # rounding at power-of-two boundaries) — bit-identical to the
+        # native pack (native/lam_native.cpp ln_q_scale)
+        fr, k = _np.frexp(m / 32767.0)
+        scale = 2.0 ** (int(k) - 1 if fr == 0.5 else int(k))
         scales[t] = scale
         qt = _np.rint(tile.astype(_np.float64) / scale)
         q[t * tb:(t + 1) * tb] = _np.clip(qt, -32767, 32767)

@@ -147,10 +147,17 @@ class ConjugateGradient:
         if rows != cols:
             raise ValueError(f"{filename}: matrix must be square")
         self.n = rows
-        self.op = self._build_operator(
-            lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
-            block_fn=lambda r0, c0, h, w: lio.read_matrix_block(
-                filename, r0, c0, h, w))
+        if (self.backend == "local" and self._base_precision() == "dfq"
+                and self.engine in ("auto", "pallas_symm_packed")):
+            # fused file->quantized-triangle pack (native when built):
+            # reads only the lower-triangle bytes, never materializes
+            # the full f64 matrix in host RAM
+            self.op = DenseOperator.from_file_dfq(filename)
+        else:
+            self.op = self._build_operator(
+                lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
+                block_fn=lambda r0, c0, h, w: lio.read_matrix_block(
+                    filename, r0, c0, h, w))
         jax.block_until_ready(self.op.operand)
         self.timings["load_s"] = time.perf_counter() - t0
         return True

@@ -614,6 +614,54 @@ class DenseOperator(LinearOperator):
                              "pallas_symm_packed")
 
     @staticmethod
+    def from_file_dfq(path, check_symmetric=False):
+        """Quantized-lo packed operator straight from a matrix FILE —
+        the reference binary format (16-byte header,
+        random_spd_system.cpp:114-116) or a .npy. With the native
+        library built (native/lam_native.cpp ln_pack_dfq) the pack is
+        one fused C++ pass reading only the lower-triangle bytes (~half
+        the disk traffic, no numpy temporaries); otherwise falls back
+        to the streaming numpy pack over a memory map. Symmetry is
+        trusted by default (CG's contract; the check costs two full
+        passes over a multi-GB file) — pass check_symmetric=True to
+        verify via the memmap path."""
+        from lam_tpu import _native_io
+        from lam_tpu.ops.gemv import SYMM_TB
+
+        path = str(path)
+        if path.endswith(".npy"):
+            a = np.load(path, mmap_mode="r")
+            if a.dtype != np.float64:
+                raise ValueError(f"{path}: expected float64, got "
+                                 f"{a.dtype}")
+            data_off = a.offset
+        else:
+            from lam_tpu import io as lio
+            rows, cols = lio.read_header(path)
+            if rows != cols:
+                raise ValueError(f"{path}: matrix must be square "
+                                 f"({rows}x{cols})")
+            a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
+                          shape=(rows, cols))
+            data_off = 16
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"{path}: matrix must be square, got "
+                             f"{a.shape}")
+        if check_symmetric or not _native_io.available():
+            return DenseOperator.from_dense_dfq(
+                a, check_symmetric=check_symmetric)
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        hi, loq, sc, dh, dl = _native_io.pack_dfq(path, data_off, n,
+                                                  n_p, tb)
+        operand = (jnp.asarray(hi), jnp.asarray(loq), jnp.asarray(sc),
+                   jnp.asarray(dh), jnp.asarray(dl))
+        fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
+        return DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
+                             "pallas_symm_packed")
+
+    @staticmethod
     def from_packed_f32(a_packed, n, n_padded):
         """f32 operator from a PRE-PACKED walk-order triangle plane —
         the gen-mode device-build path for precision='f32' (entries

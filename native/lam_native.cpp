@@ -12,6 +12,7 @@
 // Exposed as a plain C ABI consumed via ctypes (lam_tpu/_native_io.py);
 // falls back to numpy transparently when this library is not built.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -159,6 +160,107 @@ void ln_tridiagonal_rows(uint64_t row_start, uint64_t num_rows, uint64_t n,
             if (i + 1 < n) out[r * n + i + 1] = 1.0;
         }
     });
+}
+
+// Smallest power of two >= m / 32767 (the dfq per-tile quantization
+// scale). frexp-exact — no libm log2 rounding at power-of-two
+// boundaries — and mirrored bit-for-bit by the numpy fallback
+// (lam_tpu/ops/gemv.py quantize_lo_tiles).
+static float ln_q_scale(float m) {
+    if (m == 0.0f) return 0.0f;
+    int k;
+    double fr = std::frexp(static_cast<double>(m) / 32767.0, &k);
+    int e = (fr == 0.5) ? k - 1 : k;
+    return static_cast<float>(std::ldexp(1.0, e));
+}
+
+// Stream a symmetric (n, n) f64 matrix (raw data at byte `data_off` of
+// `path`, row-major) directly into the quantized-lo packed triangle
+// layout of DenseOperator.from_dense_dfq (lam_tpu/solver/operators.py):
+// walk-order (T*tb, tb) f32 hi tiles + int16 lo tiles against per-tile
+// power-of-two scales, diagonal extracted to f32 (dh, dl) float-float
+// pairs of length n_pad. One fused pass — read, split, max, quantize —
+// and only the LOWER-TRIANGLE bytes are read (cols <= (i+1)*tb per tile
+// row): ~half the disk traffic and none of the numpy temporaries of the
+// Python pack (825 s -> see results/ for the measured native time at
+// N=70000). The reference's analog is the MPI-IO sharded load
+// (ConjugateGradient_CPU_MPI_OMP.hpp:325-363); quantization has no
+// reference analog (fp64-square storage throughout).
+int ln_pack_dfq(const char* path, uint64_t data_off, uint64_t n,
+                uint64_t n_pad, uint64_t tb, float* hi, int16_t* loq,
+                float* sc, float* dh, float* dl) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return 1;
+    uint64_t nblk = n_pad / tb;
+    std::memset(dh, 0, n_pad * sizeof(float));
+    std::memset(dl, 0, n_pad * sizeof(float));
+    bool ok = true;
+    // chunked over tile-rows; row i holds i+1 tiles, so later chunks are
+    // heavier — acceptable (the 1-core common case runs one chunk, and
+    // IO dominates multi-core)
+    parallel_chunks(nblk, n_pad * n_pad / 2 * sizeof(double),
+                    [&](uint64_t i0, uint64_t i1) {
+        std::vector<double> buf;
+        std::vector<float> lob(tb * tb);
+        for (uint64_t i = i0; i < i1 && ok; ++i) {
+            uint64_t w = (i + 1) * tb;           // padded tile-row width
+            uint64_t cw = w < n ? w : n;         // file columns present
+            uint64_t r0 = i * tb;
+            uint64_t src = n > r0 ? (n - r0 < tb ? n - r0 : tb) : 0;
+            buf.assign(tb * w, 0.0);
+            for (uint64_t r = 0; r < src && ok; ++r) {
+                if (!pread_all(fd, buf.data() + r * w,
+                               cw * sizeof(double),
+                               data_off + (r0 + r) * n * sizeof(double)))
+                    ok = false;
+            }
+            if (!ok) break;
+            for (uint64_t r = 0; r < src; ++r) {
+                double v = buf[r * w + r0 + r];
+                float h = static_cast<float>(v);
+                dh[r0 + r] = h;
+                dl[r0 + r] = static_cast<float>(
+                    v - static_cast<double>(h));
+                buf[r * w + r0 + r] = 0.0;       // planes carry 0 there
+            }
+            uint64_t t0 = i * (i + 1) / 2;
+            for (uint64_t k = 0; k <= i; ++k) {
+                float* ht = hi + (t0 + k) * tb * tb;
+                int16_t* qt = loq + (t0 + k) * tb * tb;
+                float m = 0.0f;
+                for (uint64_t r = 0; r < tb; ++r) {
+                    const double* s = buf.data() + r * w + k * tb;
+                    float* hrow = ht + r * tb;
+                    float* lrow = lob.data() + r * tb;
+                    for (uint64_t c = 0; c < tb; ++c) {
+                        double v = s[c];
+                        float h = static_cast<float>(v);
+                        hrow[c] = h;
+                        float l = static_cast<float>(
+                            v - static_cast<double>(h));
+                        lrow[c] = l;
+                        float a = l < 0.0f ? -l : l;
+                        if (a > m) m = a;
+                    }
+                }
+                float scale = ln_q_scale(m);
+                sc[t0 + k] = scale;
+                if (scale == 0.0f) {
+                    std::memset(qt, 0, tb * tb * sizeof(int16_t));
+                    continue;
+                }
+                for (uint64_t e = 0; e < tb * tb; ++e) {
+                    double q = std::rint(static_cast<double>(lob[e])
+                                         / static_cast<double>(scale));
+                    if (q > 32767.0) q = 32767.0;
+                    if (q < -32767.0) q = -32767.0;
+                    qt[e] = static_cast<int16_t>(q);
+                }
+            }
+        }
+    });
+    ::close(fd);
+    return ok ? 0 : 2;
 }
 
 // Tridiagonal row block split directly into (hi, lo) planes (the values

@@ -53,8 +53,11 @@ def main():
 
     t0 = time.time()
     # symmetric by construction (random_spd_matrix_fast symmetrizes
-    # explicitly); skipping the check avoids two more 39 GB disk passes
-    op = DenseOperator.from_dense_dfq(a, check_symmetric=False)
+    # explicitly; from_file_dfq trusts CG's contract). With the native
+    # library built this is the fused C++ pack (ln_pack_dfq): only the
+    # lower-triangle bytes are read and no numpy temporaries are
+    # materialized — the Python memmap pack measured 825 s here.
+    op = DenseOperator.from_file_dfq(path)
     pack_s = time.time() - t0
     t0 = time.time()
     jax.block_until_ready(op.operand)

@@ -72,3 +72,26 @@ def test_native_tridiagonal_matches_python():
     np.testing.assert_array_equal(hi.astype(np.float64),
                                   gen.tridiagonal_rows(3, 4, 10))
     assert np.all(lo == 0)
+
+
+def test_native_dfq_pack_bitwise_matches_python(tmp_path, monkeypatch):
+    """ln_pack_dfq (fused read+split+quantize over the lower triangle)
+    must reproduce the Python pack's buffers BIT FOR BIT — same split,
+    same frexp-exact power-of-two scales, same rint/clip — on both the
+    reference .bin format and .npy sources."""
+    from lam_tpu.solver.operators import DenseOperator
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 256)
+    n = 700   # padding exercised: 700 -> 768
+    a = gen.random_spd_matrix_fast(n, seed=17)
+    bin_path = tmp_path / "m.bin"
+    npy_path = tmp_path / "m.npy"
+    lio.write_matrix(str(bin_path), a)
+    np.save(npy_path, a)
+    ref = DenseOperator.from_dense_dfq(a, check_symmetric=False)
+    for path in (bin_path, npy_path):
+        op = DenseOperator.from_file_dfq(str(path))
+        assert op.n_padded == ref.n_padded and op.precision == "dfq"
+        for name, x, y in zip(("hi", "loq", "sc", "dh", "dl"),
+                              op.operand, ref.operand):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"{path}:{name}")
