@@ -337,6 +337,65 @@ def _packed_diagonal(buf, like=None):
     return buf[jnp.asarray(rows), jnp.asarray(cols)]
 
 
+def _packed_block_walk(buf_hi, buf_lo, p_block):
+    """(n, k) block matvec over a walk-order packed triangle buffer —
+    the XLA einsum form of the local triangle walk (direct terms
+    scattered by row-tile, transpose terms by column-tile, diagonal
+    tiles counted once). Used for block CG on packed storage, where the
+    unpacked layouts' plain matmul does not apply. Computes in p's
+    dtype (f64 on the block path — same accuracy class as the unpacked
+    ('df64', 'xla') block matvec, which also casts the planes up)."""
+    from lam_tpu.ops.gemv import _symm_tables
+    tb = buf_hi.shape[1]
+    T = buf_hi.shape[0] // tb
+    n, k = p_block.shape
+    nblk = n // tb
+    it, kt = _symm_tables(nblk)
+    tiles = buf_hi.reshape(T, tb, tb).astype(p_block.dtype)
+    if buf_lo is not None:
+        if buf_lo.shape[0] == tb:            # broadcast zero lo tile
+            tiles = tiles + buf_lo.astype(p_block.dtype)[None]
+        else:
+            tiles = tiles + buf_lo.reshape(T, tb, tb).astype(
+                p_block.dtype)
+    pb = p_block.reshape(nblk, tb, k)
+    it_j = jnp.asarray(it)
+    kt_j = jnp.asarray(kt)
+    direct = jnp.einsum("tij,tjk->tik", tiles, pb[kt_j])
+    yd = jax.ops.segment_sum(direct, it_j, num_segments=nblk)
+    mask = (kt < it)[:, None, None]          # diagonal: direct only
+    trans = jnp.einsum("tij,tik->tjk", tiles, pb[it_j]) * mask
+    yt = jax.ops.segment_sum(trans, kt_j, num_segments=nblk)
+    return (yd + yt).reshape(n, k)
+
+
+def _mv_block_packed_f32(operand, p):
+    return _packed_block_walk(operand, None, p)
+
+
+def _mv_block_packed_df64(operand, p):
+    hi, lo = operand
+    return _packed_block_walk(hi, lo, p)
+
+
+def _mv_block_packed_dfq(operand, p):
+    hi, loq, sc, dh, dl = operand
+    tb = hi.shape[1]
+    T = hi.shape[0] // tb
+    lo_deq = (loq.reshape(T, tb, tb).astype(jnp.float32)
+              * sc[:, None, None]).reshape(T * tb, tb)
+    y = _packed_block_walk(hi, lo_deq, p)
+    d = dh.astype(p.dtype) + dl.astype(p.dtype)
+    return y + d[:, None] * p
+
+
+_MV_BLOCK_PACKED = {
+    "f32": _mv_block_packed_f32,
+    "df64": _mv_block_packed_df64,
+    "dfq": _mv_block_packed_dfq,
+}
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _matvec_chain_jit(matvec_dot, operand, p, repeats):
     def body(_, v):
@@ -544,9 +603,11 @@ class DenseOperator(LinearOperator):
         if not packed:
             # block matvec = matmul on the same operand; the XLA variant
             # handles (n, k) blocks for every precision's storage layout
-            # (the packed layout has no plain-matmul form — block CG
-            # raises NotImplementedError there)
             out._mv_block = MATVEC[(precision, "xla")]
+        else:
+            # packed layout has no plain-matmul form — use the einsum
+            # triangle walk (same f64 accuracy class as the xla variant)
+            out._mv_block = _MV_BLOCK_PACKED[precision]
         return out
 
     @staticmethod
@@ -610,8 +671,10 @@ class DenseOperator(LinearOperator):
         operand = (jnp.asarray(hi_p), jnp.asarray(loq), jnp.asarray(sc),
                    jnp.asarray(dh), jnp.asarray(dl))
         fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
-        return DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
-                             "pallas_symm_packed")
+        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["dfq"]
+        return out
 
     @staticmethod
     def from_file_dfq(path, check_symmetric=False):
@@ -658,8 +721,10 @@ class DenseOperator(LinearOperator):
         operand = (jnp.asarray(hi), jnp.asarray(loq), jnp.asarray(sc),
                    jnp.asarray(dh), jnp.asarray(dl))
         fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
-        return DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
-                             "pallas_symm_packed")
+        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["dfq"]
+        return out
 
     @staticmethod
     def from_packed_f32(a_packed, n, n_padded):
@@ -667,9 +732,11 @@ class DenseOperator(LinearOperator):
         the gen-mode device-build path for precision='f32' (entries
         {0,1,2} are exact in f32; the hi plane IS the matrix)."""
         fn = _MATVEC_DOT[("f32", "pallas_symm_packed")]
-        return DenseOperator(fn, jnp.asarray(a_packed, jnp.float32), n,
-                             n_padded, jnp.float32, "f32",
-                             "pallas_symm_packed")
+        out = DenseOperator(fn, jnp.asarray(a_packed, jnp.float32), n,
+                            n_padded, jnp.float32, "f32",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["f32"]
+        return out
 
     @staticmethod
     def from_packed_planes(hi, lo, n, n_padded):
@@ -682,8 +749,10 @@ class DenseOperator(LinearOperator):
         operand = (jnp.asarray(hi, jnp.float32),
                    jnp.asarray(lo, jnp.float32))
         fn = _MATVEC_DOT[("df64", "pallas_symm_packed")]
-        return DenseOperator(fn, operand, n, n_padded, jnp.float64,
-                             "df64", "pallas_symm_packed")
+        out = DenseOperator(fn, operand, n, n_padded, jnp.float64,
+                            "df64", "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["df64"]
+        return out
 
     @staticmethod
     def from_df64_planes(hi, lo, n, engine):

@@ -235,3 +235,23 @@ def test_ir_with_symmetric_engine():
     assert bool(res.converged)
     x = np.asarray(res.x)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-9
+
+
+def test_block_cg_on_packed_and_dfq(monkeypatch):
+    """Round 3: block CG works on packed-triangle storage too — the
+    einsum triangle walk (_packed_block_walk) replaces the plain matmul
+    the packed layout cannot express."""
+    from lam_tpu.solver.cg import cg_solve_block
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 256)
+    n, k = 700, 3
+    a = gen.random_spd_matrix(n, seed=25)
+    rng = np.random.default_rng(26)
+    bs = rng.uniform(-1, 1, (n, k))
+    for op in (DenseOperator.from_dense(a, precision="df64",
+                                        engine="pallas_symm_packed"),
+               DenseOperator.from_dense_dfq(a)):
+        res = cg_solve_block(op, bs, max_iters=3000, rel_error=1e-9)
+        assert np.all(np.asarray(res.converged))
+        x = np.asarray(res.x)[:n]
+        true_rel = np.linalg.norm(bs - a @ x) / np.linalg.norm(bs)
+        assert true_rel < 1e-7

@@ -182,3 +182,32 @@ def test_ir_checkpoint_sharded(tmp_path):
     assert bool(res.converged)
     bn = np.linalg.norm(b)
     assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+
+
+def test_irq_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """--checkpoint composes with precision='irq' the same way as 'ir':
+    cycle-boundary persistence on the quantized-lo operator, bit-exact
+    resume. Tolerance is CPU-reachable (XLA:CPU defeats the interpreted
+    dfq kernel's compensation, flooring refinement around 1e-7 — see
+    tests/test_dfq.py; the strict 1e-9 irq claims are hardware tests)."""
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+    n = 700
+    tol = 1e-6
+    a = gen.random_spd_matrix(n, seed=31)
+    b = gen.random_rhs(n, seed=32)
+    op = DenseOperator.from_dense_dfq(a)
+    ck = str(tmp_path / "irq.ck")
+    full, _ = cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=10000,
+                                    rel_error=tol)
+    part, _ = cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=10000,
+                                    rel_error=tol, max_cycles=1,
+                                    checkpoint_path=ck)
+    res, _ = cg_solve_ir_resumable(op.as_f32(), op, b, max_iters=10000,
+                                   rel_error=tol, checkpoint_path=ck,
+                                   resume=True)
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x),
+                                  np.asarray(full.x))
+    true_rel = (np.linalg.norm(b - a @ np.asarray(res.x)[:n])
+                / np.linalg.norm(b))
+    assert true_rel < 1e-5
