@@ -1458,6 +1458,16 @@ def gemv_f32_dual(buf, p, q):
 def _gemv_df64_dual_kernel(ah_ref, al_ref, ph_ref, pl_ref, qh_ref,
                            ql_ref, ydh_ref, ydl_ref, yth_ref, ytl_ref,
                            accd_s, accd_c, acct_s, acct_c, *, comp):
+    _dual_df64_step(ah_ref[:], al_ref[:], ph_ref, pl_ref, qh_ref,
+                    ql_ref, ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+def _dual_df64_step(ah, al, ph_ref, pl_ref, qh_ref, ql_ref, ydh_ref,
+                    ydl_ref, yth_ref, ytl_ref, accd_s, accd_c, acct_s,
+                    acct_c, comp):
+    """Shared compensated dual-product grid step — al read from the lo
+    plane (df64) or dequantized from an int16 tile (dfq)."""
     li = pl.program_id(0)
     k = pl.program_id(1)
     nli = pl.num_programs(0)
@@ -1473,8 +1483,6 @@ def _gemv_df64_dual_kernel(ah_ref, al_ref, ph_ref, pl_ref, qh_ref,
         accd_s[:] = jnp.zeros_like(accd_s)
         accd_c[:] = jnp.zeros_like(accd_c)
 
-    ah = ah_ref[:]                    # (TB, TB)
-    al = al_ref[:]
     tb = ah.shape[0]
 
     # direct: yd[li] += S_lik @ p_k (lane-compensated fold)
@@ -1596,6 +1604,85 @@ def gemv_df64_dual(buf_hi, buf_lo, p_hi, p_lo, q_hi, q_lo, *, comp=None):
         interpret=_use_interpret(),
     )(buf_hi, buf_lo, p_hi.reshape(1, n), p_lo.reshape(1, n),
       q_hi.reshape(ms, 1), q_lo.reshape(ms, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))
+
+
+def _gemv_dfq_dual_kernel(ah_ref, alq_ref, sc_ref, ph_ref, pl_ref,
+                          qh_ref, ql_ref, ydh_ref, ydl_ref, yth_ref,
+                          ytl_ref, accd_s, accd_c, acct_s, acct_c, *,
+                          comp):
+    # dequantize the int16 lo tile in VMEM (exact: power-of-two scale)
+    al = alq_ref[:].astype(jnp.float32) * sc_ref[0, 0]
+    _dual_df64_step(ah_ref[:], al, ph_ref, pl_ref, qh_ref, ql_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp",))
+def gemv_dfq_dual(buf_hi, buf_loq, sc, p_hi, p_lo, q_hi, q_lo, *,
+                  comp=None):
+    """Quantized-lo dual matvec — the dfq twin of `gemv_df64_dual`:
+    S a dense rectangle stored as (T*tb, tb) row-major tile packing
+    with the lo plane int16 against per-tile power-of-two scales
+    (`sc`, one per tile in the same row-major order; trailing pad-tile
+    scales unread). 6 B/element per shard; used by the symmetric 2-D
+    grid's off-diagonal half-slabs (lam_tpu/parallel/pcg2d_symm.py)."""
+    comp = _resolve_comp(comp)
+    tb, mb, cb = _dual_geometry(buf_hi, p_hi, q_hi, "gemv_dfq_dual")
+    n = p_hi.shape[0]
+    ms = q_hi.shape[0]
+    if buf_loq.shape != buf_hi.shape:
+        raise ValueError(f"quantized lo plane shape {buf_loq.shape} != "
+                         f"hi plane {buf_hi.shape}")
+    T = buf_hi.shape[0] // tb
+    if sc.shape != (T,):
+        raise ValueError(f"scale table shape {sc.shape} != ({T},)")
+    a_map = lambda li, k: (li * cb + k, li * 0)
+    grid = (mb, cb)
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_dfq_dual_kernel, comp=comp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda li, k: (li * cb + k, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(buf_hi, buf_loq, sc.reshape(T, 1), p_hi.reshape(1, n),
+      p_lo.reshape(1, n), q_hi.reshape(ms, 1), q_lo.reshape(ms, 1))
     return (ydh.reshape(ms), ydl.reshape(ms),
             yth.reshape(n), ytl.reshape(n))
 

@@ -101,7 +101,7 @@ def _rect_tiles_dense(buf, c2, c, tb, dtype):
             .transpose(0, 2, 1, 3).reshape(c2 * tb, c * tb))
 
 
-def _make_mv_pair(r, m, tb, which):
+def _make_mv_pair(r, m, tb, which, storage="df64"):
     """Per-chip matvec: (operand, p_own, p_recv) ->
     (own_partial (m,), mirror_payload (m,)).
 
@@ -117,6 +117,10 @@ def _make_mv_pair(r, m, tb, which):
     it_np, kt_np = gemv._symm_tables(c)
     it_c, kt_c = jnp.asarray(it_np), jnp.asarray(kt_np)
     use_pallas = jax.default_backend() == "tpu"
+
+    if storage == "dfq":
+        return _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c,
+                                 use_pallas)
 
     def mv_pair(operand, p_own, p_recv):
         hi, lo = operand
@@ -212,6 +216,116 @@ def _make_mv_pair(r, m, tb, which):
     return mv_pair
 
 
+def _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c, use_pallas):
+    """dfq storage: operand = (hi, loq, sc, dh, dl) — f32 hi + int16 lo
+    tiles (per-tile power-of-two scales) on every chip, the matrix
+    diagonal extracted to a P(ROWS) df64 pair added by the diagonal
+    chips (off-diagonal blocks carry no matrix diagonal)."""
+    from lam_tpu.ops import gemv
+    from lam_tpu.precision import df_mul, fast_two_sum, two_sum
+
+    m2 = m // 2
+    c = m // tb
+    c2 = c // 2
+    T = (c * (c + 1)) // 2
+
+    def mv_pair(operand, p_own, p_recv):
+        hi, loq, sc, dh, dl = operand
+        sc_f = sc[:, 0]
+        i = jax.lax.axis_index(ROWS)
+        j = jax.lax.axis_index(COLS)
+        zero_blk = jnp.zeros(m, p_own.dtype)
+
+        if which == "f32":
+            if use_pallas:
+                def diag(_):
+                    return (gemv.gemv_f32_symm(hi, p_own, packed=True)
+                            + dh * p_own, zero_blk)
+
+                def lower(_):
+                    d, t = gemv.gemv_f32_dual(hi, p_recv, p_own[:m2])
+                    return _scatter_half(d, m, top=True), t
+
+                def upper(_):
+                    d, t = gemv.gemv_f32_dual(hi, p_own, p_recv[m2:])
+                    return t, _scatter_half(d, m, top=False)
+            else:
+                zt = jnp.zeros((tb, tb), jnp.float32)
+
+                def diag(_):
+                    return (_packed_mv_jnp(hi, zt, it_c, kt_c, p_own)
+                            + dh * p_own, zero_blk)
+
+                def lower(_):
+                    sdn = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
+                    return (_scatter_half(sdn @ p_recv, m, top=True),
+                            sdn.T @ p_own[:m2])
+
+                def upper(_):
+                    sdn = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
+                    return (sdn.T @ p_recv[m2:],
+                            _scatter_half(sdn @ p_own, m, top=False))
+        else:  # accurate dfq
+            if use_pallas:
+                def diag(_):
+                    ph, plo = split_f64(p_own)
+                    yh, yl = gemv.gemv_dfq_symm(hi, loq, sc_f, ph, plo)
+                    th, tl = df_mul((dh, dl), (ph, plo))
+                    s_, e = two_sum(yh, th)
+                    zh, zl = fast_two_sum(s_, yl + tl + e)
+                    return join_f64(zh, zl), zero_blk
+
+                def lower(_):
+                    ph, plo = split_f64(p_recv)
+                    qh, ql = split_f64(p_own[:m2])
+                    dh_, dl_, th, tl = gemv.gemv_dfq_dual(
+                        hi, loq, sc_f, ph, plo, qh, ql)
+                    return (_scatter_half(join_f64(dh_, dl_), m,
+                                          top=True),
+                            join_f64(th, tl))
+
+                def upper(_):
+                    ph, plo = split_f64(p_own)
+                    qh, ql = split_f64(p_recv[m2:])
+                    dh_, dl_, th, tl = gemv.gemv_dfq_dual(
+                        hi, loq, sc_f, ph, plo, qh, ql)
+                    return (join_f64(th, tl),
+                            _scatter_half(join_f64(dh_, dl_), m,
+                                          top=False))
+            else:
+                # off-TPU: dequantize + genuine-f64 XLA (same policy as
+                # the df64 branch)
+                def lo_deq():
+                    return (loq.reshape(T, tb, tb).astype(jnp.float32)
+                            * sc_f[:, None, None]).reshape(T * tb, tb)
+
+                def diag(_):
+                    y = _packed_mv_jnp(hi, lo_deq(), it_c, kt_c, p_own)
+                    d = dh.astype(p_own.dtype) + dl.astype(p_own.dtype)
+                    return y + d * p_own, zero_blk
+
+                def dense64():
+                    return (_rect_tiles_dense(hi, c2, c, tb,
+                                              jnp.float64)
+                            + _rect_tiles_dense(lo_deq(), c2, c, tb,
+                                                jnp.float64))
+
+                def lower(_):
+                    sdn = dense64()
+                    return (_scatter_half(sdn @ p_recv, m, top=True),
+                            sdn.T @ p_own[:m2])
+
+                def upper(_):
+                    sdn = dense64()
+                    return (sdn.T @ p_recv[m2:],
+                            _scatter_half(sdn @ p_own, m, top=False))
+
+        idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
+        return jax.lax.switch(idx, [diag, lower, upper], None)
+
+    return mv_pair
+
+
 def _make_apply_sym2d(mv_pair, r):
     perm = _transpose_perm(r)
 
@@ -227,16 +341,23 @@ def _make_apply_sym2d(mv_pair, r):
 
 
 _OPERAND_SPEC = (P(ROWS, COLS), P(ROWS, COLS))
+_OPERAND_SPEC_DFQ = (P(ROWS, COLS), P(ROWS, COLS), P(ROWS, COLS),
+                     P(ROWS), P(ROWS))
+
+
+def _operand_spec(storage):
+    return _OPERAND_SPEC_DFQ if storage == "dfq" else _OPERAND_SPEC
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_cg(mesh, m, tb):
+def _build_sym2d_cg(mesh, m, tb, storage="df64"):
     r = mesh.shape[ROWS]
-    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc"), r)
+    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc",
+                                               storage), r)
     mapped = shard_map(
         _make_local_cg(apply_fn, ROWS),
         mesh=mesh,
-        in_specs=(_OPERAND_SPEC, P(ROWS), P(), P()),
+        in_specs=(_operand_spec(storage), P(ROWS), P(), P()),
         out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -245,14 +366,16 @@ def _build_sym2d_cg(mesh, m, tb):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_cg_ir(mesh, m, tb, max_cycles):
+def _build_sym2d_cg_ir(mesh, m, tb, max_cycles, storage="df64"):
     r = mesh.shape[ROWS]
-    apply32 = _make_apply_sym2d(_make_mv_pair(r, m, tb, "f32"), r)
-    apply_acc = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc"), r)
+    apply32 = _make_apply_sym2d(_make_mv_pair(r, m, tb, "f32",
+                                              storage), r)
+    apply_acc = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc",
+                                                storage), r)
     mapped = shard_map(
         _make_local_ir(apply32, apply_acc, ROWS, max_cycles),
         mesh=mesh,
-        in_specs=(_OPERAND_SPEC, P(ROWS), P(), P(), P()),
+        in_specs=(_operand_spec(storage), P(ROWS), P(), P(), P()),
         out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -261,13 +384,14 @@ def _build_sym2d_cg_ir(mesh, m, tb, max_cycles):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_pcg(mesh, m, tb):
+def _build_sym2d_pcg(mesh, m, tb, storage="df64"):
     r = mesh.shape[ROWS]
-    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc"), r)
+    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc",
+                                               storage), r)
     mapped = shard_map(
         _make_local_pcg(apply_fn, ROWS),
         mesh=mesh,
-        in_specs=(_OPERAND_SPEC, P(ROWS), P(ROWS), P(), P()),
+        in_specs=(_operand_spec(storage), P(ROWS), P(ROWS), P(), P()),
         out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -276,19 +400,21 @@ def _build_sym2d_pcg(mesh, m, tb):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_matvec(mesh, m, tb, which):
+def _build_sym2d_matvec(mesh, m, tb, which, storage="df64"):
     r = mesh.shape[ROWS]
-    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, which), r)
+    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, which,
+                                               storage), r)
     mapped = shard_map(apply_fn, mesh=mesh,
-                       in_specs=(_OPERAND_SPEC, P(ROWS)),
+                       in_specs=(_operand_spec(storage), P(ROWS)),
                        out_specs=P(ROWS), check_vma=False)
     return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_chain(mesh, m, tb, which, repeats):
+def _build_sym2d_chain(mesh, m, tb, which, repeats, storage="df64"):
     r = mesh.shape[ROWS]
-    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, which), r)
+    apply_fn = _make_apply_sym2d(_make_mv_pair(r, m, tb, which,
+                                               storage), r)
 
     def local(operand, p):
         def body(_, v):
@@ -299,7 +425,7 @@ def _build_sym2d_chain(mesh, m, tb, which, repeats):
         return jax.lax.fori_loop(0, repeats, body, p)
 
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(_OPERAND_SPEC, P(ROWS)),
+                       in_specs=(_operand_spec(storage), P(ROWS)),
                        out_specs=P(ROWS), check_vma=False)
     return jax.jit(mapped)
 
@@ -335,32 +461,48 @@ class Symm2DOperator(LinearOperator):
     triangle diagonal + half-slab off-diagonal blocks); O(N/R)
     per-iteration exchange. df64 pair storage (precision df64 / ir)."""
 
-    def __init__(self, operand, n, n_padded, mesh, tb):
+    def __init__(self, operand, n, n_padded, mesh, tb,
+                 storage="df64"):
         m = n_padded // mesh.shape[ROWS]
         super().__init__(
-            _wrap_matvec(_build_sym2d_matvec(mesh, m, tb, "acc")),
+            _wrap_matvec(_build_sym2d_matvec(mesh, m, tb, "acc",
+                                             storage)),
             operand, n, n_padded, jnp.float64)
-        self.precision = "df64"
+        self.precision = "dfq" if storage == "dfq" else "df64"
         self.engine = "pallas_symm_packed"
         self.mesh = mesh
         self._m = m
         self._tb = tb
+        self._storage = storage
         self._which = "acc"
 
     @staticmethod
-    def from_block_fn(block_fn, n, mesh=None, tb=None):
+    def from_block_fn(block_fn, n, mesh=None, tb=None,
+                      precision="df64"):
         """Build from `block_fn(r0, c0, h, w)` -> f64 block of the
         UNPADDED symmetric matrix (the 2-D analog of the per-rank
-        MPI-IO read; only each chip's OWNED half/triangle is read)."""
+        MPI-IO read; only each chip's OWNED half/triangle is read).
+        precision='dfq' quantizes each chip's lo plane to int16 against
+        per-tile power-of-two scales with the matrix diagonal extracted
+        to a P(ROWS) df64 pair — 6 B/element stored ONCE across the
+        grid."""
         (mesh, tb, r, n_p, m, c, T,
          sharding) = _geometry(n, mesh, tb)
+        rows_per_chip = T * tb
+
+        if precision == "dfq":
+            return Symm2DOperator._from_block_fn_dfq(
+                block_fn, n, mesh, tb, r, n_p, m, c, T, sharding)
+        if precision != "df64":
+            raise ValueError(
+                f"Symm2DOperator precision must be 'df64' or 'dfq', "
+                f"got {precision!r}")
 
         def chip_block(key):
             i, j = key
             return _pack_chip_block(block_fn, n, n_p, m, tb, i, j)
 
         plane = df64_plane_provider(chip_block)
-        rows_per_chip = T * tb
 
         def mk(idx):
             def cb(sl):
@@ -375,7 +517,69 @@ class Symm2DOperator(LinearOperator):
         return Symm2DOperator(operand, n, n_p, mesh, tb)
 
     @staticmethod
-    def from_dense(a, mesh=None, tb=None):
+    def _from_block_fn_dfq(block_fn, n, mesh, tb, r, n_p, m, c, T,
+                           sharding):
+        from lam_tpu.ops.gemv import quantize_lo_tiles
+        from lam_tpu.solver.operators import split_f64_host
+        rows_per_chip = T * tb
+        cache = {}
+
+        def chip_pack(i, j):
+            if (i, j) not in cache:
+                packed = _pack_chip_block(block_fn, n, n_p, m, tb, i, j)
+                dh = np.zeros((m,), np.float32)
+                dl = np.zeros((m,), np.float32)
+                if i == j:
+                    # extract the matrix diagonal from the triangle
+                    # walk's diagonal tiles BEFORE the split/quantize
+                    for li in range(c):
+                        t = li * (li + 1) // 2 + li
+                        tile = packed[t * tb:(t + 1) * tb]
+                        dv = np.diagonal(tile).copy()
+                        dhi = dv.astype(np.float32)
+                        dh[li * tb:(li + 1) * tb] = dhi
+                        dl[li * tb:(li + 1) * tb] = (
+                            dv - dhi.astype(np.float64)
+                        ).astype(np.float32)
+                        np.fill_diagonal(
+                            packed[t * tb:(t + 1) * tb], 0.0)
+                hi, lo = split_f64_host(packed)
+                loq, sc = quantize_lo_tiles(lo, tb)
+                cache[(i, j)] = (hi, loq, sc, dh, dl)
+            return cache[(i, j)]
+
+        def mk_plane(idx):
+            def cb(sl):
+                i = (sl[0].start or 0) // rows_per_chip
+                j = (sl[1].start or 0) // tb
+                return chip_pack(i, j)[idx]
+
+            return jax.make_array_from_callback(
+                (r * rows_per_chip, r * tb), sharding, cb)
+
+        def mk_sc():
+            def cb(sl):
+                i = (sl[0].start or 0) // T
+                j = sl[1].start or 0
+                return chip_pack(i, j)[2][:, None]
+
+            return jax.make_array_from_callback((r * T, r), sharding,
+                                                cb)
+
+        def mk_diag(idx):
+            def cb(sl):
+                i = (sl[0].start or 0) // m
+                return chip_pack(i, i)[idx]
+
+            return jax.make_array_from_callback(
+                (n_p,), NamedSharding(mesh, P(ROWS)), cb)
+
+        operand = (mk_plane(0), mk_plane(1), mk_sc(), mk_diag(3),
+                   mk_diag(4))
+        return Symm2DOperator(operand, n, n_p, mesh, tb, storage="dfq")
+
+    @staticmethod
+    def from_dense(a, mesh=None, tb=None, precision="df64"):
         from lam_tpu.solver.operators import _verifies_symmetric
         a = np.asarray(a, dtype=np.float64)
         n = a.shape[0]
@@ -387,10 +591,10 @@ class Symm2DOperator(LinearOperator):
                 "element is stored once and mirrored by the dual walk)")
         return Symm2DOperator.from_block_fn(
             lambda r0, c0, h, w: a[r0:r0 + h, c0:c0 + w], n, mesh=mesh,
-            tb=tb)
+            tb=tb, precision=precision)
 
     @staticmethod
-    def from_file(path, mesh=None, tb=None):
+    def from_file(path, mesh=None, tb=None, precision="df64"):
         from lam_tpu import io as lio
         rows, cols = lio.read_header(path)
         if rows != cols:
@@ -399,7 +603,7 @@ class Symm2DOperator(LinearOperator):
         return Symm2DOperator.from_block_fn(
             lambda r0, c0, h, w: lio.read_matrix_block(path, r0, c0, h,
                                                        w),
-            rows, mesh=mesh, tb=tb)
+            rows, mesh=mesh, tb=tb, precision=precision)
 
     @staticmethod
     def from_gen_tridiagonal(n, mesh=None, tb=None):
@@ -469,17 +673,18 @@ class Symm2DOperator(LinearOperator):
 
     def matvec(self, p_padded):
         fn = _build_sym2d_matvec(self.mesh, self._m, self._tb,
-                                 self._which)
+                                 self._which, self._storage)
         return fn(self.operand, p_padded)
 
     def matvec_chain(self, p_padded, repeats):
         fn = _build_sym2d_chain(self.mesh, self._m, self._tb,
-                                self._which, repeats)
+                                self._which, repeats, self._storage)
         return fn(self.operand, p_padded)
 
     def run_cg(self, loop_fn, b_padded, max_iters, rel_error):
         del loop_fn
-        solver = _build_sym2d_cg(self.mesh, self._m, self._tb)
+        solver = _build_sym2d_cg(self.mesh, self._m, self._tb,
+                                 self._storage)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -490,7 +695,7 @@ class Symm2DOperator(LinearOperator):
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_sym2d_cg_ir(self.mesh, self._m, self._tb,
-                                    max_cycles)
+                                    max_cycles, self._storage)
         return solver(self.operand, b_padded, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
@@ -498,7 +703,8 @@ class Symm2DOperator(LinearOperator):
     def run_pcg(self, b_padded, max_iters, rel_error):
         d = self.diagonal()
         inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
-        solver = _build_sym2d_pcg(self.mesh, self._m, self._tb)
+        solver = _build_sym2d_pcg(self.mesh, self._m, self._tb,
+                                  self._storage)
         return solver(self.operand, b_padded, inv_d, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype))
 
@@ -511,6 +717,19 @@ class Symm2DOperator(LinearOperator):
         c = m // tb
         dpos = np.asarray([li * (li + 1) // 2 + li for li in range(c)],
                           np.int32)
+
+        if self._storage == "dfq":
+
+            def local_diag(operand):
+                # the diagonal lives in the operand as a P(ROWS) df64
+                # pair, already replicated over COLS
+                _, _, _, dh, dl = operand
+                return dh.astype(jnp.float64) + dl.astype(jnp.float64)
+
+            mapped = shard_map(local_diag, mesh=self.mesh,
+                               in_specs=(_operand_spec("dfq"),),
+                               out_specs=P(ROWS), check_vma=False)
+            return jax.jit(mapped)(self.operand)
 
         def local_diag(operand):
             hi, lo = operand
@@ -534,10 +753,12 @@ class Symm2DOperator(LinearOperator):
     def as_f32(self):
         """f32 dual-walk view sharing this operator's buffers."""
         out = Symm2DOperator(self.operand, self.n, self.n_padded,
-                             self.mesh, self._tb)
+                             self.mesh, self._tb,
+                             storage=self._storage)
         out.vector_dtype = jnp.float32
         out.precision = "f32"
         out._which = "f32"
         out._matvec_dot_fn = _wrap_matvec(
-            _build_sym2d_matvec(self.mesh, self._m, self._tb, "f32"))
+            _build_sym2d_matvec(self.mesh, self._m, self._tb, "f32",
+                                self._storage))
         return out

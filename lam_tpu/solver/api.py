@@ -82,19 +82,26 @@ class ConjugateGradient:
             if block_fn is None:
                 def block_fn(r0, c0, h, w):
                     return row_block_fn(r0, h)[:, c0:c0 + w]
-            if self.engine in ("pallas_symm", "pallas_symm_packed"):
+            base2d = self._base_precision()
+            engine2d = self.engine
+            if base2d == "dfq" and engine2d == "auto":
+                engine2d = "pallas_symm_packed"
+            if engine2d in ("pallas_symm", "pallas_symm_packed"):
                 # symmetric 2-D grid: each element stored ONCE across
                 # the mesh (packed triangle diagonal + half-slab
                 # mirrors) AND O(N/R) per-iteration exchange
-                # (lam_tpu/parallel/pcg2d_symm.py)
-                if self._base_precision() not in ("auto", "df64"):
+                # (lam_tpu/parallel/pcg2d_symm.py); dfq/irq quantizes
+                # the lo plane (6 B/element stored once mesh-wide)
+                if base2d not in ("auto", "df64", "dfq"):
                     raise ValueError(
-                        f"--backend sharded2d --engine {self.engine} "
-                        "supports precision df64/ir (the df64 pair is "
-                        "the storage layout)")
+                        f"--backend sharded2d --engine {engine2d} "
+                        "supports precision df64/ir/dfq/irq (the df64 "
+                        "pair or its quantized-lo form is the storage "
+                        "layout)")
                 from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
                 return Symm2DOperator.from_block_fn(
-                    block_fn, n, mesh=self._mesh)
+                    block_fn, n, mesh=self._mesh,
+                    precision="dfq" if base2d == "dfq" else "df64")
             from lam_tpu.parallel.pcg2d import Sharded2DOperator
             return Sharded2DOperator.from_block_fn(
                 block_fn, n, mesh=self._mesh,

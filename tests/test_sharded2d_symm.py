@@ -251,3 +251,94 @@ def test_api_sym2d_rejects_f32_precision():
                            precision="f32", n_devices=4)
     with pytest.raises(ValueError, match="df64/ir"):
         cg.generate_matrix(96)
+
+
+# -- quantized-lo (dfq) storage on the 2-D grid (round 3) --------------------
+
+
+def test_dual_kernel_dfq_matches_df64_on_reconstructed_lo():
+    """In-VMEM dequantization must be exact: given the same effective
+    lo plane, gemv_dfq_dual and gemv_df64_dual agree bit for bit (same
+    interpret path on CPU)."""
+    from lam_tpu.ops.gemv import (gemv_df64_dual, gemv_dfq_dual,
+                                  pack_rect_host, quantize_lo_tiles)
+    from lam_tpu.solver.operators import split_f64_host
+    tb = 128
+    ms, n = 256, 512
+    rng = np.random.default_rng(7)
+    s = rng.uniform(-1, 1, (ms, n))
+    hi, lo = split_f64_host(s)
+    hip = pack_rect_host(hi, tb, pad_tiles=1)
+    lop = pack_rect_host(lo, tb, pad_tiles=1)
+    q, sc = quantize_lo_tiles(lop, tb)
+    lo_rec = (q.astype(np.float32)
+              * np.repeat(sc, tb)[:, None].astype(np.float32))
+    p = rng.uniform(-1, 1, n)
+    qv = rng.uniform(-1, 1, ms)
+    ph, plo = split_f64_host(p)
+    qh, ql = split_f64_host(qv)
+    args = (jnp.asarray(ph), jnp.asarray(plo), jnp.asarray(qh),
+            jnp.asarray(ql))
+    out_q = gemv_dfq_dual(jnp.asarray(hip), jnp.asarray(q),
+                          jnp.asarray(sc), *args)
+    out_d = gemv_df64_dual(jnp.asarray(hip), jnp.asarray(lo_rec), *args)
+    for xq, xd in zip(out_q, out_d):
+        np.testing.assert_array_equal(np.asarray(xq), np.asarray(xd))
+
+
+def test_sym2d_dfq_matvec_diag_capacity(mesh2x2):
+    """2-D dfq: 6 B/element stored ONCE across the grid; matvec within
+    the quantization bound; diagonal carried as a P(ROWS) df64 pair."""
+    a, _ = _spd_system(n=700, seed=81)
+    p = gen.random_rhs(700, seed=6)
+    op = Symm2DOperator.from_dense(a, mesh=mesh2x2, tb=TB,
+                                   precision="dfq")
+    assert op._storage == "dfq" and op.precision == "dfq"
+    hi, loq, sc, dh, dl = op.operand
+    assert hi.dtype == np.float32 and loq.dtype == np.int16
+    assert hi.shape == loq.shape
+    assert dh.shape == (op.n_padded,) and dl.shape == (op.n_padded,)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:700]
+    ref = a @ p
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-9
+    d = np.asarray(op.diagonal())[:700]
+    np.testing.assert_allclose(d, np.diagonal(a), rtol=0, atol=1e-12)
+
+
+def test_sym2d_dfq_cg_irq_and_jacobi(mesh2x2):
+    a, b = _spd_system(n=700, seed=82)
+    op = Symm2DOperator.from_dense(a, mesh=mesh2x2, tb=TB,
+                                   precision="dfq")
+    bn = np.linalg.norm(b)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    _, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)[:700]) / bn < 1e-8
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                       rel_error=1e-9)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ np.asarray(res2.x)[:700]) / bn < 1e-8
+    res3 = cg_solve(op, b, max_iters=3000, rel_error=1e-9,
+                    preconditioner="jacobi")
+    assert bool(res3.converged)
+
+
+def test_sym2d_irq_via_api(mesh2x2, tmp_path):
+    """backend='sharded2d' + precision='irq' routes to the dfq grid
+    (engine auto -> pallas_symm_packed), through the file path."""
+    from lam_tpu import io as lio
+    from lam_tpu.solver.api import ConjugateGradient
+    n = 700
+    a, b = _spd_system(n=n, seed=83)
+    mp, bp = tmp_path / "m.bin", tmp_path / "b.bin"
+    lio.write_matrix(str(mp), a)
+    lio.write_matrix(str(bp), b)
+    cg = ConjugateGradient(backend="sharded2d", precision="irq",
+                           n_devices=4)
+    assert cg.load_matrix_from_file(str(mp))
+    assert cg.load_rhs_from_file(str(bp))
+    assert cg.op._storage == "dfq"
+    assert cg.solve(max_iters=10000, rel_error=1e-9)
+    x = cg.x[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8

@@ -217,3 +217,26 @@ def test_sharded_dfq_slab_kernel_hardware_accuracy(tpu_backend,
     x = np.asarray(res.x)[:n]
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_sym2d_dfq_hardware_accuracy(tpu_backend, spd_system):
+    # compiled dual dfq kernels (gemv_dfq_dual) + the quantized packed
+    # triangle on the diagonal chips, on a 1x1 grid mesh: trivial
+    # collectives, real Mosaic kernels. Matvec at the quantization
+    # bound; irq refinement lands a true 1e-9 residual.
+    from lam_tpu import cg_solve_ir
+    from lam_tpu.parallel.pcg2d import make_mesh2d
+    from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+    a, b = spd_system
+    n = a.shape[0]
+    op = Symm2DOperator.from_dense(a, mesh=make_mesh2d(1),
+                                   precision="dfq")
+    rng = np.random.default_rng(17)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    assert _rel(y, a @ p) < 5e-11
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-9)
+    x = np.asarray(res.x)[:n]
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
