@@ -1608,12 +1608,15 @@ def gemv_df64_dual(buf_hi, buf_lo, p_hi, p_lo, q_hi, q_lo, *, comp=None):
             yth.reshape(n), ytl.reshape(n))
 
 
-def _gemv_dfq_dual_kernel(ah_ref, alq_ref, sc_ref, ph_ref, pl_ref,
+def _gemv_dfq_dual_kernel(sc_ref, ah_ref, alq_ref, ph_ref, pl_ref,
                           qh_ref, ql_ref, ydh_ref, ydl_ref, yth_ref,
                           ytl_ref, accd_s, accd_c, acct_s, acct_c, *,
-                          comp):
-    # dequantize the int16 lo tile in VMEM (exact: power-of-two scale)
-    al = alq_ref[:].astype(jnp.float32) * sc_ref[0, 0]
+                          comp, cb):
+    # dequantize the int16 lo tile in VMEM (exact: power-of-two scale;
+    # the per-tile scale arrives via scalar prefetch — Mosaic rejects
+    # sub-(8,128) VMEM blocks)
+    t = pl.program_id(0) * cb + pl.program_id(1)
+    al = alq_ref[:].astype(jnp.float32) * sc_ref[t]
     _dual_df64_step(ah_ref[:], al, ph_ref, pl_ref, qh_ref, ql_ref,
                     ydh_ref, ydl_ref, yth_ref, ytl_ref,
                     accd_s, accd_c, acct_s, acct_c, comp)
@@ -1638,40 +1641,32 @@ def gemv_dfq_dual(buf_hi, buf_loq, sc, p_hi, p_lo, q_hi, q_lo, *,
     T = buf_hi.shape[0] // tb
     if sc.shape != (T,):
         raise ValueError(f"scale table shape {sc.shape} != ({T},)")
-    a_map = lambda li, k: (li * cb + k, li * 0)
+    a_map = lambda li, k, sc_ref: (li * cb + k, li * 0)
     grid = (mb, cb)
-    ydh, ydl, yth, ytl = pl.pallas_call(
-        functools.partial(_gemv_dfq_dual_kernel, comp=comp),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda li, k: (li * cb + k, li * 0),
+            pl.BlockSpec((1, tb), lambda li, k, sc_ref: (k * 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+            pl.BlockSpec((1, tb), lambda li, k, sc_ref: (k * 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), lambda li, k: (k * 0, k),
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda li, k: (li, li * 0),
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+            pl.BlockSpec((1, n), lambda li, k, sc_ref: (li * 0, li * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda li, k: (li * 0, li * 0),
+            pl.BlockSpec((1, n), lambda li, k, sc_ref: (li * 0, li * 0),
                          memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tb, _LANES), jnp.float32),
@@ -1679,9 +1674,19 @@ def gemv_dfq_dual(buf_hi, buf_loq, sc, p_hi, p_lo, q_hi, q_lo, *,
             pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
             pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
         ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_dfq_dual_kernel, comp=comp, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
-    )(buf_hi, buf_loq, sc.reshape(T, 1), p_hi.reshape(1, n),
+    )(jnp.asarray(sc), buf_hi, buf_loq, p_hi.reshape(1, n),
       p_lo.reshape(1, n), q_hi.reshape(ms, 1), q_lo.reshape(ms, 1))
     return (ydh.reshape(ms), ydl.reshape(ms),
             yth.reshape(n), ytl.reshape(n))
