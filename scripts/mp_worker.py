@@ -92,6 +92,14 @@ def main(argv=None):
     check(cg_solve(pop, b, max_iters=2000, rel_error=1e-9),
           "symm-packed")
 
+    # quantized-lo (dfq) variant: per-process quantized pack (6 B/elem
+    # per shard) with the slab-order diagonal pair — each process packs
+    # only the chips it addresses (callback placement; round 3)
+    qop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128,
+                                         precision="dfq")
+    check(cg_solve(qop, b, max_iters=2000, rel_error=1e-9),
+          "symm-dfq")
+
     # 2-D (SUMMA) grid spanning BOTH processes: pick two devices from
     # each so the transpose ppermute and the cols-psum cross the
     # process boundary (round 3; the in-process dryrun leg already
