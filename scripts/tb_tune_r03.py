@@ -16,6 +16,7 @@ Run: python scripts/tb_tune_r03.py | tee -a results/TB_TUNE_r03.log
 
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -55,26 +56,64 @@ def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     print("device:", jax.devices()[0], flush=True)
 
-    def chain_time(mv, p0, reps=50):
+    # The tunnel's compile endpoint drops connections that sit idle
+    # through long host-side phases (gen/pack measured ~30 min on this
+    # 1-core VM; two sweep attempts died with remote_compile "Broken
+    # pipe" right after them). A tiny device op every 30 s keeps the
+    # channel warm; paused during timed sections.
+    keepalive_on = threading.Event()
+    keepalive_on.set()
+
+    def _keepalive():
+        z = jnp.zeros((8, 128))
+        while True:
+            if keepalive_on.is_set():
+                try:
+                    float(z.sum())
+                except Exception:
+                    pass
+            time.sleep(30)
+
+    threading.Thread(target=_keepalive, daemon=True).start()
+
+    def chain_time(mv, ops, p0, reps=50):
+        # ops are passed as ARGUMENTS: a closed-over matrix becomes an
+        # HLO constant and ships inside the compile request (the tunnel
+        # rejected an 860 MB request with HTTP 413; the earlier
+        # broken-pipe deaths were the same oversized upload)
         @jax.jit
-        def chain(p):
+        def chain(ops, p):
             def body(_, v):
-                w = mv(v)
+                w = mv(ops, v)
                 return w / jnp.sqrt(jnp.vdot(w, w))
             return jax.lax.fori_loop(0, reps, body, p)
 
         def once():
-            out = chain(p0)
+            out = chain(ops, p0)
             return float(jnp.vdot(out, out))
 
-        _retry(once, "compile+warm")
-        t0 = time.perf_counter()
-        once()
-        return (time.perf_counter() - t0) / reps
+        keepalive_on.clear()          # quiet device during timing
+        try:
+            _retry(once, "compile+warm")
+            t0 = time.perf_counter()
+            once()
+            return (time.perf_counter() - t0) / reps
+        finally:
+            keepalive_on.set()
 
     # -- matvec chains at N_CHAIN across tile widths -----------------------
     from lam_tpu import generate as gen
-    a = gen.random_spd_matrix_fast(N_CHAIN, seed=SEED)
+    cache = os.path.join(HERE, "io", "bench",
+                         f"lam_tune_spd_N{N_CHAIN}_s{SEED}.npy")
+    if os.path.exists(cache):
+        a = np.load(cache)
+    else:
+        a = gen.random_spd_matrix_fast(N_CHAIN, seed=SEED)
+        tmp = cache + ".tmp"
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(tmp, "wb") as fh:
+            np.save(fh, a)
+        os.replace(tmp, cache)
     rng = np.random.default_rng(0)
 
     for tb in (512, 1024, 2048):
@@ -85,29 +124,30 @@ def main():
         hip = pack_tri_host(hi, tb)
         p32 = jnp.asarray(rng.uniform(-1, 1, n_p), jnp.float32)
         gb32 = hip.nbytes / 1e9
-        dt = chain_time(lambda v: gemv_f32_symm(jnp.asarray(hip), v,
-                                                packed=True), p32)
+        hj = jnp.asarray(hip)
+        dt = chain_time(lambda o, v: gemv_f32_symm(o, v, packed=True),
+                        hj, p32)
         print(f"tb={tb} f32 : {dt*1e3:7.3f} ms  {gb32:5.2f} GB  "
               f"{gb32/dt:4.0f} GB/s", flush=True)
         if tb <= 1024:  # df64 pair at tb=2048 exceeds the VMEM budget
             lop = pack_tri_host(lo, tb)
-            ph = jnp.asarray(split_f64_host(
-                rng.uniform(-1, 1, n_p))[0])
-            hj, lj = jnp.asarray(hip), jnp.asarray(lop)
+            lj = jnp.asarray(lop)
             gb = (hip.nbytes + lop.nbytes) / 1e9
             dt = chain_time(
-                lambda v: gemv_df64_symm(hj, lj, v.astype(jnp.float32),
-                                         jnp.zeros_like(ph), packed=True
-                                         )[0], p32)
+                lambda o, v: gemv_df64_symm(
+                    o[0], o[1], v.astype(jnp.float32),
+                    jnp.zeros_like(v, jnp.float32), packed=True)[0],
+                (hj, lj), p32)
             print(f"tb={tb} df64: {dt*1e3:7.3f} ms  {gb:5.2f} GB  "
                   f"{gb/dt:4.0f} GB/s", flush=True)
             q, sc = quantize_lo_tiles(lop, tb)
             qj, scj = jnp.asarray(q), jnp.asarray(sc)
             gbq = (hip.nbytes + q.nbytes) / 1e9
             dt = chain_time(
-                lambda v: gemv_dfq_symm(hj, qj, scj,
-                                        v.astype(jnp.float32),
-                                        jnp.zeros_like(ph))[0], p32)
+                lambda o, v: gemv_dfq_symm(
+                    o[0], o[1], o[2], v.astype(jnp.float32),
+                    jnp.zeros_like(v, jnp.float32))[0],
+                (hj, qj, scj), p32)
             print(f"tb={tb} dfq : {dt*1e3:7.3f} ms  {gbq:5.2f} GB  "
                   f"{gbq/dt:4.0f} GB/s", flush=True)
         del ap, hi, lo, hip
@@ -123,10 +163,11 @@ def main():
     am = np.load(path, mmap_mode="r")
     b = gen.random_rhs(N_SOLVE, seed=SEED + 10)
     t0 = time.time()
-    op = DenseOperator.from_dense_dfq(am, check_symmetric=False)
+    op = DenseOperator.from_file_dfq(path)   # native fused pack
     print(f"dfq pack at tb={SOLVE_TB}: {time.time()-t0:.0f}s "
           f"(padded {op.n_padded})", flush=True)
     op32 = op.as_f32()
+    keepalive_on.clear()
     _retry(lambda: float(cg_solve_ir(op32, op, b, max_iters=30,
                                      rel_error=1e-2).rel_residual),
            "solve compile")
@@ -139,6 +180,7 @@ def main():
         print(f"  rep{rep}: {dt:.3f}s iters={int(res.num_iters)} "
               f"conv={bool(res.converged)}", flush=True)
         best = dt if best is None else min(best, dt)
+    keepalive_on.set()
     bn = np.linalg.norm(b)
     x = np.asarray(res.x, np.float64)[:N_SOLVE]
     r = b.copy()
