@@ -23,6 +23,7 @@ via bench.py's generator):  python scripts/n70k_dfq.py \
 
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -37,12 +38,26 @@ TOL = 1e-9
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import lam_tpu  # noqa: F401
     from lam_tpu import DenseOperator, cg_solve_ir
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     print("device:", jax.devices()[0], flush=True)
+
+    # keep the tunnel compile channel warm through the long host pack
+    # (stale-channel failures documented in results/TB_TUNE_r03.log)
+    def _keepalive():
+        z = jnp.zeros((8, 128))
+        while True:
+            try:
+                float(z.sum())
+            except Exception:
+                pass
+            time.sleep(30)
+
+    threading.Thread(target=_keepalive, daemon=True).start()
     path = os.path.join(HERE, "io", "bench",
                         f"lam_bench_spd_N{N}_s{SEED}.npy")
     a = np.load(path, mmap_mode="r")  # 39.2 GB stays on disk
