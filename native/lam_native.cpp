@@ -12,6 +12,7 @@
 // Exposed as a plain C ABI consumed via ctypes (lam_tpu/_native_io.py);
 // falls back to numpy transparently when this library is not built.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -76,7 +77,9 @@ int ln_read_rows(const char* path, uint64_t row_start, uint64_t num_rows,
     if (fd < 0) return 1;
     uint64_t row_bytes = cols * sizeof(double);
     uint64_t base = kHeaderBytes + row_start * row_bytes;
-    bool ok = true;
+    // written from worker threads, read after join and in their
+    // loop guards - atomic avoids the cross-thread data race
+    std::atomic<bool> ok{true};
     parallel_chunks(num_rows, num_rows * row_bytes,
                     [&](uint64_t lo, uint64_t hi) {
         if (!pread_all(fd, out + lo * cols, (hi - lo) * row_bytes,
@@ -97,7 +100,9 @@ int ln_read_rows_split(const char* path, uint64_t row_start,
     if (fd < 0) return 1;
     uint64_t row_bytes = cols * sizeof(double);
     uint64_t base = kHeaderBytes + row_start * row_bytes;
-    bool ok = true;
+    // written from worker threads, read after join and in their
+    // loop guards - atomic avoids the cross-thread data race
+    std::atomic<bool> ok{true};
     parallel_chunks(num_rows, num_rows * row_bytes,
                     [&](uint64_t r0, uint64_t r1) {
         std::vector<double> buf(cols);
@@ -194,7 +199,9 @@ int ln_pack_dfq(const char* path, uint64_t data_off, uint64_t n,
     uint64_t nblk = n_pad / tb;
     std::memset(dh, 0, n_pad * sizeof(float));
     std::memset(dl, 0, n_pad * sizeof(float));
-    bool ok = true;
+    // written from worker threads, read after join and in their
+    // loop guards - atomic avoids the cross-thread data race
+    std::atomic<bool> ok{true};
     // chunked over tile-rows; row i holds i+1 tiles, so later chunks are
     // heavier — acceptable (the 1-core common case runs one chunk, and
     // IO dominates multi-core)
