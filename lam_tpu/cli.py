@@ -80,11 +80,15 @@ def build_parser():
                         "(half the HBM, dual-product half-slab walk)")
     p.add_argument("--precision", default="auto",
                    choices=["f64", "f32", "df64", "ir", "dfq", "irq",
-                            "auto"],
+                            "fq", "irfq", "auto"],
                    help="dfq = packed symmetric storage with the lo "
                         "plane quantized to int16 (6 B/element — fits "
                         "N=70000 on one 16 GB chip); irq = mixed-"
-                        "precision refinement on dfq storage")
+                        "precision refinement on dfq storage; fq = "
+                        "fully-quantized cascade of three int16 planes "
+                        "(same 6 B/element, ~2^-48 accuracy); irfq = "
+                        "refinement on fq — the inner loop reads only "
+                        "the 2-byte first plane (local backend)")
     p.add_argument("--engine", default="auto",
                    choices=["pallas", "pallas_symm", "pallas_symm_packed",
                             "xla", "auto"],
@@ -298,13 +302,14 @@ def _cli_main(argv=None):
 
             from lam_tpu.solver import checkpoint as ckpt
             t0 = _time.perf_counter()
-            if cg.precision in ("ir", "irq"):
+            if cg.precision in ("ir", "irq", "irfq"):
                 # round 3: ir checkpoints at refinement-CYCLE
                 # boundaries (the natural restart points;
                 # --checkpoint-every does not apply)
                 result, _ = ckpt.cg_solve_ir_resumable(
                     cg.op.as_f32(), cg.op, cg.rhs,
                     max_iters=args.max_iters, rel_error=args.rel_error,
+                    inner_floor=1e-2 if cg.precision == "irfq" else 1e-5,
                     checkpoint_path=args.checkpoint, resume=args.resume)
             else:
                 result, _ = ckpt.cg_solve_resumable(

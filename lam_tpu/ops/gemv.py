@@ -338,10 +338,18 @@ def _packed_geometry(buf, p, what):
 
 def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
                           yd_ref, yt_ref, acc_d, acc_t):
+    _symm_f32_step(it_ref[pl.program_id(0)], kt_ref[pl.program_id(0)],
+                   a_ref[:], prow_ref, pcol_ref, yd_ref, yt_ref,
+                   acc_d, acc_t)
+
+
+def _symm_f32_step(i, k, a, prow_ref, pcol_ref, yd_ref, yt_ref,
+                   acc_d, acc_t):
+    """One triangle-walk grid step of the f32 symmetric matvec — shared
+    by the f32 kernel (a read straight from the plane) and the q16
+    kernel (a dequantized from an int16 tile, see `gemv_q16_symm`)."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
-    i = it_ref[t]
-    k = kt_ref[t]
 
     @pl.when(t == 0)
     def _():
@@ -351,7 +359,6 @@ def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
     def _():
         acc_d[:] = jnp.zeros_like(acc_d)
 
-    a = a_ref[:]                       # (TB, TB)
     tb = a.shape[0]
 
     # direct: y_i += A_ik @ p_k, folded into 128 lane accumulators
@@ -1707,3 +1714,240 @@ def pack_rect_host(s, tb, pad_tiles=0):
             out[t * tb:(t + 1) * tb] = s[li * tb:(li + 1) * tb,
                                          k * tb:(k + 1) * tb]
     return out
+
+
+# ---------------------------------------------------------------------------
+# fq: FULLY-quantized packed symmetric storage — the 2-byte inner plane
+# ---------------------------------------------------------------------------
+#
+# dfq (above) quantizes only the LO plane: the inner f32 CG still reads
+# the 4-byte hi plane, and the inner loop is where ~95% of a mixed-
+# precision solve's HBM bytes move. fq quantizes the WHOLE element as a
+# cascade of THREE int16 planes against per-tile power-of-two scales:
+#
+#   A_tile  ~=  q1*s1  +  q2*s2  +  q3*s3,     s_{k+1} ~= s_k * 2^-16
+#
+# so the element is still 6 bytes (same capacity as dfq — the N=70000
+# north-star still fits one 16 GB v5e) but the INNER matvec reads only
+# the q1 plane: 2 B/element, HALF the dfq/ir inner bytes. Elementwise
+# storage error <= s3/2 ~= 2^-48 * max|A_tile| — df64-pair class,
+# strictly better than dfq's 2^-39.
+#
+# The inner operator error (~2^-16 tile-relative) costs refinement
+# iterations: measured in the numpy feasibility study
+# (scripts/fq_feasibility.py, N=4096 reference spectrum), 381 total
+# inner iterations at inner_floor=1e-2 vs 363 for f32-inner ir (+5%) —
+# against a 2x inner-byte cut. The diagonal is extracted exactly as a
+# df64 pair and zeroed in the planes, as in dfq. The reference has no
+# quantized storage at all — it streams 8-byte fp64 everywhere
+# (ConjugateGradient_GPU_CUDA.cu:171-223).
+
+
+def quantize_fq_tiles(a_packed, tb):
+    """Quantize a packed (T*tb, tb) f64 buffer into the three-plane fq
+    cascade. Returns (q1, q2, q3 int16 planes, s1, s2, s3 (T,) f32
+    power-of-two scale tables). Reconstruction q*s is exact per plane;
+    residual after plane k is bounded by s_k/2."""
+    import numpy as _np
+    r = _np.array(a_packed, dtype=_np.float64, copy=True)
+    T = r.shape[0] // tb
+    qs = []
+    scs = []
+    for _ in range(3):
+        q = _np.zeros(r.shape, dtype=_np.int16)
+        sc = _np.zeros((T,), dtype=_np.float32)
+        for t in range(T):
+            tile = r[t * tb:(t + 1) * tb]
+            m = float(_np.abs(tile).max())
+            if m == 0.0:
+                continue
+            fr, k = _np.frexp(m / 32767.0)
+            scale = 2.0 ** (int(k) - 1 if fr == 0.5 else int(k))
+            sc[t] = scale
+            qt = _np.clip(_np.rint(tile / scale), -32767, 32767)
+            q[t * tb:(t + 1) * tb] = qt
+            tile -= qt * scale            # exact: power-of-two scale
+        qs.append(q)
+        scs.append(sc)
+    return qs[0], qs[1], qs[2], scs[0], scs[1], scs[2]
+
+
+def _gemv_q16_symm_kernel(it_ref, kt_ref, sc_ref, q_ref, prow_ref,
+                          pcol_ref, yd_ref, yt_ref, acc_d, acc_t):
+    t = pl.program_id(0)
+    # dequantize in VMEM: int16 -> f32 convert + one scalar multiply
+    # (exact: power-of-two scale) — ~2 extra VPU ops/element against a
+    # 2x HBM-byte cut on a bandwidth-bound kernel
+    a = q_ref[:].astype(jnp.float32) * sc_ref[t]
+    _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref, pcol_ref,
+                   yd_ref, yt_ref, acc_d, acc_t)
+
+
+@jax.jit
+def gemv_q16_symm(q1, sc1, p):
+    """y ~= A @ p for SYMMETRIC A stored as the q1 plane of the fq
+    cascade (quantize_fq_tiles): int16 walk-order triangle tiles
+    against per-tile power-of-two scales. 2 B/element — half the f32
+    triangle's HBM bytes; ~2^-16 tile-relative operator error. This is
+    the INNER engine of precision='irfq' (the refinement loop absorbs
+    the error; lam_tpu/solver/cg.py cg_solve_ir)."""
+    n = p.shape[0]
+    tb, nblk, T = _packed_geometry(q1, p, "gemv_q16_symm")
+    if T != tri_tile_count(nblk):
+        raise ValueError(
+            f"packed buffer has {T} tiles, triangle of nblk={nblk} "
+            f"needs {tri_tile_count(nblk)}")
+    if sc1.shape != (T,):
+        raise ValueError(f"scale table shape {sc1.shape} != ({T},)")
+    it, kt = _symm_tables(nblk)
+    grid = (len(it),)
+    a_map = lambda t, it_ref, kt_ref, sc_ref: (t, t * 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb),
+                         lambda t, it_ref, kt_ref, sc_ref:
+                         (t * 0, kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, sc_ref:
+                         (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, sc_ref:
+                         (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n),
+                         lambda t, it_ref, kt_ref, sc_ref:
+                         (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        _gemv_q16_symm_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), sc1, q1,
+      p.reshape(1, n), p.reshape(n, 1))
+    return yd.reshape(n) + yt.reshape(n)
+
+
+def _gemv_fq_symm_kernel(it_ref, kt_ref, s1_ref, s2_ref, s3_ref,
+                         q1_ref, q2_ref, q3_ref, prh_ref, prl_ref,
+                         pch_ref, pcl_ref, ydh_ref, ydl_ref, yth_ref,
+                         ytl_ref, accd_s, accd_c, acct_s, acct_c, *,
+                         comp):
+    t = pl.program_id(0)
+    # dequantize all three planes (each exact: int16 -> f32 convert is
+    # exact, power-of-two scales multiply exactly) and rebuild the
+    # (ah, al) float-float pair with an unconditional EFT: two_sum is
+    # required because a tiny element can have q1 == 0 while q2/q3
+    # carry it (fast_two_sum's |a|>=|b| precondition does not hold
+    # elementwise). See the findings ledger: only unconditional EFTs
+    # survive end-to-end in these kernels.
+    t1 = q1_ref[:].astype(jnp.float32) * s1_ref[t]
+    t2 = q2_ref[:].astype(jnp.float32) * s2_ref[t]
+    t3 = q3_ref[:].astype(jnp.float32) * s3_ref[t]
+    ah, e = two_sum(t1, t2)
+    al = e + t3
+    _symm_df64_step(it_ref[t], kt_ref[t], t, pl.num_programs(0),
+                    ah, al, prh_ref, prl_ref, pch_ref, pcl_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp",))
+def gemv_fq_symm(q1, q2, q3, s1, s2, s3, p_hi, p_lo, *, comp=None):
+    """(y_hi, y_lo) = A @ p for SYMMETRIC A in fully-quantized packed
+    storage (quantize_fq_tiles): three int16 walk-order triangle planes
+    + per-tile power-of-two scales, 6 B/element, ~2^-48 tile-relative
+    accuracy. Same compensated triangle walk as `gemv_dfq_symm`; the
+    (ah, al) float-float pair is rebuilt in VMEM from the cascade."""
+    comp = _resolve_comp(comp)
+    n = p_hi.shape[0]
+    tb, nblk, T = _packed_geometry(q1, p_hi, "gemv_fq_symm")
+    if T != tri_tile_count(nblk):
+        raise ValueError(
+            f"packed buffer has {T} tiles, triangle of nblk={nblk} "
+            f"needs {tri_tile_count(nblk)}")
+    for name, q in (("q2", q2), ("q3", q3)):
+        if q.shape != q1.shape:
+            raise ValueError(f"{name} plane shape {q.shape} != q1 "
+                             f"plane {q1.shape}")
+    for name, s in (("s1", s1), ("s2", s2), ("s3", s3)):
+        if s.shape != (T,):
+            raise ValueError(f"{name} table shape {s.shape} != ({T},)")
+    it, kt = _symm_tables(nblk)
+    grid = (len(it),)
+    a_map = lambda t, *refs: (t, t * 0)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (1, tb),
+            lambda t, it_ref, kt_ref, *refs: (t * 0, kt_ref[t]),
+            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, *refs: (it_ref[t], t * 0),
+            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, *refs: (it_ref[t], t * 0),
+            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec(
+            (1, n),
+            lambda t, it_ref, kt_ref, *refs: (t * 0, t * 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), tile_spec(),
+                  row_spec(), row_spec(), col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_fq_symm_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), s1, s2, s3, q1, q2, q3,
+      p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    s, e = two_sum(ydh.reshape(n), yth.reshape(n))
+    lo = ydl.reshape(n) + ytl.reshape(n) + e
+    return fast_two_sum(s, lo)

@@ -58,6 +58,11 @@ class ConjugateGradient:
             return "df64"
         if self.precision == "irq":
             return "dfq"
+        # 'irfq' refines on the fully-quantized storage ("fq"): same
+        # 6 B/element capacity, but the inner loop reads only the
+        # 2-byte q1 plane — half the irq inner bytes.
+        if self.precision == "irfq":
+            return "fq"
         return self.precision
 
     def _mesh_or_make(self):
@@ -84,6 +89,11 @@ class ConjugateGradient:
                     return row_block_fn(r0, h)[:, c0:c0 + w]
             base2d = self._base_precision()
             engine2d = self.engine
+            if base2d == "fq":
+                raise ValueError(
+                    "precision='fq'/'irfq' is currently local-only "
+                    "(backend='local'); use 'dfq'/'irq' on the mesh "
+                    "backends")
             if base2d == "dfq" and engine2d == "auto":
                 engine2d = "pallas_symm_packed"
             if engine2d in ("pallas_symm", "pallas_symm_packed"):
@@ -109,6 +119,11 @@ class ConjugateGradient:
         if self.backend == "sharded":
             base = self._base_precision()
             engine = self.engine
+            if base == "fq":
+                raise ValueError(
+                    "precision='fq'/'irfq' is currently local-only "
+                    "(backend='local'); use 'dfq'/'irq' on the mesh "
+                    "backends")
             if base == "dfq" and engine == "auto":
                 # quantized-lo storage exists only as packed triangle
                 # tiles — route to the band-pair symmetric operator
@@ -160,6 +175,9 @@ class ConjugateGradient:
             # reads only the lower-triangle bytes, never materializes
             # the full f64 matrix in host RAM
             self.op = DenseOperator.from_file_dfq(filename)
+        elif (self.backend == "local" and self._base_precision() == "fq"
+                and self.engine in ("auto", "pallas_symm_packed")):
+            self.op = DenseOperator.from_file_fq(filename)
         else:
             self.op = self._build_operator(
                 lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
@@ -290,7 +308,8 @@ class ConjugateGradient:
         """
         if self.op is None or self.rhs is None:
             raise RuntimeError("load/generate a system first")
-        if preconditioner is not None and self.precision in ("ir", "irq"):
+        if preconditioner is not None and self.precision in (
+                "ir", "irq", "irfq"):
             raise ValueError("preconditioner is not combinable with "
                              f"precision={self.precision!r}")
 
@@ -346,9 +365,16 @@ class ConjugateGradient:
         return n
 
     def _solve_once(self, max_iters, rel_error, preconditioner=None):
-        if self.precision in ("ir", "irq"):
+        if self.precision in ("ir", "irq", "irfq"):
+            # irfq's inner operator carries ~2^-16 tile-relative error;
+            # requesting tighter inner tolerances than ~1e-2 burns
+            # iterations below that operator's floor (measured sweep in
+            # scripts/fq_feasibility.py: floor 1e-2 -> 381 total inner
+            # iters vs 595 at 1e-5 on the N=4096 reference spectrum)
+            floor = 1e-2 if self.precision == "irfq" else 1e-5
             return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
-                               max_iters=max_iters, rel_error=rel_error)
+                               max_iters=max_iters, rel_error=rel_error,
+                               inner_floor=floor)
         return cg_solve(self.op, self.rhs, max_iters=max_iters,
                         rel_error=rel_error,
                         preconditioner=preconditioner)
@@ -382,7 +408,7 @@ class ConjugateGradient:
         column times — avg_gemv_s x num_iters then tracks total_cg_s.
         The accurate matvec is reported separately as avg_gemv_acc_s."""
         dt = self._time_matvec(self.op, repeats)
-        if self.precision in ("ir", "irq"):
+        if self.precision in ("ir", "irq", "irfq"):
             self.timings["avg_gemv_acc_s"] = dt
             dt = self._time_matvec(self.op.as_f32(), repeats)
         self.timings["avg_gemv_s"] = dt

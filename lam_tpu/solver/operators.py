@@ -208,6 +208,32 @@ def _mv_f32_of_dfq_pallas_symm_packed(operand, p):
             + operand[3] * p)
 
 
+# FULLY-quantized packed storage ("fq", ops/gemv.py): operand =
+# (q1, q2, q3 int16 planes, s1, s2, s3 (T,) f32 scales, diag_hi,
+# diag_lo). Same 6 B/element capacity as dfq, but the INNER matvec of
+# precision="irfq" reads only the q1 plane — 2 B/element, HALF the
+# dfq/ir inner-loop HBM bytes (the round-3 feasibility study,
+# scripts/fq_feasibility.py, measured the refinement cost of the
+# ~2^-16 inner operator at +5% total iterations).
+
+def _mv_fq_pallas_symm_packed(operand, p):
+    from lam_tpu.ops import gemv
+    q1, q2, q3, s1, s2, s3, dh, dl = operand
+    ph, pl_ = split_f64(p)
+    yh, yl = gemv.gemv_fq_symm(q1, q2, q3, s1, s2, s3, ph, pl_)
+    th, tl = df_mul((dh, dl), (ph, pl_))     # exact diagonal term
+    s, e = two_sum(yh, th)
+    zh, zl = fast_two_sum(s, yl + tl + e)
+    return join_f64(zh, zl)
+
+
+def _mv_f32_of_fq_pallas_symm_packed(operand, p):
+    # inner-loop view: 2-byte quantized triangle matvec plus the (f32)
+    # diagonal term the planes no longer carry
+    from lam_tpu.ops import gemv
+    return gemv.gemv_q16_symm(operand[0], operand[3], p) + operand[6] * p
+
+
 def _mv_f32_of_df64_xla(operand, p):
     return operand[0] @ p
 
@@ -309,6 +335,9 @@ MATVEC = {
     # quantized-lo packed storage: 6 B/element (3/4 of the df64 pair)
     ("dfq", "pallas_symm_packed"): _mv_dfq_pallas_symm_packed,
     ("f32@dfq", "pallas_symm_packed"): _mv_f32_of_dfq_pallas_symm_packed,
+    # fully-quantized packed storage: 6 B/element, 2-byte inner plane
+    ("fq", "pallas_symm_packed"): _mv_fq_pallas_symm_packed,
+    ("f32@fq", "pallas_symm_packed"): _mv_f32_of_fq_pallas_symm_packed,
 }
 
 _MATVEC_DOT = {key: _wrap_matvec(fn) for key, fn in MATVEC.items()}
@@ -389,10 +418,25 @@ def _mv_block_packed_dfq(operand, p):
     return y + d[:, None] * p
 
 
+def _mv_block_packed_fq(operand, p):
+    q1, q2, q3, s1, s2, s3, dh, dl = operand
+    tb = q1.shape[1]
+    T = q1.shape[0] // tb
+    # reconstruct in p's dtype (f64 on the block path): an f32 sum
+    # would round away the q2/q3 planes' contribution
+    rec = sum((q.reshape(T, tb, tb).astype(p.dtype)
+               * s.astype(p.dtype)[:, None, None]).reshape(T * tb, tb)
+              for q, s in ((q1, s1), (q2, s2), (q3, s3)))
+    y = _packed_block_walk(rec, None, p)
+    d = dh.astype(p.dtype) + dl.astype(p.dtype)
+    return y + d[:, None] * p
+
+
 _MV_BLOCK_PACKED = {
     "f32": _mv_block_packed_f32,
     "df64": _mv_block_packed_df64,
     "dfq": _mv_block_packed_dfq,
+    "fq": _mv_block_packed_fq,
 }
 
 
@@ -541,11 +585,14 @@ class DenseOperator(LinearOperator):
             raise ValueError(f"matrix must be square, got {a.shape}")
         if precision == "auto":
             precision = "df64" if jax.default_backend() == "tpu" else "f64"
-        if precision == "dfq":
+        if precision in ("dfq", "fq"):
             if engine not in ("auto", "pallas_symm_packed"):
                 raise ValueError(
-                    "precision='dfq' implies the packed symmetric "
-                    f"engine; engine={engine!r} is not combinable")
+                    f"precision={precision!r} implies the packed "
+                    f"symmetric engine; engine={engine!r} is not "
+                    "combinable")
+            if precision == "fq":
+                return DenseOperator.from_dense_fq(a)
             return DenseOperator.from_dense_dfq(a)
         symm_engines = ("pallas_symm", "pallas_symm_packed")
         if engine == "auto":
@@ -727,6 +774,92 @@ class DenseOperator(LinearOperator):
         return out
 
     @staticmethod
+    def from_dense_fq(a, check_symmetric=True):
+        """FULLY-quantized packed operator ("fq"): the element is a
+        cascade of THREE int16 planes against per-tile power-of-two
+        scales (ops/gemv.py quantize_fq_tiles) + the diagonal extracted
+        as a df64 pair — 6 bytes/element like dfq (the N=70000
+        north-star still fits one 16 GB chip) at ~2^-48 tile-relative
+        storage accuracy (better than dfq's 2^-39), and the INNER
+        matvec of precision='irfq' reads only the first plane:
+        2 B/element, HALF the dfq/ir inner-loop HBM bytes. Built
+        STREAMING by row-tile (`a` may be a np.memmap)."""
+        from lam_tpu.ops.gemv import (SYMM_TB, quantize_fq_tiles,
+                                      tri_tile_count)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"matrix must be square, got {a.shape}")
+        if check_symmetric and not _verifies_symmetric(a):
+            raise ValueError(
+                "precision='fq' requires a symmetric matrix (the "
+                "lower-triangle kernel mirrors A's lower half); the "
+                "random-vector check found A v != A^T v")
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        nblk = n_p // tb
+        T = tri_tile_count(nblk)
+        q1 = np.empty((T * tb, tb), np.int16)
+        q2 = np.empty((T * tb, tb), np.int16)
+        q3 = np.empty((T * tb, tb), np.int16)
+        s1 = np.zeros((T,), np.float32)
+        s2 = np.zeros((T,), np.float32)
+        s3 = np.zeros((T,), np.float32)
+        dh = np.zeros((n_p,), np.float32)
+        dl = np.zeros((n_p,), np.float32)
+        t = 0
+        for i in range(nblk):
+            r0, r1 = i * tb, min((i + 1) * tb, n)
+            width = (i + 1) * tb
+            cw = min(width, n)
+            blk = np.zeros((tb, width), np.float64)
+            if r1 > r0:
+                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
+                rr = np.arange(r1 - r0)
+                dvals = blk[rr, r0 + rr].copy()
+                dhi = dvals.astype(np.float32)
+                dh[r0:r1] = dhi
+                dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
+                    np.float32)
+                blk[rr, r0 + rr] = 0.0
+            for k in range(i + 1):
+                sl = slice(t * tb, (t + 1) * tb)
+                (q1[sl], q2[sl], q3[sl], s1[t:t + 1], s2[t:t + 1],
+                 s3[t:t + 1]) = quantize_fq_tiles(
+                    blk[:, k * tb:(k + 1) * tb], tb)
+                t += 1
+        operand = (jnp.asarray(q1), jnp.asarray(q2), jnp.asarray(q3),
+                   jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
+                   jnp.asarray(dh), jnp.asarray(dl))
+        fn = _MATVEC_DOT[("fq", "pallas_symm_packed")]
+        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "fq",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["fq"]
+        return out
+
+    @staticmethod
+    def from_file_fq(path, check_symmetric=False):
+        """Fully-quantized packed operator straight from a matrix FILE
+        (reference binary format or .npy), streaming over a memory map
+        — the fq twin of from_file_dfq. Symmetry is trusted by default
+        (CG's contract)."""
+        path = str(path)
+        if path.endswith(".npy"):
+            a = np.load(path, mmap_mode="r")
+            if a.dtype != np.float64:
+                raise ValueError(f"{path}: expected float64, got "
+                                 f"{a.dtype}")
+        else:
+            from lam_tpu import io as lio
+            rows, cols = lio.read_header(path)
+            if rows != cols:
+                raise ValueError(f"{path}: matrix must be square "
+                                 f"({rows}x{cols})")
+            a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
+                          shape=(rows, cols))
+        return DenseOperator.from_dense_fq(
+            a, check_symmetric=check_symmetric)
+
+    @staticmethod
     def from_packed_f32(a_packed, n, n_padded):
         """f32 operator from a PRE-PACKED walk-order triangle plane —
         the gen-mode device-build path for precision='f32' (entries
@@ -776,8 +909,8 @@ class DenseOperator(LinearOperator):
         return out
 
     def diagonal(self):
-        if self.precision == "dfq":
-            _, _, _, dh, dl = self.operand
+        if self.precision in ("dfq", "fq"):
+            dh, dl = self.operand[-2], self.operand[-1]
             return dh.astype(jnp.float64) + dl.astype(jnp.float64)
         if self.engine == "pallas_symm_packed":
             if self.precision == "df64":
@@ -802,8 +935,8 @@ class DenseOperator(LinearOperator):
             return self
         if self.precision == "df64":
             key = ("f32@df64", self.engine)
-        elif self.precision == "dfq":
-            key = ("f32@dfq", self.engine)
+        elif self.precision in ("dfq", "fq"):
+            key = (f"f32@{self.precision}", self.engine)
         else:
             key = ("f32@f64", "xla")
         out = DenseOperator(_MATVEC_DOT[key], self.operand, self.n,

@@ -240,3 +240,31 @@ def test_sym2d_dfq_hardware_accuracy(tpu_backend, spd_system):
     x = np.asarray(res.x)[:n]
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_fq_fully_quantized_storage_hardware_accuracy(tpu_backend,
+                                                      spd_system):
+    # the fully-quantized 6-byte element (three int16 planes against
+    # per-tile power-of-two scales + extracted df64 diagonal,
+    # lam_tpu/solver/operators.py from_dense_fq): on compiled Mosaic the
+    # in-kernel two_sum rebuild of (ah, al) must hold the storage bound
+    # (~2^-48 tile-relative -> ~1e-13 matvec), and refinement against it
+    # with the 2-byte q16 INNER plane (gemv_q16_symm — half the ir/irq
+    # inner HBM bytes) must still land true 1e-9 residuals.
+    from lam_tpu import DenseOperator, cg_solve_ir
+    a, b = spd_system
+    op = DenseOperator.from_dense(a, precision="fq")
+    rng = np.random.default_rng(12)
+    p = rng.uniform(-1, 1, a.shape[0])
+    y = np.asarray(op.extract_x(op.matvec(op.prepare_b(p))))
+    assert _rel(y, a @ p) < 1e-12
+    # the inner view reads only the q1 plane: ~2^-16 tile-relative
+    op32 = op.as_f32()
+    y32 = np.asarray(op32.extract_x(op32.matvec(
+        op32.prepare_b(p.astype(np.float32)))), np.float64)
+    assert _rel(y32, a @ p) < 1e-3
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-9, inner_floor=1e-2)
+    x = np.asarray(res.x)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
