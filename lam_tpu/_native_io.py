@@ -62,6 +62,10 @@ def _load():
     lib.ln_pack_dfq.argtypes = [ctypes.c_char_p, u64, u64, u64, u64,
                                 f32p, i16p, f32p, f32p, f32p]
     lib.ln_pack_dfq.restype = ctypes.c_int
+    lib.ln_pack_fq.argtypes = [ctypes.c_char_p, u64, u64, u64, u64,
+                               i16p, i16p, i16p, f32p, f32p, f32p,
+                               f32p, f32p]
+    lib.ln_pack_fq.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -146,6 +150,32 @@ def pack_dfq(path, data_off, n, n_pad, tb):
     if rc != 0:
         raise IOError(f"native dfq pack of {path} failed (rc={rc})")
     return hi, loq, sc, dh, dl
+
+
+def pack_fq(path, data_off, n, n_pad, tb):
+    """Fused read+triple-quantize of a symmetric f64 matrix file into
+    the fully-quantized packed triangle layout (native ln_pack_fq);
+    bit-identical to DenseOperator.from_dense_fq's numpy pack."""
+    lib = _load()
+    nblk = n_pad // tb
+    T = nblk * (nblk + 1) // 2
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    q1 = np.empty((T * tb, tb), dtype=np.int16)
+    q2 = np.empty((T * tb, tb), dtype=np.int16)
+    q3 = np.empty((T * tb, tb), dtype=np.int16)
+    s1 = np.empty((T,), dtype=np.float32)
+    s2 = np.empty((T,), dtype=np.float32)
+    s3 = np.empty((T,), dtype=np.float32)
+    dh = np.empty((n_pad,), dtype=np.float32)
+    dl = np.empty((n_pad,), dtype=np.float32)
+    rc = lib.ln_pack_fq(
+        str(path).encode(), data_off, n, n_pad, tb,
+        q1.ctypes.data_as(i16), q2.ctypes.data_as(i16),
+        q3.ctypes.data_as(i16), _f32p(s1), _f32p(s2), _f32p(s3),
+        _f32p(dh), _f32p(dl))
+    if rc != 0:
+        raise IOError(f"native fq pack of {path} failed (rc={rc})")
+    return q1, q2, q3, s1, s2, s3, dh, dl
 
 
 def tridiagonal_rows_split(row_start, num_rows, n):

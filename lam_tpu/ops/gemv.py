@@ -339,15 +339,17 @@ def _packed_geometry(buf, p, what):
 def _gemv_f32_symm_kernel(it_ref, kt_ref, a_ref, prow_ref, pcol_ref,
                           yd_ref, yt_ref, acc_d, acc_t):
     _symm_f32_step(it_ref[pl.program_id(0)], kt_ref[pl.program_id(0)],
-                   a_ref[:], prow_ref, pcol_ref, yd_ref, yt_ref,
+                   a_ref[:], prow_ref[:], pcol_ref[:], yd_ref, yt_ref,
                    acc_d, acc_t)
 
 
-def _symm_f32_step(i, k, a, prow_ref, pcol_ref, yd_ref, yt_ref,
+def _symm_f32_step(i, k, a, prow, pcol, yd_ref, yt_ref,
                    acc_d, acc_t):
     """One triangle-walk grid step of the f32 symmetric matvec — shared
     by the f32 kernel (a read straight from the plane) and the q16
-    kernel (a dequantized from an int16 tile, see `gemv_q16_symm`)."""
+    kernel (a dequantized from an int16 tile, see `gemv_q16_symm`).
+    prow (1, tb) / pcol (tb, 1) are VALUES: the q16 caller folds its
+    per-tile scale into them (tb ops) instead of into a (tb^2 ops)."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -362,7 +364,7 @@ def _symm_f32_step(i, k, a, prow_ref, pcol_ref, yd_ref, yt_ref,
     tb = a.shape[0]
 
     # direct: y_i += A_ik @ p_k, folded into 128 lane accumulators
-    acc_d[:] = _lane_fold(a * prow_ref[:], acc_d[:])
+    acc_d[:] = _lane_fold(a * prow, acc_d[:])
 
     @pl.when(k == i)                   # diagonal tile = last of row i
     def _():
@@ -370,7 +372,7 @@ def _symm_f32_step(i, k, a, prow_ref, pcol_ref, yd_ref, yt_ref,
 
     @pl.when(k < i)                    # strictly-lower: transpose term
     def _():
-        tpart = jnp.sum(a * pcol_ref[:], axis=0, keepdims=True)  # (1, TB)
+        tpart = jnp.sum(a * pcol, axis=0, keepdims=True)  # (1, TB)
         idx = pl.dslice(k * tb, tb)
         acc_t[:, idx] = acc_t[:, idx] + tpart
 
@@ -1775,12 +1777,15 @@ def quantize_fq_tiles(a_packed, tb):
 def _gemv_q16_symm_kernel(it_ref, kt_ref, sc_ref, q_ref, prow_ref,
                           pcol_ref, yd_ref, yt_ref, acc_d, acc_t):
     t = pl.program_id(0)
-    # dequantize in VMEM: int16 -> f32 convert + one scalar multiply
-    # (exact: power-of-two scale) — ~2 extra VPU ops/element against a
-    # 2x HBM-byte cut on a bandwidth-bound kernel
-    a = q_ref[:].astype(jnp.float32) * sc_ref[t]
-    _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref, pcol_ref,
-                   yd_ref, yt_ref, acc_d, acc_t)
+    # dequantize in VMEM: int16 -> f32 convert per element; the per-tile
+    # scale (exact power of two) is folded into the OPERAND VECTORS —
+    # tb ops instead of tb^2 — because this kernel is dequantize-op
+    # bound, not byte-bound (first hardware cut: scaling `a` ran at
+    # 409 GB/s effective vs the f32 kernel's 667)
+    a = q_ref[:].astype(jnp.float32)
+    s = sc_ref[t]
+    _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref[:] * s,
+                   pcol_ref[:] * s, yd_ref, yt_ref, acc_d, acc_t)
 
 
 @jax.jit

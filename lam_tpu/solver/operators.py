@@ -839,15 +839,22 @@ class DenseOperator(LinearOperator):
     @staticmethod
     def from_file_fq(path, check_symmetric=False):
         """Fully-quantized packed operator straight from a matrix FILE
-        (reference binary format or .npy), streaming over a memory map
-        — the fq twin of from_file_dfq. Symmetry is trusted by default
-        (CG's contract)."""
+        (reference binary format or .npy) — the fq twin of
+        from_file_dfq. With the native library built
+        (native/lam_native.cpp ln_pack_fq) the triple-quantize is one
+        fused C++ pass reading only the lower-triangle bytes; otherwise
+        it streams a numpy pack over a memory map. Symmetry is trusted
+        by default (CG's contract)."""
+        from lam_tpu import _native_io
+        from lam_tpu.ops.gemv import SYMM_TB
+
         path = str(path)
         if path.endswith(".npy"):
             a = np.load(path, mmap_mode="r")
             if a.dtype != np.float64:
                 raise ValueError(f"{path}: expected float64, got "
                                  f"{a.dtype}")
+            data_off = a.offset
         else:
             from lam_tpu import io as lio
             rows, cols = lio.read_header(path)
@@ -856,8 +863,20 @@ class DenseOperator(LinearOperator):
                                  f"({rows}x{cols})")
             a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
                           shape=(rows, cols))
-        return DenseOperator.from_dense_fq(
-            a, check_symmetric=check_symmetric)
+            data_off = 16
+        if check_symmetric or not _native_io.available():
+            return DenseOperator.from_dense_fq(
+                a, check_symmetric=check_symmetric)
+        n = a.shape[0]
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        bufs = _native_io.pack_fq(path, data_off, n, n_p, tb)
+        operand = tuple(jnp.asarray(b) for b in bufs)
+        fn = _MATVEC_DOT[("fq", "pallas_symm_packed")]
+        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "fq",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["fq"]
+        return out
 
     @staticmethod
     def from_packed_f32(a_packed, n, n_padded):

@@ -281,6 +281,105 @@ int ln_pack_dfq(const char* path, uint64_t data_off, uint64_t n,
     return ok ? 0 : 2;
 }
 
+// f64 variant of ln_q_scale (the fq cascade quantizes f64 residuals
+// directly; mirrored bit-for-bit by lam_tpu/ops/gemv.py
+// quantize_fq_tiles, which takes the abs-max in f64 too).
+static float ln_q_scale_d(double m) {
+    if (m == 0.0) return 0.0f;
+    int k;
+    double fr = std::frexp(m / 32767.0, &k);
+    int e = (fr == 0.5) ? k - 1 : k;
+    return static_cast<float>(std::ldexp(1.0, e));
+}
+
+// Stream a symmetric f64 matrix file into the FULLY-quantized packed
+// triangle layout of DenseOperator.from_dense_fq: three int16 cascade
+// planes against per-tile power-of-two scales (q1 + q2 + q3, each
+// capturing the residual of the previous level; ~2^-48 tile-relative
+// total) + the diagonal extracted to an (dh, dl) float-float pair.
+// Same framing as ln_pack_dfq above: one fused pass, only the
+// lower-triangle bytes read.
+int ln_pack_fq(const char* path, uint64_t data_off, uint64_t n,
+               uint64_t n_pad, uint64_t tb, int16_t* q1, int16_t* q2,
+               int16_t* q3, float* s1, float* s2, float* s3,
+               float* dh, float* dl) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return 1;
+    uint64_t nblk = n_pad / tb;
+    std::memset(dh, 0, n_pad * sizeof(float));
+    std::memset(dl, 0, n_pad * sizeof(float));
+    std::atomic<bool> ok{true};
+    parallel_chunks(nblk, n_pad * n_pad / 2 * sizeof(double),
+                    [&](uint64_t i0, uint64_t i1) {
+        std::vector<double> buf;
+        std::vector<double> rbuf(tb * tb);
+        for (uint64_t i = i0; i < i1 && ok; ++i) {
+            uint64_t w = (i + 1) * tb;
+            uint64_t cw = w < n ? w : n;
+            uint64_t r0 = i * tb;
+            uint64_t src = n > r0 ? (n - r0 < tb ? n - r0 : tb) : 0;
+            buf.assign(tb * w, 0.0);
+            for (uint64_t r = 0; r < src && ok; ++r) {
+                if (!pread_all(fd, buf.data() + r * w,
+                               cw * sizeof(double),
+                               data_off + (r0 + r) * n * sizeof(double)))
+                    ok = false;
+            }
+            if (!ok) break;
+            for (uint64_t r = 0; r < src; ++r) {
+                double v = buf[r * w + r0 + r];
+                float h = static_cast<float>(v);
+                dh[r0 + r] = h;
+                dl[r0 + r] = static_cast<float>(
+                    v - static_cast<double>(h));
+                buf[r * w + r0 + r] = 0.0;       // planes carry 0 there
+            }
+            uint64_t t0 = i * (i + 1) / 2;
+            for (uint64_t k = 0; k <= i; ++k) {
+                for (uint64_t r = 0; r < tb; ++r)
+                    std::memcpy(rbuf.data() + r * tb,
+                                buf.data() + r * w + k * tb,
+                                tb * sizeof(double));
+                int16_t* qs[3] = {q1 + (t0 + k) * tb * tb,
+                                  q2 + (t0 + k) * tb * tb,
+                                  q3 + (t0 + k) * tb * tb};
+                float* ss[3] = {s1 + t0 + k, s2 + t0 + k, s3 + t0 + k};
+                for (int lvl = 0; lvl < 3; ++lvl) {
+                    // f64 abs-max via the sign-cleared integer trick
+                    uint64_t mbits = 0;
+                    const uint64_t* rb = reinterpret_cast<const uint64_t*>(
+                        rbuf.data());
+                    for (uint64_t e = 0; e < tb * tb; ++e) {
+                        uint64_t b = rb[e] & 0x7fffffffffffffffull;
+                        if (b > mbits) mbits = b;
+                    }
+                    double m;
+                    std::memcpy(&m, &mbits, sizeof(m));
+                    float scale = ln_q_scale_d(m);
+                    *ss[lvl] = scale;
+                    int16_t* qt = qs[lvl];
+                    if (scale == 0.0f) {       // residual identically 0
+                        std::memset(qt, 0, tb * tb * sizeof(int16_t));
+                        continue;
+                    }
+                    double sd = static_cast<double>(scale);
+                    double inv = 1.0 / sd;
+                    for (uint64_t e = 0; e < tb * tb; ++e) {
+                        double q = __builtin_rint(rbuf[e] * inv);
+                        if (q > 32767.0) q = 32767.0;
+                        if (q < -32767.0) q = -32767.0;
+                        qt[e] = static_cast<int16_t>(q);
+                    }
+                    for (uint64_t e = 0; e < tb * tb; ++e)
+                        rbuf[e] -= static_cast<double>(qt[e]) * sd;
+                }
+            }
+        }
+    });
+    ::close(fd);
+    return ok ? 0 : 2;
+}
+
 // Tridiagonal row block split directly into (hi, lo) planes (the values
 // 0/1/2 are exact in f32, so lo is zero — kept general anyway).
 void ln_tridiagonal_rows_split(uint64_t row_start, uint64_t num_rows,

@@ -95,3 +95,27 @@ def test_native_dfq_pack_bitwise_matches_python(tmp_path, monkeypatch):
                               op.operand, ref.operand):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                           err_msg=f"{path}:{name}")
+
+
+def test_native_fq_pack_bitwise_matches_python(tmp_path, monkeypatch):
+    """ln_pack_fq (fused read + triple int16 quantize over the lower
+    triangle) must reproduce the Python cascade BIT FOR BIT — same f64
+    abs-max, same frexp-exact power-of-two scales, same rint/clip and
+    exact residual updates — on both source formats."""
+    from lam_tpu.solver.operators import DenseOperator
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 256)
+    n = 700   # padding exercised: 700 -> 768
+    a = gen.random_spd_matrix_fast(n, seed=19)
+    bin_path = tmp_path / "m.bin"
+    npy_path = tmp_path / "m.npy"
+    lio.write_matrix(str(bin_path), a)
+    np.save(npy_path, a)
+    ref = DenseOperator.from_dense_fq(a, check_symmetric=False)
+    for path in (bin_path, npy_path):
+        op = DenseOperator.from_file_fq(str(path))
+        assert op.n_padded == ref.n_padded and op.precision == "fq"
+        for name, x, y in zip(
+                ("q1", "q2", "q3", "s1", "s2", "s3", "dh", "dl"),
+                op.operand, ref.operand):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"{path}:{name}")
