@@ -10,7 +10,9 @@ TESTS/BEST_RESULTS:366) reported alongside.
 Systems use the reference construction (eigenvalues exp(3.5*U(-1,1)),
 random orthogonal similarity, random U(-1,1) rhs); every solve's TRUE
 residual is validated host-side in f64. Engines: df64 = float-float
-Pallas (f64-parity), ir = f32 iterations + df64 iterative refinement.
+Pallas (f64-parity), ir = f32 iterations + df64 iterative refinement,
+irfq = refinement on fully-quantized storage (2-byte inner plane —
+round 3; needs the native pack + a TPU, skipped otherwise).
 Each engine is timed best-of-3 (the remote tunnel shows sporadic
 multi-x stalls and ~20% bandwidth drift) with scalar readbacks (block_until_ready can no-op
 through the tunnel).
@@ -91,7 +93,8 @@ def _system(n):
                 _try_remove(tmp)  # e.g. Ctrl-C mid-write
                 raise
     b = gen.random_rhs(n, seed=SEED + 10)
-    return a, b, time.perf_counter() - t0
+    cached = next((pp for pp in paths if os.path.exists(pp)), None)
+    return a, b, cached, time.perf_counter() - t0
 
 
 def _measure(n):
@@ -99,7 +102,7 @@ def _measure(n):
 
     from lam_tpu import DenseOperator, cg_solve, cg_solve_ir
 
-    a, b, gen_s = _system(n)
+    a, b, cache_path, gen_s = _system(n)
     op = DenseOperator.from_dense(a, precision="df64")
     op32 = op.as_f32()
     jax.block_until_ready(op.operand)
@@ -136,6 +139,26 @@ def _measure(n):
     out["df64"] = {"s": round(df_s, 4), "iters": int(res.num_iters),
                    "true_rel": true_residual(res.x),
                    "converged": bool(res.converged)}
+
+    # irfq (round 3): fully-quantized storage, 2-byte inner plane —
+    # measured ~20% faster than ir end-to-end. Needs the fused native
+    # pack to keep the build off the bench's critical path, and a TPU
+    # (CPU interpret solves at these N would dominate the run).
+    from lam_tpu import _native_io
+    if (cache_path is not None and _native_io.available()
+            and jax.default_backend() == "tpu"):
+        del op, op32  # free the df64 pair's HBM before the fq build
+        opq = DenseOperator.from_file_fq(cache_path)
+        opq32 = opq.as_f32()
+        jax.block_until_ready(opq.operand)
+        _ = cg_solve_ir(opq32, opq, b, max_iters=30, rel_error=1e-2,
+                        inner_floor=1e-2)  # compile
+        fq_s, res = timed(lambda: cg_solve_ir(
+            opq32, opq, b, max_iters=10000, rel_error=TOL,
+            inner_floor=1e-2))
+        out["irfq"] = {"s": round(fq_s, 4), "iters": int(res.num_iters),
+                       "true_rel": true_residual(res.x),
+                       "converged": bool(res.converged)}
     return out
 
 
