@@ -211,3 +211,30 @@ def test_irq_checkpoint_resume_matches_uninterrupted(tmp_path):
     true_rel = (np.linalg.norm(b - a @ np.asarray(res.x)[:n])
                 / np.linalg.norm(b))
     assert true_rel < 1e-5
+
+
+def test_irfq_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """--checkpoint composes with precision='irfq' too: cycle-boundary
+    persistence on the fully-quantized operator, bit-exact resume, with
+    the coarse inner operator's 1e-2 floor (the CLI passes it —
+    lam_tpu/cli.py). Tolerance 1e-5: on XLA:CPU the interpreted fq
+    accurate matvec's broken EFT floors refinement around 1e-6 (this
+    seed stalls at 1.1e-6; the 1e-9 claims are hardware tests)."""
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+    n = 700
+    tol = 1e-5
+    a = gen.random_spd_matrix(n, seed=33)
+    b = gen.random_rhs(n, seed=34)
+    op = DenseOperator.from_dense_fq(a)
+    ck = str(tmp_path / "irfq.ck")
+    kw = dict(max_iters=10000, rel_error=tol, inner_floor=1e-2)
+    full, _ = cg_solve_ir_resumable(op.as_f32(), op, b, **kw)
+    part, _ = cg_solve_ir_resumable(op.as_f32(), op, b, max_cycles=2,
+                                    checkpoint_path=ck, **kw)
+    res, _ = cg_solve_ir_resumable(op.as_f32(), op, b,
+                                   checkpoint_path=ck, resume=True, **kw)
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+    true_rel = (np.linalg.norm(b - a @ np.asarray(res.x)[:n])
+                / np.linalg.norm(b))
+    assert true_rel < 1e-5
