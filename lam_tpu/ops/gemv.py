@@ -1956,3 +1956,182 @@ def gemv_fq_symm(q1, q2, q3, s1, s2, s3, p_hi, p_lo, *, comp=None):
     s, e = two_sum(ydh.reshape(n), yth.reshape(n))
     lo = ydl.reshape(n) + ytl.reshape(n) + e
     return fast_two_sum(s, lo)
+
+
+def _gemv_q16_symm_slab_kernel(it_ref, kt_ref, lt_ref, sc_ref, q_ref,
+                               prow_ref, pcol_ref, yd_ref, yt_ref,
+                               acc_d, acc_t):
+    t = pl.program_id(0)
+    # dequantize + fold the per-tile scale into the operand vectors
+    # (see _gemv_q16_symm_kernel); lt_ref steers the yd index map only
+    a = q_ref[:].astype(jnp.float32)
+    s = sc_ref[t]
+    _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref[:] * s,
+                   pcol_ref[:] * s, yd_ref, yt_ref, acc_d, acc_t)
+
+
+@functools.partial(jax.jit, static_argnames=("ms",))
+def gemv_q16_symm_slab(q1_slab, sc1, p, it, kt, lt, *, ms):
+    """Partial q16 matvec over a band-pair shard — the fq twin of
+    `gemv_f32_symm_slab(packed=True)` (same it/kt/lt walk tables,
+    lam_tpu/parallel/pcg_symm.py): the shard's triangle tiles as the
+    int16 q1 plane of the fq cascade, 2 B/element read per inner
+    iteration. Returns (yd (ms,), yt (n,)); the caller scatters yd to
+    the owned bands, adds the diagonal term, and psums across shards."""
+    n = p.shape[0]
+    tb, _, T = _packed_geometry(q1_slab, p, "gemv_q16_symm_slab")
+    if T != it.shape[0]:
+        raise ValueError(f"packed slab has {T} tiles but the walk "
+                         f"table has {it.shape[0]}")
+    if sc1.shape != (T,):
+        raise ValueError(f"scale table shape {sc1.shape} != ({T},)")
+    if ms is None or ms % tb:
+        raise ValueError("packed slab needs ms (a multiple of tb)")
+    grid = (T,)
+    a_map = lambda t, it_ref, kt_ref, lt_ref, sc_ref: (t, t * 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb),
+                         lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                         (t * 0, kt_ref[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                         (it_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1),
+                         lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                         (lt_ref[t], t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n),
+                         lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+                         (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        _gemv_q16_symm_slab_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt),
+      jnp.asarray(sc1), q1_slab, p.reshape(1, n), p.reshape(n, 1))
+    return yd.reshape(ms), yt.reshape(n)
+
+
+def _gemv_fq_symm_slab_kernel(it_ref, kt_ref, lt_ref, s1_ref, s2_ref,
+                              s3_ref, q1_ref, q2_ref, q3_ref, prh_ref,
+                              prl_ref, pch_ref, pcl_ref, ydh_ref,
+                              ydl_ref, yth_ref, ytl_ref, accd_s, accd_c,
+                              acct_s, acct_c, *, comp):
+    t = pl.program_id(0)
+    # rebuild the (ah, al) float-float pair from the int16 cascade
+    # (unconditional two_sum — see _gemv_fq_symm_kernel), then run the
+    # identical compensated slab walk step
+    t1 = q1_ref[:].astype(jnp.float32) * s1_ref[t]
+    t2 = q2_ref[:].astype(jnp.float32) * s2_ref[t]
+    t3 = q3_ref[:].astype(jnp.float32) * s3_ref[t]
+    ah, e = two_sum(t1, t2)
+    al = e + t3
+    _symm_df64_step(it_ref[t], kt_ref[t], t, pl.num_programs(0),
+                    ah, al, prh_ref, prl_ref, pch_ref, pcl_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp", "ms"))
+def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
+                      *, ms, comp=None):
+    """Partial SYMMETRIC fully-quantized matvec over a band-pair shard —
+    the fq twin of `gemv_dfq_symm_slab`: three int16 cascade planes +
+    per-tile power-of-two scales, 6 B/element per shard at ~2^-48
+    tile-relative accuracy. Returns ((ydh, ydl) over the slab's ms
+    rows, (yth, ytl) full length); the diagonal term is NOT included
+    (extracted as a slab-order df64 pair by the operator)."""
+    comp = _resolve_comp(comp)
+    n = p_hi.shape[0]
+    tb, _, T = _packed_geometry(q1, p_hi, "gemv_fq_symm_slab")
+    if T != it.shape[0]:
+        raise ValueError(f"packed slab has {T} tiles but the walk "
+                         f"table has {it.shape[0]}")
+    for name, q in (("q2", q2), ("q3", q3)):
+        if q.shape != q1.shape:
+            raise ValueError(f"{name} plane shape {q.shape} != q1 "
+                             f"plane {q1.shape}")
+    for name, s in (("s1", s1), ("s2", s2), ("s3", s3)):
+        if s.shape != (T,):
+            raise ValueError(f"{name} table shape {s.shape} != ({T},)")
+    if ms is None or ms % tb:
+        raise ValueError("packed slab needs ms (a multiple of tb)")
+    grid = (T,)
+    a_map = lambda t, *refs: (t, t * 0)
+
+    def tile_spec():
+        return pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec((1, tb),
+                            lambda t, it_ref, kt_ref, *refs:
+                            (t * 0, kt_ref[t]),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, *refs:
+                            (it_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yd_spec():
+        return pl.BlockSpec((tb, 1),
+                            lambda t, it_ref, kt_ref, lt_ref, *refs:
+                            (lt_ref[t], t * 0),
+                            memory_space=pltpu.VMEM)
+
+    def yt_spec():
+        return pl.BlockSpec((1, n),
+                            lambda t, *refs: (t * 0, t * 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[tile_spec(), tile_spec(), tile_spec(),
+                  row_spec(), row_spec(), col_spec(), col_spec()],
+        out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_fq_symm_slab_kernel, comp=comp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt),
+      jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
+      q1, q2, q3, p_hi.reshape(1, n), p_lo.reshape(1, n),
+      p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))

@@ -195,6 +195,14 @@ def _make_mv32(axis, g, m, tb, storage="slab"):
 
     def mv(operand, p):
         c = jax.lax.axis_index(axis)
+        if storage == "fq":
+            # inner loop reads ONLY the 2-byte q1 plane (round 3b)
+            q1, _, _, s1, _, _, dh, _, it, kt, lt = operand
+            yd, yt = gemv.gemv_q16_symm_slab(q1, s1[0], p, it[0], kt[0],
+                                             lt[0], ms=2 * m)
+            yd = yd + dh * _own_rows(p, c, g, m)
+            y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
+            return jax.lax.psum(y, axis)
         if storage == "dfq":
             slab_hi, _, _, dh, _, it, kt, lt = operand
         else:
@@ -229,6 +237,36 @@ def _make_mv_acc(axis, g, m, tb, storage="slab"):
 
     def mv(operand, p):
         c = jax.lax.axis_index(axis)
+        if storage == "fq":
+            q1, q2, q3, s1, s2, s3, dh, dl, it, kt, lt = operand
+            po = _own_rows(p, c, g, m)
+            poh, pol = split_f64(po)
+            th, tl = df_mul((dh, dl), (poh, pol))  # exact diagonal term
+            if use_pallas:
+                ph, plo = split_f64(p)
+                ydh, ydl, yth, ytl = gemv.gemv_fq_symm_slab(
+                    q1, q2, q3, s1[0], s2[0], s3[0], ph, plo,
+                    it[0], kt[0], lt[0], ms=2 * m)
+                sv, e = two_sum(ydh, th)
+                zh, zl = fast_two_sum(sv, ydl + tl + e)
+                yd = join_f64(zh, zl)
+                yt = join_f64(yth, ytl)
+            else:
+                # off-TPU accurate path: dequantize the cascade to f64
+                # (exact per plane) and run the einsum triangle walk
+                T = it.shape[1]
+                rec = sum(
+                    (q.reshape(T, tb, tb).astype(jnp.float64)
+                     * sc[0].astype(jnp.float64)[:, None, None]
+                     ).reshape(T * tb, tb)
+                    for q, sc in ((q1, s1), (q2, s2), (q3, s3)))
+                zero_lo = jnp.zeros((tb, tb), rec.dtype)
+                y = _packed_mv_jnp(rec, zero_lo, it[0], kt[0], p)
+                yd = join_f64(th, tl)
+                return jax.lax.psum(
+                    _scatter_bands(yd, y, c, g, m, p.shape[0]), axis)
+            y = _scatter_bands(yd, yt, c, g, m, p.shape[0])
+            return jax.lax.psum(y, axis)
         if storage == "dfq":
             slab_hi, loq, sc, dh, dl, it, kt, lt = operand
             ph, plo = split_f64(p)
@@ -276,6 +314,10 @@ def _make_mv_acc(axis, g, m, tb, storage="slab"):
 
 def _operand_specs(axis, storage="slab"):
     row = P(axis, None)
+    if storage == "fq":
+        # q1, q2, q3, s1, s2, s3 (row-sharded), diag pair, tables
+        return (row, row, row, row, row, row, P(axis), P(axis),
+                row, row, row)
     if storage == "dfq":
         # hi, loq, sc, diag_hi, diag_lo (slab-order, row-sharded), tables
         return (row, row, row, P(axis), P(axis), row, row, row)
@@ -388,7 +430,8 @@ class SymmShardedOperator(LinearOperator):
             _wrap_matvec(_build_symm_matvec(mesh, axis, g, m, tb,
                                             "acc", storage)),
             operand, n, n_padded, jnp.float64)
-        self.precision = "dfq" if storage == "dfq" else "df64"
+        self.precision = (storage if storage in ("dfq", "fq")
+                          else "df64")
         self.engine = ("pallas_symm" if storage == "slab"
                        else "pallas_symm_packed")
         self.mesh = mesh
@@ -420,10 +463,14 @@ class SymmShardedOperator(LinearOperator):
             return SymmShardedOperator._from_row_block_fn_dfq(
                 row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
                 a_sharding)
+        if precision == "fq":
+            return SymmShardedOperator._from_row_block_fn_fq(
+                row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
+                a_sharding)
         if precision != "df64":
             raise ValueError(
-                f"SymmShardedOperator precision must be 'df64' or "
-                f"'dfq', got {precision!r}")
+                f"SymmShardedOperator precision must be 'df64', 'dfq' "
+                f"or 'fq', got {precision!r}")
 
         if packed:
             its, kts = tables[0], tables[1]
@@ -584,6 +631,95 @@ class SymmShardedOperator(LinearOperator):
                                    tb, storage="dfq")
 
     @staticmethod
+    def _from_row_block_fn_fq(row_block_fn, n, mesh, tb, axis, g, n_p,
+                              m, tables, a_sharding):
+        """Per-chip FULLY-quantized pack (round 3b): each chip's walk
+        tiles stored as the three-int16 cascade (quantize_fq_tiles)
+        with its bands' diagonal extracted to a slab-order df64 pair —
+        6 B/element per shard, and the inner matvec reads only the
+        2-byte q1 plane. Same chip/callback framing as the dfq pack."""
+        from lam_tpu.ops.gemv import quantize_fq_tiles
+        its, kts, lts = tables
+        T = its.shape[1]
+        L = T * tb
+        cache = {}
+
+        def chip_pack(c):
+            if c not in cache:
+                q1 = np.empty((L, tb), np.int16)
+                q2 = np.empty((L, tb), np.int16)
+                q3 = np.empty((L, tb), np.int16)
+                s1 = np.zeros((T,), np.float32)
+                s2 = np.zeros((T,), np.float32)
+                s3 = np.zeros((T,), np.float32)
+                dh = np.zeros((2 * m,), np.float32)
+                dl = np.zeros((2 * m,), np.float32)
+                cur_i, rows = -1, None
+                for t in range(T):
+                    i, k = int(its[c, t]), int(kts[c, t])
+                    if cur_i != i:
+                        rows = np.zeros((tb, n_p), np.float64)
+                        src = max(0, min(n - i * tb, tb))
+                        if src > 0:
+                            rows[:src, :n] = row_block_fn(i * tb, src)
+                        cur_i = i
+                    tile = rows[:, k * tb:(k + 1) * tb]
+                    if i == k:
+                        tile = tile.copy()
+                        dv = np.diagonal(tile).copy()
+                        dhi = dv.astype(np.float32)
+                        lt = int(lts[c, t])
+                        dh[lt * tb:(lt + 1) * tb] = dhi
+                        dl[lt * tb:(lt + 1) * tb] = (
+                            dv - dhi.astype(np.float64)
+                        ).astype(np.float32)
+                        np.fill_diagonal(tile, 0.0)
+                    sl = slice(t * tb, (t + 1) * tb)
+                    (q1[sl], q2[sl], q3[sl], s1[t:t + 1], s2[t:t + 1],
+                     s3[t:t + 1]) = quantize_fq_tiles(tile, tb)
+                cache[c] = (q1, q2, q3, s1, s2, s3, dh, dl)
+            return cache[c]
+
+        def chip_rows_cb(which, rows_pc, sl, total):
+            r = sl[0]
+            start = r.start or 0
+            stop = r.stop if r.stop is not None else total
+            chunks = []
+            pos = start
+            while pos < stop:
+                c, off = divmod(pos, rows_pc)
+                take = min(rows_pc - off, stop - pos)
+                chunks.append(chip_pack(c)[which][off:off + take])
+                pos += take
+            return np.concatenate(chunks, axis=0)
+
+        def mk_plane(which):
+            return jax.make_array_from_callback(
+                (g * L, tb), a_sharding,
+                lambda sl: chip_rows_cb(which, L, sl, g * L)[:, sl[1]])
+
+        def mk_sc(which):
+            def cb(sl):
+                r = sl[0]
+                cs = range(r.start or 0,
+                           r.stop if r.stop is not None else g)
+                return np.stack([chip_pack(c)[which]
+                                 for c in cs])[:, sl[1]]
+
+            return jax.make_array_from_callback((g, T), a_sharding, cb)
+
+        def mk_diag(which):
+            return jax.make_array_from_callback(
+                (n_p,), NamedSharding(mesh, P(axis)),
+                lambda sl: chip_rows_cb(which, 2 * m, sl, n_p))
+
+        operand = (mk_plane(0), mk_plane(1), mk_plane(2), mk_sc(3),
+                   mk_sc(4), mk_sc(5), mk_diag(6), mk_diag(7),
+                   *_table_arrays(tables, g, a_sharding))
+        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m,
+                                   tb, storage="fq")
+
+    @staticmethod
     def from_gen_tridiagonal(n, mesh=None, tb=None, packed=False):
         """Gen-mode tridiagonal in band-pair slab order, built ON DEVICE
         (each shard materializes in its owner's HBM via out_shardings) —
@@ -693,12 +829,12 @@ class SymmShardedOperator(LinearOperator):
         axis, g, m, tb = self.axis, self._g, self._m, self._tb
         n_p = self.n_padded
 
-        if self._storage == "dfq":
+        if self._storage in ("dfq", "fq"):
 
             def local_diag(operand):
                 # the diagonal already lives in the operand as a
                 # slab-order df64 pair; scatter it to original rows
-                _, _, _, dh, dl, _, _, _ = operand
+                dh, dl = operand[-5], operand[-4]
                 c = jax.lax.axis_index(axis)
                 dv = dh.astype(jnp.float64) + dl.astype(jnp.float64)
                 d = jnp.zeros(n_p, jnp.float64)

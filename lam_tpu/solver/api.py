@@ -91,9 +91,9 @@ class ConjugateGradient:
             engine2d = self.engine
             if base2d == "fq":
                 raise ValueError(
-                    "precision='fq'/'irfq' is currently local-only "
-                    "(backend='local'); use 'dfq'/'irq' on the mesh "
-                    "backends")
+                    "precision='fq'/'irfq' is not available on the 2-D "
+                    "grid; use 'dfq'/'irq' there, or backend="
+                    "'local'/'sharded' for fq")
             if base2d == "dfq" and engine2d == "auto":
                 engine2d = "pallas_symm_packed"
             if engine2d in ("pallas_symm", "pallas_symm_packed"):
@@ -119,13 +119,8 @@ class ConjugateGradient:
         if self.backend == "sharded":
             base = self._base_precision()
             engine = self.engine
-            if base == "fq":
-                raise ValueError(
-                    "precision='fq'/'irfq' is currently local-only "
-                    "(backend='local'); use 'dfq'/'irq' on the mesh "
-                    "backends")
-            if base == "dfq" and engine == "auto":
-                # quantized-lo storage exists only as packed triangle
+            if base in ("dfq", "fq") and engine == "auto":
+                # quantized storage exists only as packed triangle
                 # tiles — route to the band-pair symmetric operator
                 engine = "pallas_symm_packed"
             if engine in ("pallas_symm", "pallas_symm_packed"):
@@ -135,21 +130,22 @@ class ConjugateGradient:
                 # _packed additionally stores ONLY the triangle tiles —
                 # half the HBM capacity per chip as well; dfq/irq
                 # quantizes the lo plane (6 B/element per shard)
-                if base not in ("auto", "df64", "dfq"):
+                if base not in ("auto", "df64", "dfq", "fq"):
                     raise ValueError(
                         f"--backend sharded --engine {engine} "
-                        "supports precision df64/ir/dfq/irq (the df64 "
-                        "pair or its quantized-lo form is the storage "
-                        "layout)")
-                if base == "dfq" and engine != "pallas_symm_packed":
+                        "supports precision df64/ir/dfq/irq/fq/irfq "
+                        "(the df64 pair or a quantized form is the "
+                        "storage layout)")
+                if base in ("dfq", "fq") and engine != "pallas_symm_packed":
                     raise ValueError(
-                        "precision='dfq'/'irq' implies packed storage; "
-                        "use engine='pallas_symm_packed' (or 'auto')")
+                        "precision='dfq'/'irq'/'fq'/'irfq' implies "
+                        "packed storage; use "
+                        "engine='pallas_symm_packed' (or 'auto')")
                 from lam_tpu.parallel.pcg_symm import SymmShardedOperator
                 return SymmShardedOperator.from_row_block_fn(
                     row_block_fn, n, mesh=self._mesh_or_make(),
                     packed=engine == "pallas_symm_packed",
-                    precision="dfq" if base == "dfq" else "df64")
+                    precision=base if base in ("dfq", "fq") else "df64")
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),

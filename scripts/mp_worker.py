@@ -100,6 +100,13 @@ def main(argv=None):
     check(cg_solve(qop, b, max_iters=2000, rel_error=1e-9),
           "symm-dfq")
 
+    # fully-quantized (fq) variant: per-process triple-int16 pack, the
+    # inner-loop view reading only the 2-byte q1 plane (round 3b)
+    fop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128,
+                                         precision="fq")
+    check(cg_solve(fop, b, max_iters=2000, rel_error=1e-9),
+          "symm-fq")
+
     # 2-D (SUMMA) grid spanning BOTH processes: pick two devices from
     # each so the transpose ppermute and the cols-psum cross the
     # process boundary (round 3; the in-process dryrun leg already

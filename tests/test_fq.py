@@ -180,10 +180,11 @@ def test_fq_error_paths():
     asym = np.triu(np.ones((512, 512)))
     with pytest.raises(ValueError, match="symmetric"):
         DenseOperator.from_dense(asym, precision="fq")
-    # fq/irfq is local-only for now: mesh backends reject cleanly
+    # fq/irfq runs local and 1-D sharded (band-pair operator,
+    # tests/test_sharded.py::test_symm_sharded_fq_*); the 2-D grid has
+    # no fq form yet and rejects cleanly
     from lam_tpu.solver.api import ConjugateGradient
-    for backend in ("sharded", "sharded2d"):
-        cg = ConjugateGradient(backend=backend, precision="irfq",
-                               n_devices=4)
-        with pytest.raises(ValueError, match="local-only"):
-            cg.generate_matrix(512)
+    cg = ConjugateGradient(backend="sharded2d", precision="irfq",
+                           n_devices=4)
+    with pytest.raises(ValueError, match="not available"):
+        cg.generate_matrix(512)

@@ -135,4 +135,5 @@ def test_multiprocess_worker_harness():
     assert "MP_OK comm=gather" in joined
     assert "MP_OK comm=ring" in joined
     assert "MP_OK comm=symm" in joined   # band-pair operator x-process
+    assert "MP_OK comm=symm-fq" in joined  # fq cascade x-process
     assert "MP_OK comm=heat-halo" in joined  # x-process halo exchange

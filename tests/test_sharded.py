@@ -681,3 +681,117 @@ def test_symm_sharded_irq_via_api(mesh8, tmp_path):
     assert cg.solve(max_iters=10000, rel_error=1e-9)
     x = cg.x[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def _symm_op_fq(a, g, tb=128):
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    return SymmShardedOperator.from_dense(a, mesh=make_mesh(g), tb=tb,
+                                          precision="fq")
+
+
+def test_symm_sharded_fq_matvec_diag_capacity(mesh8):
+    """Sharded fq (round 3b): three int16 cascade planes per shard
+    (6 B/element), accurate matvec at the ~2^-48 storage bound of the
+    dense product (off-TPU path reconstructs in genuine f64), diagonal
+    carried exactly as a slab-order df64 pair, and the f32 view's
+    matvec reads only the q1 plane (~2^-16 tile-relative)."""
+    a, _ = _spd_system(n=512, seed=81)
+    p = gen.random_rhs(512, seed=5)
+    ref = a @ p
+    for g in (1, 2, 4):
+        op = _symm_op_fq(a, g)
+        assert op._storage == "fq" and op.precision == "fq"
+        q1, q2, q3, s1, s2, s3, dh, dl, *_ = op.operand
+        assert (q1.dtype == q2.dtype == q3.dtype == np.int16
+                and q1.shape == q2.shape == q3.shape)
+        assert dh.shape == (op.n_padded,) and dl.shape == (op.n_padded,)
+        ap = np.asarray(op.matvec(op.prepare_b(p)))[:512]
+        err = np.linalg.norm(ap - ref) / np.linalg.norm(ref)
+        assert err < 1e-11, err
+        d = np.asarray(op.diagonal())[:512]
+        np.testing.assert_allclose(d, np.diagonal(a), rtol=0,
+                                   atol=1e-12)
+        op32 = op.as_f32()
+        assert op32.operand is op.operand
+        y32 = np.asarray(op32.matvec(op32.prepare_b(
+            p.astype(np.float32))), np.float64)[:512]
+        assert np.linalg.norm(y32 - ref) / np.linalg.norm(ref) < 1e-3
+
+
+def test_symm_sharded_fq_stores_local_fq_tiles(mesh8, monkeypatch):
+    """Per-tile quantization is order-free, so every real tile of the
+    band-pair fq walk must match the local from_dense_fq pack bit for
+    bit at the same tile width (the band walk adds zero padding tiles,
+    which quantize to scale 0)."""
+    from lam_tpu.ops.gemv import _symm_tables
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    tb = 128
+    a, _ = _spd_system(n=512, seed=82)
+    local = DenseOperator.from_dense_fq(a)
+    lq = [np.asarray(x) for x in local.operand[:3]]
+    ls = [np.asarray(x) for x in local.operand[3:6]]
+    nblk_l = local.n_padded // tb
+    lit, lkt = _symm_tables(nblk_l)
+    tiles = {(int(i), int(k)): t for t, (i, k) in enumerate(
+        zip(lit, lkt))}
+    op = _symm_op_fq(a, 4, tb=tb)
+    sq = [np.asarray(x) for x in op.operand[:3]]
+    ss = [np.asarray(x) for x in op.operand[3:6]]
+    sit, skt = (np.asarray(x) for x in op.operand[8:10])
+    g = sit.shape[0]
+    T = sit.shape[1]
+    for c in range(g):
+        for t in range(T):
+            i, k = int(sit[c, t]), int(skt[c, t])
+            lt_ = tiles.get((i, k))
+            row = c * T + t
+            if lt_ is None:        # padding tile: zero planes + scales
+                for q, sY in zip(sq, ss):
+                    assert not q[row * tb:(row + 1) * tb].any()
+                    assert sY[c, t] == 0.0
+                continue
+            for q, sY, lqp, lsp in zip(sq, ss, lq, ls):
+                np.testing.assert_array_equal(
+                    q[row * tb:(row + 1) * tb],
+                    lqp[lt_ * tb:(lt_ + 1) * tb])
+                assert sY[c, t] == lsp[lt_]
+
+
+def test_symm_sharded_fq_cg_and_irfq(mesh8):
+    from lam_tpu.solver.cg import cg_solve_ir
+    a, b = _spd_system(n=512, seed=83)
+    op = _symm_op_fq(a, 4)
+    bn = np.linalg.norm(b)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    x_ref, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+    # irfq: the inner loop reads only the q1 plane; the coarse operator
+    # needs the 1e-2 floor (scripts/fq_feasibility.py)
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                       rel_error=1e-9, inner_floor=1e-2)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ np.asarray(res2.x)) / bn < 1e-8
+
+
+def test_symm_sharded_irfq_via_api(mesh8, tmp_path):
+    """backend='sharded' + precision='irfq' routes to the fq band-pair
+    operator (engine auto -> pallas_symm_packed) and solves through the
+    facade, including the file path."""
+    from lam_tpu import io as lio
+    from lam_tpu.solver.api import ConjugateGradient
+
+    n = 512
+    a, b = _spd_system(n=n, seed=84)
+    mpath, bpath = tmp_path / "m.bin", tmp_path / "b.bin"
+    lio.write_matrix(str(mpath), a)
+    lio.write_matrix(str(bpath), b)
+    cg = ConjugateGradient(backend="sharded", precision="irfq",
+                           n_devices=4)
+    assert cg.load_matrix_from_file(str(mpath))
+    assert cg.load_rhs_from_file(str(bpath))
+    assert cg.op._storage == "fq"
+    assert cg.solve(max_iters=10000, rel_error=1e-9)
+    x = cg.x[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8

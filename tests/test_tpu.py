@@ -268,3 +268,27 @@ def test_fq_fully_quantized_storage_hardware_accuracy(tpu_backend,
     x = np.asarray(res.x)
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_sharded_fq_slab_kernels_hardware_accuracy(tpu_backend,
+                                                   spd_system):
+    # 1-device mesh: the fq slab kernels (gemv_q16_symm_slab /
+    # gemv_fq_symm_slab) compile on real Mosaic (interpret mode accepts
+    # shapes hardware rejects — the dfq (1,1)-block lesson) and the
+    # irfq refinement lands true 1e-9 residuals through the sharded
+    # program.
+    from lam_tpu import cg_solve, cg_solve_ir
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    a, b = spd_system
+    op = SymmShardedOperator.from_dense(a, mesh=make_mesh(1),
+                                        precision="fq")
+    res = cg_solve(op, b, max_iters=5000, rel_error=1e-9)
+    x = np.asarray(res.x)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                       rel_error=1e-9, inner_floor=1e-2)
+    x2 = np.asarray(res2.x)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ x2) / np.linalg.norm(b) < 2e-9
