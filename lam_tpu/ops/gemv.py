@@ -1390,6 +1390,14 @@ def _dual_geometry(buf, p, q, what):
 
 def _gemv_f32_dual_kernel(a_ref, p_ref, q_ref, yd_ref, yt_ref,
                           acc_d, acc_t):
+    _dual_f32_step(a_ref[:], p_ref[:], q_ref[:], yd_ref, yt_ref,
+                   acc_d, acc_t)
+
+
+def _dual_f32_step(a, prow, qcol, yd_ref, yt_ref, acc_d, acc_t):
+    """One rectangle-walk grid step of the f32 dual matvec — shared by
+    the f32 kernel and the q16 kernel (a dequantized from an int16
+    tile, the per-tile scale folded into prow/qcol by the caller)."""
     li = pl.program_id(0)
     k = pl.program_id(1)
     nli = pl.num_programs(0)
@@ -1403,11 +1411,10 @@ def _gemv_f32_dual_kernel(a_ref, p_ref, q_ref, yd_ref, yt_ref,
     def _():
         acc_d[:] = jnp.zeros_like(acc_d)
 
-    a = a_ref[:]                       # (TB, TB)
     tb = a.shape[0]
 
     # direct: yd[li] += S_lik @ p_k (128 lane accumulators)
-    acc_d[:] = _lane_fold(a * p_ref[:], acc_d[:])
+    acc_d[:] = _lane_fold(a * prow, acc_d[:])
 
     @pl.when(k == nk - 1)
     def _():
@@ -1415,7 +1422,7 @@ def _gemv_f32_dual_kernel(a_ref, p_ref, q_ref, yd_ref, yt_ref,
 
     # transpose: yt[k] += S_lik^T @ q_li — EVERY tile (dense rectangle;
     # the symm kernels' k<i guard has no analog here)
-    tpart = jnp.sum(a * q_ref[:], axis=0, keepdims=True)  # (1, TB)
+    tpart = jnp.sum(a * qcol, axis=0, keepdims=True)  # (1, TB)
     idx = pl.dslice(k * tb, tb)
     acc_t[:, idx] = acc_t[:, idx] + tpart
 
@@ -2133,5 +2140,156 @@ def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
       jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
       q1, q2, q3, p_hi.reshape(1, n), p_lo.reshape(1, n),
       p_hi.reshape(n, 1), p_lo.reshape(n, 1))
+    return (ydh.reshape(ms), ydl.reshape(ms),
+            yth.reshape(n), ytl.reshape(n))
+
+
+def _gemv_q16_dual_kernel(sc_ref, q_ref, p_ref, qc_ref, yd_ref, yt_ref,
+                          acc_d, acc_t, *, cb):
+    # dequantize the int16 tile; fold the per-tile scale into the
+    # operand vectors (tb ops, not tb^2 — see _gemv_q16_symm_kernel)
+    t = pl.program_id(0) * cb + pl.program_id(1)
+    a = q_ref[:].astype(jnp.float32)
+    s = sc_ref[t]
+    _dual_f32_step(a, p_ref[:] * s, qc_ref[:] * s, yd_ref, yt_ref,
+                   acc_d, acc_t)
+
+
+@jax.jit
+def gemv_q16_dual(q1buf, sc, p, q):
+    """(S @ p, S^T @ q) for a dense rectangle S stored as the int16 q1
+    plane of the fq cascade (row-major tile packing, per-tile
+    power-of-two scales; trailing pad-tile scales unread) — the inner
+    engine of the symmetric 2-D grid's off-diagonal half-slabs under
+    precision='irfq': 2 B/element per pass."""
+    tb, mb, cb = _dual_geometry(q1buf, p, q, "gemv_q16_dual")
+    n = p.shape[0]
+    ms = q.shape[0]
+    T = q1buf.shape[0] // tb
+    if sc.shape != (T,):
+        raise ValueError(f"scale table shape {sc.shape} != ({T},)")
+    a_map = lambda li, k, sc_ref: (li * cb + k, li * 0)
+    grid = (mb, cb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k, sc_ref: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k, sc_ref: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        functools.partial(_gemv_q16_dual_kernel, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(sc), q1buf, p.reshape(1, n), q.reshape(ms, 1))
+    return yd.reshape(ms), yt.reshape(n)
+
+
+def _gemv_fq_dual_kernel(s1_ref, s2_ref, s3_ref, q1_ref, q2_ref,
+                         q3_ref, ph_ref, pl_ref, qh_ref, ql_ref,
+                         ydh_ref, ydl_ref, yth_ref, ytl_ref, accd_s,
+                         accd_c, acct_s, acct_c, *, comp, cb):
+    # rebuild the (ah, al) float-float pair from the int16 cascade
+    # (unconditional two_sum — see _gemv_fq_symm_kernel)
+    t = pl.program_id(0) * cb + pl.program_id(1)
+    t1 = q1_ref[:].astype(jnp.float32) * s1_ref[t]
+    t2 = q2_ref[:].astype(jnp.float32) * s2_ref[t]
+    t3 = q3_ref[:].astype(jnp.float32) * s3_ref[t]
+    ah, e = two_sum(t1, t2)
+    al = e + t3
+    _dual_df64_step(ah, al, ph_ref, pl_ref, qh_ref, ql_ref,
+                    ydh_ref, ydl_ref, yth_ref, ytl_ref,
+                    accd_s, accd_c, acct_s, acct_c, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp",))
+def gemv_fq_dual(q1, q2, q3, s1, s2, s3, p_hi, p_lo, q_hi, q_lo, *,
+                 comp=None):
+    """Fully-quantized dual matvec — the fq twin of `gemv_dfq_dual`:
+    S a dense rectangle stored as the three-int16 cascade (row-major
+    tile packing, per-tile power-of-two scales, 6 B/element,
+    ~2^-48 tile-relative accuracy; trailing pad-tile scales unread).
+    The accurate engine of the symmetric 2-D grid's off-diagonal
+    half-slabs under precision='fq'/'irfq'."""
+    comp = _resolve_comp(comp)
+    tb, mb, cb = _dual_geometry(q1, p_hi, q_hi, "gemv_fq_dual")
+    n = p_hi.shape[0]
+    ms = q_hi.shape[0]
+    for name, qq in (("q2", q2), ("q3", q3)):
+        if qq.shape != q1.shape:
+            raise ValueError(f"{name} plane shape {qq.shape} != q1 "
+                             f"plane {q1.shape}")
+    T = q1.shape[0] // tb
+    for name, s in (("s1", s1), ("s2", s2), ("s3", s3)):
+        if s.shape != (T,):
+            raise ValueError(f"{name} table shape {s.shape} != ({T},)")
+    a_map = lambda li, k, *refs: (li * cb + k, li * 0)
+    grid = (mb, cb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k, *refs: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda li, k, *refs: (k * 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k, *refs: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k, *refs: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda li, k, *refs: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda li, k, *refs: (li, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k, *refs: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda li, k, *refs: (li * 0, li * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+            pltpu.VMEM((_SYMM_T_SUBLANES, n), jnp.float32),
+        ],
+    )
+    ydh, ydl, yth, ytl = pl.pallas_call(
+        functools.partial(_gemv_fq_dual_kernel, comp=comp, cb=cb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3), q1, q2, q3,
+      p_hi.reshape(1, n), p_lo.reshape(1, n),
+      q_hi.reshape(ms, 1), q_lo.reshape(ms, 1))
     return (ydh.reshape(ms), ydl.reshape(ms),
             yth.reshape(n), ytl.reshape(n))

@@ -121,6 +121,9 @@ def _make_mv_pair(r, m, tb, which, storage="df64"):
     if storage == "dfq":
         return _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c,
                                  use_pallas)
+    if storage == "fq":
+        return _make_mv_pair_fq(r, m, tb, which, it_c, kt_c,
+                                use_pallas)
 
     def mv_pair(operand, p_own, p_recv):
         hi, lo = operand
@@ -326,6 +329,128 @@ def _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c, use_pallas):
     return mv_pair
 
 
+def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
+    """fq storage (round 3b): operand = (q1, q2, q3, s1, s2, s3, dh,
+    dl) — the three-int16 cascade on every chip (6 B/element stored
+    once across the grid), the matrix diagonal as a P(ROWS) df64 pair.
+    The f32 view reads ONLY the 2-byte q1 plane (gemv_q16_symm /
+    gemv_q16_dual)."""
+    from lam_tpu.ops import gemv
+    from lam_tpu.precision import df_mul, fast_two_sum, two_sum
+
+    m2 = m // 2
+    c = m // tb
+    c2 = c // 2
+    T = (c * (c + 1)) // 2
+
+    def mv_pair(operand, p_own, p_recv):
+        q1, q2, q3, s1, s2, s3, dh, dl = operand
+        s1f, s2f, s3f = s1[:, 0], s2[:, 0], s3[:, 0]
+        i = jax.lax.axis_index(ROWS)
+        j = jax.lax.axis_index(COLS)
+        zero_blk = jnp.zeros(m, p_own.dtype)
+
+        def rec_f32():
+            # q1 plane dequantized (the inner-view operator) — off-TPU
+            return (q1.reshape(T, tb, tb).astype(jnp.float32)
+                    * s1f[:, None, None]).reshape(T * tb, tb)
+
+        if which == "f32":
+            if use_pallas:
+                def diag(_):
+                    return (gemv.gemv_q16_symm(q1, s1f, p_own)
+                            + dh * p_own, zero_blk)
+
+                def lower(_):
+                    d, t = gemv.gemv_q16_dual(q1, s1f, p_recv,
+                                              p_own[:m2])
+                    return _scatter_half(d, m, top=True), t
+
+                def upper(_):
+                    d, t = gemv.gemv_q16_dual(q1, s1f, p_own,
+                                              p_recv[m2:])
+                    return t, _scatter_half(d, m, top=False)
+            else:
+                zt = jnp.zeros((tb, tb), jnp.float32)
+
+                def diag(_):
+                    return (_packed_mv_jnp(rec_f32(), zt, it_c, kt_c,
+                                           p_own)
+                            + dh * p_own, zero_blk)
+
+                def lower(_):
+                    sdn = _rect_tiles_dense(rec_f32(), c2, c, tb,
+                                            p_own.dtype)
+                    return (_scatter_half(sdn @ p_recv, m, top=True),
+                            sdn.T @ p_own[:m2])
+
+                def upper(_):
+                    sdn = _rect_tiles_dense(rec_f32(), c2, c, tb,
+                                            p_own.dtype)
+                    return (sdn.T @ p_recv[m2:],
+                            _scatter_half(sdn @ p_own, m, top=False))
+        else:  # accurate fq
+            if use_pallas:
+                def diag(_):
+                    ph, plo = split_f64(p_own)
+                    yh, yl = gemv.gemv_fq_symm(q1, q2, q3, s1f, s2f,
+                                               s3f, ph, plo)
+                    th, tl = df_mul((dh, dl), (ph, plo))
+                    s_, e = two_sum(yh, th)
+                    zh, zl = fast_two_sum(s_, yl + tl + e)
+                    return join_f64(zh, zl), zero_blk
+
+                def lower(_):
+                    ph, plo = split_f64(p_recv)
+                    qh, ql = split_f64(p_own[:m2])
+                    dh_, dl_, th, tl = gemv.gemv_fq_dual(
+                        q1, q2, q3, s1f, s2f, s3f, ph, plo, qh, ql)
+                    return (_scatter_half(join_f64(dh_, dl_), m,
+                                          top=True),
+                            join_f64(th, tl))
+
+                def upper(_):
+                    ph, plo = split_f64(p_own)
+                    qh, ql = split_f64(p_recv[m2:])
+                    dh_, dl_, th, tl = gemv.gemv_fq_dual(
+                        q1, q2, q3, s1f, s2f, s3f, ph, plo, qh, ql)
+                    return (join_f64(th, tl),
+                            _scatter_half(join_f64(dh_, dl_), m,
+                                          top=False))
+            else:
+                # off-TPU: dequantize the cascade to genuine f64 (exact
+                # per plane) and run XLA math — same policy as dfq
+                def rec64():
+                    return sum(
+                        (q.reshape(T, tb, tb).astype(jnp.float64)
+                         * sf.astype(jnp.float64)[:, None, None]
+                         ).reshape(T * tb, tb)
+                        for q, sf in ((q1, s1f), (q2, s2f), (q3, s3f)))
+
+                def diag(_):
+                    zt64 = jnp.zeros((tb, tb), jnp.float64)
+                    y = _packed_mv_jnp(rec64(), zt64, it_c, kt_c, p_own)
+                    d = dh.astype(p_own.dtype) + dl.astype(p_own.dtype)
+                    return y + d * p_own, zero_blk
+
+                def lower(_):
+                    sdn = _rect_tiles_dense(rec64(), c2, c, tb,
+                                            jnp.float64)
+                    return (_scatter_half(sdn @ p_recv, m, top=True),
+                            sdn.T @ p_own[:m2])
+
+                def upper(_):
+                    sdn = _rect_tiles_dense(rec64(), c2, c, tb,
+                                            jnp.float64)
+                    return (sdn.T @ p_recv[m2:],
+                            _scatter_half(sdn @ p_own, m, top=False))
+
+        idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
+        return jax.lax.switch(idx, [diag, lower, upper], None)
+
+    return mv_pair
+
+
 def _make_apply_sym2d(mv_pair, r):
     perm = _transpose_perm(r)
 
@@ -343,9 +468,12 @@ def _make_apply_sym2d(mv_pair, r):
 _OPERAND_SPEC = (P(ROWS, COLS), P(ROWS, COLS))
 _OPERAND_SPEC_DFQ = (P(ROWS, COLS), P(ROWS, COLS), P(ROWS, COLS),
                      P(ROWS), P(ROWS))
+_OPERAND_SPEC_FQ = (P(ROWS, COLS),) * 6 + (P(ROWS), P(ROWS))
 
 
 def _operand_spec(storage):
+    if storage == "fq":
+        return _OPERAND_SPEC_FQ
     return _OPERAND_SPEC_DFQ if storage == "dfq" else _OPERAND_SPEC
 
 
@@ -468,7 +596,8 @@ class Symm2DOperator(LinearOperator):
             _wrap_matvec(_build_sym2d_matvec(mesh, m, tb, "acc",
                                              storage)),
             operand, n, n_padded, jnp.float64)
-        self.precision = "dfq" if storage == "dfq" else "df64"
+        self.precision = (storage if storage in ("dfq", "fq")
+                          else "df64")
         self.engine = "pallas_symm_packed"
         self.mesh = mesh
         self._m = m
@@ -493,10 +622,13 @@ class Symm2DOperator(LinearOperator):
         if precision == "dfq":
             return Symm2DOperator._from_block_fn_dfq(
                 block_fn, n, mesh, tb, r, n_p, m, c, T, sharding)
+        if precision == "fq":
+            return Symm2DOperator._from_block_fn_fq(
+                block_fn, n, mesh, tb, r, n_p, m, c, T, sharding)
         if precision != "df64":
             raise ValueError(
-                f"Symm2DOperator precision must be 'df64' or 'dfq', "
-                f"got {precision!r}")
+                f"Symm2DOperator precision must be 'df64', 'dfq' or "
+                f"'fq', got {precision!r}")
 
         def chip_block(key):
             i, j = key
@@ -577,6 +709,69 @@ class Symm2DOperator(LinearOperator):
         operand = (mk_plane(0), mk_plane(1), mk_sc(), mk_diag(3),
                    mk_diag(4))
         return Symm2DOperator(operand, n, n_p, mesh, tb, storage="dfq")
+
+    @staticmethod
+    def _from_block_fn_fq(block_fn, n, mesh, tb, r, n_p, m, c, T,
+                          sharding):
+        """Per-chip FULLY-quantized pack (round 3b): triangle/half-slab
+        buffers as the three-int16 cascade, the matrix diagonal (from
+        the diagonal chips' walk) as a P(ROWS) df64 pair — 6 B/element
+        stored once across the grid, the inner view reading only the
+        2-byte q1 plane."""
+        from lam_tpu.ops.gemv import quantize_fq_tiles
+        rows_per_chip = T * tb
+        cache = {}
+
+        def chip_pack(i, j):
+            if (i, j) not in cache:
+                packed = _pack_chip_block(block_fn, n, n_p, m, tb, i, j)
+                dh = np.zeros((m,), np.float32)
+                dl = np.zeros((m,), np.float32)
+                if i == j:
+                    for li in range(c):
+                        t = li * (li + 1) // 2 + li
+                        tile = packed[t * tb:(t + 1) * tb]
+                        dv = np.diagonal(tile).copy()
+                        dhi = dv.astype(np.float32)
+                        dh[li * tb:(li + 1) * tb] = dhi
+                        dl[li * tb:(li + 1) * tb] = (
+                            dv - dhi.astype(np.float64)
+                        ).astype(np.float32)
+                        np.fill_diagonal(
+                            packed[t * tb:(t + 1) * tb], 0.0)
+                q1, q2, q3, s1, s2, s3 = quantize_fq_tiles(packed, tb)
+                cache[(i, j)] = (q1, q2, q3, s1, s2, s3, dh, dl)
+            return cache[(i, j)]
+
+        def mk_plane(idx):
+            def cb(sl):
+                i = (sl[0].start or 0) // rows_per_chip
+                j = (sl[1].start or 0) // tb
+                return chip_pack(i, j)[idx]
+
+            return jax.make_array_from_callback(
+                (r * rows_per_chip, r * tb), sharding, cb)
+
+        def mk_sc(idx):
+            def cb(sl):
+                i = (sl[0].start or 0) // T
+                j = sl[1].start or 0
+                return chip_pack(i, j)[idx][:, None]
+
+            return jax.make_array_from_callback((r * T, r), sharding,
+                                                cb)
+
+        def mk_diag(idx):
+            def cb(sl):
+                i = (sl[0].start or 0) // m
+                return chip_pack(i, i)[idx]
+
+            return jax.make_array_from_callback(
+                (n_p,), NamedSharding(mesh, P(ROWS)), cb)
+
+        operand = (mk_plane(0), mk_plane(1), mk_plane(2), mk_sc(3),
+                   mk_sc(4), mk_sc(5), mk_diag(6), mk_diag(7))
+        return Symm2DOperator(operand, n, n_p, mesh, tb, storage="fq")
 
     @staticmethod
     def from_dense(a, mesh=None, tb=None, precision="df64"):
@@ -718,16 +913,16 @@ class Symm2DOperator(LinearOperator):
         dpos = np.asarray([li * (li + 1) // 2 + li for li in range(c)],
                           np.int32)
 
-        if self._storage == "dfq":
+        if self._storage in ("dfq", "fq"):
 
             def local_diag(operand):
                 # the diagonal lives in the operand as a P(ROWS) df64
                 # pair, already replicated over COLS
-                _, _, _, dh, dl = operand
+                dh, dl = operand[-2], operand[-1]
                 return dh.astype(jnp.float64) + dl.astype(jnp.float64)
 
             mapped = shard_map(local_diag, mesh=self.mesh,
-                               in_specs=(_operand_spec("dfq"),),
+                               in_specs=(_operand_spec(self._storage),),
                                out_specs=P(ROWS), check_vma=False)
             return jax.jit(mapped)(self.operand)
 

@@ -89,12 +89,7 @@ class ConjugateGradient:
                     return row_block_fn(r0, h)[:, c0:c0 + w]
             base2d = self._base_precision()
             engine2d = self.engine
-            if base2d == "fq":
-                raise ValueError(
-                    "precision='fq'/'irfq' is not available on the 2-D "
-                    "grid; use 'dfq'/'irq' there, or backend="
-                    "'local'/'sharded' for fq")
-            if base2d == "dfq" and engine2d == "auto":
+            if base2d in ("dfq", "fq") and engine2d == "auto":
                 engine2d = "pallas_symm_packed"
             if engine2d in ("pallas_symm", "pallas_symm_packed"):
                 # symmetric 2-D grid: each element stored ONCE across
@@ -102,16 +97,23 @@ class ConjugateGradient:
                 # mirrors) AND O(N/R) per-iteration exchange
                 # (lam_tpu/parallel/pcg2d_symm.py); dfq/irq quantizes
                 # the lo plane (6 B/element stored once mesh-wide)
-                if base2d not in ("auto", "df64", "dfq"):
+                if base2d not in ("auto", "df64", "dfq", "fq"):
                     raise ValueError(
                         f"--backend sharded2d --engine {engine2d} "
-                        "supports precision df64/ir/dfq/irq (the df64 "
-                        "pair or its quantized-lo form is the storage "
-                        "layout)")
+                        "supports precision df64/ir/dfq/irq/fq/irfq "
+                        "(the df64 pair or a quantized form is the "
+                        "storage layout)")
                 from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
                 return Symm2DOperator.from_block_fn(
                     block_fn, n, mesh=self._mesh,
-                    precision="dfq" if base2d == "dfq" else "df64")
+                    precision=(base2d if base2d in ("dfq", "fq")
+                               else "df64"))
+            if base2d in ("dfq", "fq"):
+                raise ValueError(
+                    f"--backend sharded2d --engine {engine2d} supports "
+                    "precision f64/f32/df64/ir; the quantized storages "
+                    "(dfq/irq/fq/irfq) exist only on the symmetric "
+                    "grid (engine pallas_symm_packed or auto)")
             from lam_tpu.parallel.pcg2d import Sharded2DOperator
             return Sharded2DOperator.from_block_fn(
                 block_fn, n, mesh=self._mesh,

@@ -180,11 +180,12 @@ def test_fq_error_paths():
     asym = np.triu(np.ones((512, 512)))
     with pytest.raises(ValueError, match="symmetric"):
         DenseOperator.from_dense(asym, precision="fq")
-    # fq/irfq runs local and 1-D sharded (band-pair operator,
-    # tests/test_sharded.py::test_symm_sharded_fq_*); the 2-D grid has
-    # no fq form yet and rejects cleanly
+    # fq/irfq runs on every backend (local, 1-D band-pair, 2-D grid —
+    # tests/test_sharded.py::test_symm_sharded_fq_*,
+    # tests/test_sharded2d_symm.py::test_sym2d_fq_*); a non-symmetric
+    # 2-D engine rejects cleanly
     from lam_tpu.solver.api import ConjugateGradient
     cg = ConjugateGradient(backend="sharded2d", precision="irfq",
-                           n_devices=4)
-    with pytest.raises(ValueError, match="not available"):
+                           engine="pallas", n_devices=4)
+    with pytest.raises(ValueError, match="symmetric grid"):
         cg.generate_matrix(512)

@@ -342,3 +342,65 @@ def test_sym2d_irq_via_api(mesh2x2, tmp_path):
     assert cg.solve(max_iters=10000, rel_error=1e-9)
     x = cg.x[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_sym2d_fq_matvec_diag_capacity(mesh2x2):
+    """2-D fq (round 3b): the three-int16 cascade stored ONCE across
+    the grid (6 B/element); accurate matvec at the ~2^-48 storage
+    bound (off-TPU path reconstructs in genuine f64); diagonal as a
+    P(ROWS) df64 pair; the f32 view reads only the 2-byte q1 plane."""
+    a, _ = _spd_system(n=700, seed=91)
+    p = gen.random_rhs(700, seed=7)
+    op = Symm2DOperator.from_dense(a, mesh=mesh2x2, tb=TB,
+                                   precision="fq")
+    assert op._storage == "fq" and op.precision == "fq"
+    q1, q2, q3, s1, s2, s3, dh, dl = op.operand
+    assert q1.dtype == q2.dtype == q3.dtype == np.int16
+    assert q1.shape == q2.shape == q3.shape
+    assert dh.shape == (op.n_padded,) and dl.shape == (op.n_padded,)
+    ref = a @ p
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:700]
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-11
+    d = np.asarray(op.diagonal())[:700]
+    np.testing.assert_allclose(d, np.diagonal(a), rtol=0, atol=1e-12)
+    op32 = op.as_f32()
+    assert op32.operand is op.operand
+    y32 = np.asarray(op32.matvec(op32.prepare_b(
+        p.astype(np.float32))), np.float64)[:700]
+    assert np.linalg.norm(y32 - ref) / np.linalg.norm(ref) < 1e-3
+
+
+def test_sym2d_fq_cg_and_irfq(mesh2x2):
+    a, b = _spd_system(n=700, seed=92)
+    op = Symm2DOperator.from_dense(a, mesh=mesh2x2, tb=TB,
+                                   precision="fq")
+    bn = np.linalg.norm(b)
+    res = cg_solve(op, b, max_iters=2000, rel_error=1e-9)
+    _, iters_ref, _, conv_ref = oracle_cg(a, b, 2000, 1e-9)
+    assert bool(res.converged) and conv_ref
+    assert abs(int(res.num_iters) - iters_ref) <= max(3, iters_ref // 20)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)[:700]) / bn < 1e-8
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=10000,
+                       rel_error=1e-9, inner_floor=1e-2)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - a @ np.asarray(res2.x)[:700]) / bn < 1e-8
+
+
+def test_sym2d_irfq_via_api(mesh2x2, tmp_path):
+    """backend='sharded2d' + precision='irfq' routes to the fq grid
+    (engine auto -> pallas_symm_packed), through the file path."""
+    from lam_tpu import io as lio
+    from lam_tpu.solver.api import ConjugateGradient
+    n = 700
+    a, b = _spd_system(n=n, seed=93)
+    mp, bp = tmp_path / "m.bin", tmp_path / "b.bin"
+    lio.write_matrix(str(mp), a)
+    lio.write_matrix(str(bp), b)
+    cg = ConjugateGradient(backend="sharded2d", precision="irfq",
+                           n_devices=4)
+    assert cg.load_matrix_from_file(str(mp))
+    assert cg.load_rhs_from_file(str(bp))
+    assert cg.op._storage == "fq"
+    assert cg.solve(max_iters=10000, rel_error=1e-9)
+    x = cg.x[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8

@@ -292,3 +292,27 @@ def test_sharded_fq_slab_kernels_hardware_accuracy(tpu_backend,
     x2 = np.asarray(res2.x)
     assert bool(res2.converged)
     assert np.linalg.norm(b - a @ x2) / np.linalg.norm(b) < 2e-9
+
+
+def test_sym2d_fq_hardware_accuracy(tpu_backend, spd_system):
+    # fq on the 2-D grid, 1x1 mesh: lax.switch compiles ALL branches,
+    # so the dual fq kernels (gemv_fq_dual / gemv_q16_dual) must pass
+    # Mosaic lowering even though only the diagonal branch executes;
+    # the executed path checks the ~2^-48 storage bound and irfq lands
+    # a true 1e-9 residual through the grid program.
+    from lam_tpu import cg_solve_ir
+    from lam_tpu.parallel.pcg2d import make_mesh2d
+    from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+    a, b = spd_system
+    n = a.shape[0]
+    op = Symm2DOperator.from_dense(a, mesh=make_mesh2d(1),
+                                   precision="fq")
+    rng = np.random.default_rng(18)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    assert _rel(y, a @ p) < 1e-12
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-9, inner_floor=1e-2)
+    x = np.asarray(res.x)[:n]
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
