@@ -210,12 +210,6 @@ def _cli_main(argv=None):
     if not mode_generate and not mode_load:
         # reference defaults to file mode paths when nothing is given
         mode_load = True
-    if args.preconditioner and args.checkpoint:
-        # the resumable segmented driver has no PCG plumbing — reject
-        # rather than silently running unpreconditioned CG
-        print("--preconditioner cannot be used with --checkpoint.",
-              file=sys.stderr)
-        return 1
 
     import os
     import time
@@ -306,6 +300,10 @@ def _cli_main(argv=None):
                 # round 3: ir checkpoints at refinement-CYCLE
                 # boundaries (the natural restart points;
                 # --checkpoint-every does not apply)
+                if args.preconditioner:
+                    raise ValueError(
+                        "preconditioner is not combinable with "
+                        f"precision={cg.precision!r}")
                 result, _ = ckpt.cg_solve_ir_resumable(
                     cg.op.as_f32(), cg.op, cg.rhs,
                     max_iters=args.max_iters, rel_error=args.rel_error,
@@ -316,7 +314,8 @@ def _cli_main(argv=None):
                     cg.op, cg.rhs, max_iters=args.max_iters,
                     rel_error=args.rel_error,
                     segment=args.checkpoint_every,
-                    checkpoint_path=args.checkpoint, resume=args.resume)
+                    checkpoint_path=args.checkpoint, resume=args.resume,
+                    preconditioner=args.preconditioner)
             dt = _time.perf_counter() - t0
             converged = cg.record_result(result, dt)
         else:

@@ -10,7 +10,10 @@ this module adds the missing capability:
     continues exactly (same recurrence, same convergence contract);
   * `cg_solve_resumable` runs the on-device loop in segments, optionally
     persisting state every segment (reference binary format per vector +
-    a JSON sidecar), and can resume from a checkpoint file;
+    a JSON sidecar), and can resume from a checkpoint file — for plain
+    CG and (round 3) Jacobi PCG, whose restart point adds the carried
+    rz product; the sidecar is kind-tagged so the two recurrences
+    cannot be cross-resumed;
   * per-segment wall times give honest in-loop avg-iteration numbers
     (the reference times every iteration on the host; we keep the loop
     on device and sample at segment granularity).
@@ -41,6 +44,19 @@ class CGState(NamedTuple):
     k: jax.Array  # completed iterations (int32)
 
 
+class PCGState(NamedTuple):
+    """Jacobi-PCG restart point: the plain-CG state plus the
+    preconditioned inner product rz = <r, M^-1 r> the recurrence
+    carries (lam_tpu/solver/cg.py:_pcg_loop)."""
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rz: jax.Array
+    rr: jax.Array
+    bb: jax.Array
+    k: jax.Array  # completed iterations (int32)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _cg_segment(matvec_dot, operand, state, k_stop, rel_error):
     """Continue the reference-order CG recurrence until k_stop or
@@ -65,37 +81,91 @@ def _cg_segment(matvec_dot, operand, state, k_stop, rel_error):
     return jax.lax.while_loop(cond, body, state)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pcg_segment(matvec_dot, operand, inv_diag, state, k_stop, rel_error):
+    """Continue the Jacobi-PCG recurrence (same body as _pcg_loop,
+    lam_tpu/solver/cg.py:101-112) until k_stop or convergence, starting
+    from an arbitrary PCGState. Convergence stays on the
+    UNpreconditioned relative residual sqrt(rr/bb)."""
+    eps = jnp.asarray(rel_error, state.x.dtype)
+    bb = state.bb
+
+    def cond(s):
+        return jnp.logical_and(s.k < k_stop,
+                               jnp.sqrt(s.rr / bb) >= eps)
+
+    def body(s):
+        ap, p_ap = matvec_dot(operand, s.p)
+        alpha = s.rz / p_ap
+        x = s.x + alpha * s.p
+        r = s.r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.vdot(r, z)
+        rr_new = jnp.vdot(r, r)
+        beta = rz_new / s.rz
+        p = z + beta * s.p
+        return PCGState(x=x, r=r, p=p, rz=rz_new, rr=rr_new, bb=bb,
+                        k=s.k + 1)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
 def initial_state(op, b_padded):
     bb = jnp.vdot(b_padded, b_padded)
     return CGState(x=jnp.zeros_like(b_padded), r=b_padded, p=b_padded,
                    rr=bb, bb=bb, k=jnp.int32(0))
 
 
+def initial_pcg_state(op, b_padded, inv_diag):
+    bb = jnp.vdot(b_padded, b_padded)
+    z0 = inv_diag * b_padded
+    return PCGState(x=jnp.zeros_like(b_padded), r=b_padded, p=z0,
+                    rz=jnp.vdot(b_padded, z0), rr=bb, bb=bb,
+                    k=jnp.int32(0))
+
+
 def save_state(path, state, n):
-    """Persist a CGState: vectors in the reference binary format plus a
-    JSON sidecar with the scalars."""
+    """Persist a CGState or PCGState: vectors in the reference binary
+    format plus a JSON sidecar with the scalars (PCG adds "kind" and
+    the carried rz product)."""
     os.makedirs(path, exist_ok=True)
     for name in ("x", "r", "p"):
         lio.write_matrix(os.path.join(path, f"{name}.bin"),
                          np.asarray(getattr(state, name)))
+    meta = {"rr": float(state.rr), "bb": float(state.bb),
+            "k": int(state.k), "n": int(n),
+            "n_padded": int(state.x.shape[0])}
+    if isinstance(state, PCGState):
+        meta["kind"] = "pcg"
+        meta["rz"] = float(state.rz)
     with open(os.path.join(path, "state.json"), "w") as f:
-        json.dump({"rr": float(state.rr), "bb": float(state.bb),
-                   "k": int(state.k), "n": int(n),
-                   "n_padded": int(state.x.shape[0])}, f)
+        json.dump(meta, f)
 
 
-def load_state(path, op):
+def load_state(path, op, kind="cg"):
     with open(os.path.join(path, "state.json")) as f:
         meta = json.load(f)
     if meta["n"] != op.n or meta["n_padded"] != op.n_padded:
         raise ValueError(
             f"checkpoint is for n={meta['n']}/pad={meta['n_padded']}, "
             f"operator has n={op.n}/pad={op.n_padded}")
+    stored = meta.get("kind", "cg")
+    if stored != kind:
+        raise ValueError(
+            f"checkpoint was written by a {stored!r} solve; cannot "
+            f"resume it as {kind!r} (the recurrences carry different "
+            "state)")
     vecs = {}
     for name in ("x", "r", "p"):
         v = lio.read_vector(os.path.join(path, f"{name}.bin"))
         vecs[name] = jnp.asarray(v, dtype=op.vector_dtype)
     dt = op.vector_dtype
+    if kind == "pcg":
+        return PCGState(x=vecs["x"], r=vecs["r"], p=vecs["p"],
+                        rz=jnp.asarray(meta["rz"], dt),
+                        rr=jnp.asarray(meta["rr"], dt),
+                        bb=jnp.asarray(meta["bb"], dt),
+                        k=jnp.int32(meta["k"]))
     return CGState(x=vecs["x"], r=vecs["r"], p=vecs["p"],
                    rr=jnp.asarray(meta["rr"], dt),
                    bb=jnp.asarray(meta["bb"], dt), k=jnp.int32(meta["k"]))
@@ -103,21 +173,36 @@ def load_state(path, op):
 
 def cg_solve_resumable(op, b, *, max_iters=1000, rel_error=1e-9,
                        segment=100, checkpoint_path=None, resume=False,
-                       on_segment=None):
+                       on_segment=None, preconditioner=None):
     """Segmented CG with optional checkpointing.
 
     Runs `segment` iterations per device call; after each segment the
     state may be persisted (`checkpoint_path`) and `on_segment(state,
     seg_seconds)` is invoked (timing hook). `resume=True` restarts from
-    the checkpoint. Returns the usual CGResult plus per-segment timings.
+    the checkpoint. preconditioner="jacobi" runs the diagonal-scaled
+    recurrence instead (same trajectory as cg_solve(...,
+    preconditioner="jacobi"); the sidecar tags the checkpoint so the
+    two recurrences cannot be cross-resumed). Returns the usual
+    CGResult plus per-segment timings.
     """
+    if preconditioner not in (None, "jacobi"):
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
     b_padded = op.prepare_b(b)
+    inv_d = None
+    if preconditioner == "jacobi":
+        d = op.diagonal()
+        # padded entries have d == 0; their residual is 0 anyway (see
+        # LinearOperator.run_pcg) — use 1 to avoid inf*0
+        inv_d = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+    kind = "cg" if inv_d is None else "pcg"
     if resume:
         if not checkpoint_path:
             raise ValueError("resume=True requires checkpoint_path")
-        state = load_state(checkpoint_path, op)
-    else:
+        state = load_state(checkpoint_path, op, kind=kind)
+    elif inv_d is None:
         state = initial_state(op, b_padded)
+    else:
+        state = initial_pcg_state(op, b_padded, inv_d)
 
     seg_times = []
     matvec_dot = op._matvec_dot_fn
@@ -130,8 +215,12 @@ def cg_solve_resumable(op, b, *, max_iters=1000, rel_error=1e-9,
             break
         k_stop = jnp.int32(min(k_now + segment, max_iters))
         t0 = time.perf_counter()
-        state = _cg_segment(matvec_dot, op.operand, state, k_stop,
-                            rel_error)
+        if inv_d is None:
+            state = _cg_segment(matvec_dot, op.operand, state, k_stop,
+                                rel_error)
+        else:
+            state = _pcg_segment(matvec_dot, op.operand, inv_d, state,
+                                 k_stop, rel_error)
         float(state.rr)  # force execution before timing
         dt = time.perf_counter() - t0
         seg_times.append((int(state.k) - k_now, dt))

@@ -96,6 +96,95 @@ def test_resumable_on_sharded_and_symm_backends(tmp_path):
         assert np.linalg.norm(b - a @ x) / bn < 1e-8
 
 
+def _badly_scaled_system(n=96, seed=87):
+    a = gen.random_spd_matrix(n, seed=seed)
+    s = np.exp(np.linspace(0, 4, n))
+    return a * np.outer(s, s), gen.random_rhs(n, seed + 1)
+
+
+def test_pcg_segmented_equals_monolithic():
+    """Jacobi-PCG through the resumable driver follows the exact
+    trajectory of cg_solve(..., preconditioner='jacobi')."""
+    a, b = _badly_scaled_system()
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    mono = cg_solve(op, b, max_iters=3000, rel_error=1e-9,
+                    preconditioner="jacobi")
+    seg, seg_times = ckpt.cg_solve_resumable(op, b, max_iters=3000,
+                                             rel_error=1e-9, segment=17,
+                                             preconditioner="jacobi")
+    assert int(seg.num_iters) == int(mono.num_iters)
+    np.testing.assert_allclose(np.asarray(seg.x), np.asarray(mono.x),
+                               rtol=1e-12, atol=1e-14)
+    assert sum(k for k, _ in seg_times) == int(seg.num_iters)
+
+
+def test_pcg_checkpoint_resume_roundtrip(tmp_path):
+    a, b = _badly_scaled_system(seed=91)
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    ck = str(tmp_path / "ck")
+    partial, _ = ckpt.cg_solve_resumable(op, b, max_iters=30,
+                                         rel_error=1e-9, segment=10,
+                                         checkpoint_path=ck,
+                                         preconditioner="jacobi")
+    assert not bool(partial.converged)
+    resumed, _ = ckpt.cg_solve_resumable(op, b, max_iters=3000,
+                                         rel_error=1e-9, segment=50,
+                                         checkpoint_path=ck, resume=True,
+                                         preconditioner="jacobi")
+    assert bool(resumed.converged)
+    mono = cg_solve(op, b, max_iters=3000, rel_error=1e-9,
+                    preconditioner="jacobi")
+    # same recurrence modulo the exact f64 roundtrip of the vectors;
+    # rr/rz scalars roundtrip through JSON floats exactly too
+    assert int(resumed.num_iters) == int(mono.num_iters)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(mono.x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_pcg_checkpoint_kind_mismatch_rejected(tmp_path):
+    import pytest
+    a, b = _badly_scaled_system(seed=95)
+    op = DenseOperator.from_dense(a, precision="f64", engine="xla")
+    ck = str(tmp_path / "ck")
+    ckpt.cg_solve_resumable(op, b, max_iters=10, rel_error=1e-9,
+                            segment=10, checkpoint_path=ck,
+                            preconditioner="jacobi")
+    with pytest.raises(ValueError, match="pcg"):
+        ckpt.cg_solve_resumable(op, b, max_iters=10, rel_error=1e-9,
+                                checkpoint_path=ck, resume=True)
+    ck2 = str(tmp_path / "ck2")
+    ckpt.cg_solve_resumable(op, b, max_iters=10, rel_error=1e-9,
+                            segment=10, checkpoint_path=ck2)
+    with pytest.raises(ValueError, match="cg"):
+        ckpt.cg_solve_resumable(op, b, max_iters=10, rel_error=1e-9,
+                                checkpoint_path=ck2, resume=True,
+                                preconditioner="jacobi")
+
+
+def test_pcg_resumable_sharded(tmp_path):
+    """Checkpointed PCG on the band-pair symmetric sharded operator —
+    backend-generic like the plain resumable driver."""
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+
+    a, b = _badly_scaled_system(n=256, seed=99)
+    bn = np.linalg.norm(b)
+    op = SymmShardedOperator.from_dense(a, mesh=make_mesh(4), tb=128)
+    ck = str(tmp_path / "ck")
+    res, segs = ckpt.cg_solve_resumable(op, b, max_iters=40, segment=20,
+                                        rel_error=1e-9,
+                                        checkpoint_path=ck,
+                                        preconditioner="jacobi")
+    assert int(res.num_iters) == 40 and len(segs) == 2
+    res2, _ = ckpt.cg_solve_resumable(op, b, max_iters=5000, segment=500,
+                                      rel_error=1e-9,
+                                      checkpoint_path=ck, resume=True,
+                                      preconditioner="jacobi")
+    assert bool(res2.converged)
+    x = np.asarray(res2.x)
+    assert np.linalg.norm(b - a @ x) / bn < 1e-8
+
+
 # --- resumable ir (round 3; VERDICT.md item 7) ------------------------------
 
 

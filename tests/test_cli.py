@@ -200,11 +200,33 @@ def test_cli_ir_checkpoint_runs(tmp_path, capsys):
     np.testing.assert_array_equal(x1, x2)
 
 
-def test_cli_preconditioner_checkpoint_rejected(tmp_path, capsys):
-    """The resumable driver has no PCG plumbing; combining the flags
-    must error rather than silently run unpreconditioned CG."""
+def test_cli_preconditioner_checkpoint_composes(tmp_path, capsys):
+    """--preconditioner jacobi composes with --checkpoint (round 3
+    closes the last rejected combination: the resumable driver gained
+    PCG plumbing). ir+preconditioner stays rejected — the refinement
+    loop is its own accelerator."""
+    ck = str(tmp_path / "ck")
+    rc = cli.main(["-s", "200", "--preconditioner", "jacobi",
+                   "--precision", "f64", "-e", "1e-9", "-i", "2000",
+                   "--checkpoint", ck, "--checkpoint-every", "50",
+                   "-o", str(tmp_path / "sol.bin")])
+    assert rc == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert int(row[6]) < 2000 and float(row[7]) < 1e-9  # converged
+    import json
+    import os
+    with open(os.path.join(ck, "state.json")) as f:
+        assert json.load(f)["kind"] == "pcg"
+    # resuming the PCG checkpoint as plain CG must be refused
+    rc = cli.main(["-s", "200", "--precision", "f64",
+                   "--checkpoint", ck, "--resume",
+                   "-o", str(tmp_path / "sol2.bin")])
+    assert rc == 1
+    capsys.readouterr()
+    # ir + preconditioner + checkpoint: clean one-line rejection
     rc = cli.main(["-s", "64", "--preconditioner", "jacobi",
-                   "--checkpoint", str(tmp_path / "ck")])
+                   "--precision", "ir",
+                   "--checkpoint", str(tmp_path / "ck2")])
     assert rc == 1
     capsys.readouterr()
 
