@@ -91,18 +91,47 @@ def rows(n, a, b, bnorm, iters_ref):
                cg_solve_ir(pop.as_f32(), pop, b, max_iters=10000,
                            rel_error=1e-9),
                n * 4)
+        # fully-quantized storage (round 3b): the irfq inner reads only
+        # the 2-byte q1 plane; the exchanged VECTORS stay f32, so the
+        # per-iteration comm bytes match ir
+        fop = SymmShardedOperator.from_dense(a, mesh=mesh, tb=128,
+                                             precision="fq")
+        record("symm_bandpair_irfq", g,
+               cg_solve_ir(fop.as_f32(), fop, b, max_iters=10000,
+                           rel_error=1e-9, inner_floor=1e-2),
+               n * 4)
 
     # 2-D grid (square mesh sizes only): transpose ppermute + psum of
     # N/R values per chip — the O(N/sqrt(G)) exchange
     import math
     from lam_tpu.parallel.pcg2d import Sharded2DOperator, make_mesh2d
+    from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
     for g in (1, 4):
         r = math.isqrt(g)
-        op2 = Sharded2DOperator.from_dense(a, mesh=make_mesh2d(r),
+        mesh2 = make_mesh2d(r)
+        op2 = Sharded2DOperator.from_dense(a, mesh=mesh2,
                                            precision="f64")
         record("sharded2d", g,
                cg_solve(op2, b, max_iters=2000, rel_error=1e-9),
                (n // r) * 8 * 2)
+        # symmetric 2-D grid (round 3): each element stored once
+        # mesh-wide, mirrored by the dual walk; same O(N/R) exchange
+        sop2 = Symm2DOperator.from_dense(a, mesh=mesh2, tb=128)
+        record("sym2d", g,
+               cg_solve(sop2, b, max_iters=2000, rel_error=1e-9),
+               (n // r) * 8 * 2)
+        record("sym2d_ir", g,
+               cg_solve_ir(sop2.as_f32(), sop2, b, max_iters=10000,
+                           rel_error=1e-9),
+               (n // r) * 4 * 2)
+        # fully-quantized on the 2-D grid (round 3b; dual q16/fq
+        # kernels) — vectors stay f32, comm matches ir
+        fop2 = Symm2DOperator.from_dense(a, mesh=mesh2, tb=128,
+                                         precision="fq")
+        record("sym2d_irfq", g,
+               cg_solve_ir(fop2.as_f32(), fop2, b, max_iters=10000,
+                           rel_error=1e-9, inner_floor=1e-2),
+               (n // r) * 4 * 2)
 
     return out
 
