@@ -188,17 +188,18 @@ def _make_mv_pair(r, m, tb, which, storage="df64"):
                 # off-TPU: genuine-f64 XLA math (interpret-mode f32
                 # compensation is defeated by excess precision — same
                 # policy as pcg_symm._make_mv_acc)
-                lo_t = (lo if lo.shape == (tb, tb)
-                        else None)
+                # lo may be a single broadcast tile (zeros, f32
+                # storage) rather than a full plane; dense64 only adds
+                # it in the full-plane case
+                lo_is_plane = lo.shape != (tb, tb)
 
                 def diag(_):
-                    lo_d = lo_t if lo_t is not None else lo
-                    return (_packed_mv_jnp(hi, lo_d, it_c, kt_c, p_own),
+                    return (_packed_mv_jnp(hi, lo, it_c, kt_c, p_own),
                             zero_blk)
 
                 def dense64():
                     s = _rect_tiles_dense(hi, c2, c, tb, jnp.float64)
-                    if lo_t is None:
+                    if lo_is_plane:
                         s = s + _rect_tiles_dense(lo, c2, c, tb,
                                                   jnp.float64)
                     return s
@@ -619,12 +620,10 @@ class Symm2DOperator(LinearOperator):
          sharding) = _geometry(n, mesh, tb)
         rows_per_chip = T * tb
 
-        if precision == "dfq":
-            return Symm2DOperator._from_block_fn_dfq(
-                block_fn, n, mesh, tb, r, n_p, m, c, T, sharding)
-        if precision == "fq":
-            return Symm2DOperator._from_block_fn_fq(
-                block_fn, n, mesh, tb, r, n_p, m, c, T, sharding)
+        if precision in ("dfq", "fq"):
+            return Symm2DOperator._from_block_fn_quantized(
+                block_fn, n, mesh, tb, r, n_p, m, c, T, sharding,
+                precision)
         if precision != "df64":
             raise ValueError(
                 f"Symm2DOperator precision must be 'df64', 'dfq' or "
@@ -649,77 +648,21 @@ class Symm2DOperator(LinearOperator):
         return Symm2DOperator(operand, n, n_p, mesh, tb)
 
     @staticmethod
-    def _from_block_fn_dfq(block_fn, n, mesh, tb, r, n_p, m, c, T,
-                           sharding):
-        from lam_tpu.ops.gemv import quantize_lo_tiles
-        from lam_tpu.solver.operators import split_f64_host
+    def _from_block_fn_quantized(block_fn, n, mesh, tb, r, n_p, m, c,
+                                 T, sharding, storage):
+        """Per-chip quantized pack, shared by storage='dfq' (f32 hi +
+        int16 lo) and storage='fq' (round 3b: the three-int16 cascade
+        whose inner view reads only the 2-byte q1 plane) — 6 B/element
+        stored once across the grid either way, the matrix diagonal
+        (from the diagonal chips' walk) extracted to a P(ROWS) df64
+        pair BEFORE quantization so it cannot set the tiles' scales.
+        Operand order is (planes..., scales..., dh, dl) —
+        QUANT_LAYOUT in solver/operators.py."""
+        from lam_tpu.solver.operators import (QUANT_LAYOUT,
+                                              quantize_storage_tiles)
         rows_per_chip = T * tb
-        cache = {}
-
-        def chip_pack(i, j):
-            if (i, j) not in cache:
-                packed = _pack_chip_block(block_fn, n, n_p, m, tb, i, j)
-                dh = np.zeros((m,), np.float32)
-                dl = np.zeros((m,), np.float32)
-                if i == j:
-                    # extract the matrix diagonal from the triangle
-                    # walk's diagonal tiles BEFORE the split/quantize
-                    for li in range(c):
-                        t = li * (li + 1) // 2 + li
-                        tile = packed[t * tb:(t + 1) * tb]
-                        dv = np.diagonal(tile).copy()
-                        dhi = dv.astype(np.float32)
-                        dh[li * tb:(li + 1) * tb] = dhi
-                        dl[li * tb:(li + 1) * tb] = (
-                            dv - dhi.astype(np.float64)
-                        ).astype(np.float32)
-                        np.fill_diagonal(
-                            packed[t * tb:(t + 1) * tb], 0.0)
-                hi, lo = split_f64_host(packed)
-                loq, sc = quantize_lo_tiles(lo, tb)
-                cache[(i, j)] = (hi, loq, sc, dh, dl)
-            return cache[(i, j)]
-
-        def mk_plane(idx):
-            def cb(sl):
-                i = (sl[0].start or 0) // rows_per_chip
-                j = (sl[1].start or 0) // tb
-                return chip_pack(i, j)[idx]
-
-            return jax.make_array_from_callback(
-                (r * rows_per_chip, r * tb), sharding, cb)
-
-        def mk_sc():
-            def cb(sl):
-                i = (sl[0].start or 0) // T
-                j = sl[1].start or 0
-                return chip_pack(i, j)[2][:, None]
-
-            return jax.make_array_from_callback((r * T, r), sharding,
-                                                cb)
-
-        def mk_diag(idx):
-            def cb(sl):
-                i = (sl[0].start or 0) // m
-                return chip_pack(i, i)[idx]
-
-            return jax.make_array_from_callback(
-                (n_p,), NamedSharding(mesh, P(ROWS)), cb)
-
-        operand = (mk_plane(0), mk_plane(1), mk_sc(), mk_diag(3),
-                   mk_diag(4))
-        return Symm2DOperator(operand, n, n_p, mesh, tb, storage="dfq")
-
-    @staticmethod
-    def _from_block_fn_fq(block_fn, n, mesh, tb, r, n_p, m, c, T,
-                          sharding):
-        """Per-chip FULLY-quantized pack (round 3b): triangle/half-slab
-        buffers as the three-int16 cascade, the matrix diagonal (from
-        the diagonal chips' walk) as a P(ROWS) df64 pair — 6 B/element
-        stored once across the grid, the inner view reading only the
-        2-byte q1 plane."""
-        from lam_tpu.ops.gemv import quantize_fq_tiles
-        rows_per_chip = T * tb
+        plane_dtypes, n_scales = QUANT_LAYOUT[storage]
+        n_planes = len(plane_dtypes)
         cache = {}
 
         def chip_pack(i, j):
@@ -739,8 +682,9 @@ class Symm2DOperator(LinearOperator):
                         ).astype(np.float32)
                         np.fill_diagonal(
                             packed[t * tb:(t + 1) * tb], 0.0)
-                q1, q2, q3, s1, s2, s3 = quantize_fq_tiles(packed, tb)
-                cache[(i, j)] = (q1, q2, q3, s1, s2, s3, dh, dl)
+                cache[(i, j)] = (*quantize_storage_tiles(storage,
+                                                         packed, tb),
+                                 dh, dl)
             return cache[(i, j)]
 
         def mk_plane(idx):
@@ -769,9 +713,12 @@ class Symm2DOperator(LinearOperator):
             return jax.make_array_from_callback(
                 (n_p,), NamedSharding(mesh, P(ROWS)), cb)
 
-        operand = (mk_plane(0), mk_plane(1), mk_plane(2), mk_sc(3),
-                   mk_sc(4), mk_sc(5), mk_diag(6), mk_diag(7))
-        return Symm2DOperator(operand, n, n_p, mesh, tb, storage="fq")
+        nd = n_planes + n_scales
+        operand = (*(mk_plane(j) for j in range(n_planes)),
+                   *(mk_sc(n_planes + j) for j in range(n_scales)),
+                   mk_diag(nd), mk_diag(nd + 1))
+        return Symm2DOperator(operand, n, n_p, mesh, tb,
+                              storage=storage)
 
     @staticmethod
     def from_dense(a, mesh=None, tb=None, precision="df64"):

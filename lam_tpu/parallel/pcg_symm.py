@@ -459,14 +459,10 @@ class SymmShardedOperator(LinearOperator):
         (mesh, tb, axis, g, n_p, m, tables,
          a_sharding) = _geometry(n, mesh, tb)
 
-        if precision == "dfq":
-            return SymmShardedOperator._from_row_block_fn_dfq(
+        if precision in ("dfq", "fq"):
+            return SymmShardedOperator._from_row_block_fn_quantized(
                 row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
-                a_sharding)
-        if precision == "fq":
-            return SymmShardedOperator._from_row_block_fn_fq(
-                row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
-                a_sharding)
+                a_sharding, precision)
         if precision != "df64":
             raise ValueError(
                 f"SymmShardedOperator precision must be 'df64', 'dfq' "
@@ -540,25 +536,32 @@ class SymmShardedOperator(LinearOperator):
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
 
     @staticmethod
-    def _from_row_block_fn_dfq(row_block_fn, n, mesh, tb, axis, g, n_p,
-                               m, tables, a_sharding):
-        """Per-chip quantized-lo pack: each chip's walk tiles stored as
-        f32 hi + int16 lo (per-tile power-of-two scale) with its bands'
-        diagonal extracted to a slab-order df64 pair. One read of the
-        chip's rows (row-block cache, as the packed df64 path); a
-        process only packs chips it addresses (callback placement)."""
-        from lam_tpu.ops.gemv import quantize_lo_tiles
-        from lam_tpu.solver.operators import split_f64_host
+    def _from_row_block_fn_quantized(row_block_fn, n, mesh, tb, axis,
+                                     g, n_p, m, tables, a_sharding,
+                                     storage):
+        """Per-chip quantized pack, shared by storage='dfq' (f32 hi +
+        int16 lo against per-tile power-of-two scales) and
+        storage='fq' (round 3b: the three-int16 cascade whose inner
+        matvec reads only the 2-byte q1 plane; 6 B/element either
+        way). Each chip's bands' diagonal is extracted to a slab-order
+        df64 pair. One read of the chip's rows (row-block cache, as
+        the packed df64 path); a process only packs chips it addresses
+        (callback placement). Operand order is (planes..., scales...,
+        dh, dl, walk tables) — QUANT_LAYOUT in solver/operators.py."""
+        from lam_tpu.solver.operators import (QUANT_LAYOUT,
+                                              quantize_storage_tiles)
         its, kts, lts = tables
         T = its.shape[1]
         L = T * tb
+        plane_dtypes, n_scales = QUANT_LAYOUT[storage]
+        n_planes = len(plane_dtypes)
         cache = {}
 
         def chip_pack(c):
             if c not in cache:
-                hi = np.empty((L, tb), np.float32)
-                loq = np.empty((L, tb), np.int16)
-                sc = np.zeros((T,), np.float32)
+                planes = [np.empty((L, tb), dt) for dt in plane_dtypes]
+                scales = [np.zeros((T,), np.float32)
+                          for _ in range(n_scales)]
                 dh = np.zeros((2 * m,), np.float32)
                 dl = np.zeros((2 * m,), np.float32)
                 cur_i, rows = -1, None
@@ -585,99 +588,13 @@ class SymmShardedOperator(LinearOperator):
                             dv - dhi.astype(np.float64)
                         ).astype(np.float32)
                         np.fill_diagonal(tile, 0.0)
-                    bh, bl = split_f64_host(tile)
-                    hi[t * tb:(t + 1) * tb] = bh
-                    q, s = quantize_lo_tiles(bl, tb)
-                    loq[t * tb:(t + 1) * tb] = q
-                    sc[t] = s[0]
-                cache[c] = (hi, loq, sc, dh, dl)
-            return cache[c]
-
-        def chip_rows_cb(which, rows_pc, sl, total):
-            r = sl[0]
-            start = r.start or 0
-            stop = r.stop if r.stop is not None else total
-            chunks = []
-            pos = start
-            while pos < stop:
-                c, off = divmod(pos, rows_pc)
-                take = min(rows_pc - off, stop - pos)
-                chunks.append(chip_pack(c)[which][off:off + take])
-                pos += take
-            return np.concatenate(chunks, axis=0)
-
-        def mk_plane(which):
-            return jax.make_array_from_callback(
-                (g * L, tb), a_sharding,
-                lambda sl: chip_rows_cb(which, L, sl, g * L)[:, sl[1]])
-
-        def mk_sc():
-            def cb(sl):
-                r = sl[0]
-                cs = range(r.start or 0,
-                           r.stop if r.stop is not None else g)
-                return np.stack([chip_pack(c)[2] for c in cs])[:, sl[1]]
-
-            return jax.make_array_from_callback((g, T), a_sharding, cb)
-
-        def mk_diag(which):
-            return jax.make_array_from_callback(
-                (n_p,), NamedSharding(mesh, P(axis)),
-                lambda sl: chip_rows_cb(which, 2 * m, sl, n_p))
-
-        operand = (mk_plane(0), mk_plane(1), mk_sc(), mk_diag(3),
-                   mk_diag(4), *_table_arrays(tables, g, a_sharding))
-        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m,
-                                   tb, storage="dfq")
-
-    @staticmethod
-    def _from_row_block_fn_fq(row_block_fn, n, mesh, tb, axis, g, n_p,
-                              m, tables, a_sharding):
-        """Per-chip FULLY-quantized pack (round 3b): each chip's walk
-        tiles stored as the three-int16 cascade (quantize_fq_tiles)
-        with its bands' diagonal extracted to a slab-order df64 pair —
-        6 B/element per shard, and the inner matvec reads only the
-        2-byte q1 plane. Same chip/callback framing as the dfq pack."""
-        from lam_tpu.ops.gemv import quantize_fq_tiles
-        its, kts, lts = tables
-        T = its.shape[1]
-        L = T * tb
-        cache = {}
-
-        def chip_pack(c):
-            if c not in cache:
-                q1 = np.empty((L, tb), np.int16)
-                q2 = np.empty((L, tb), np.int16)
-                q3 = np.empty((L, tb), np.int16)
-                s1 = np.zeros((T,), np.float32)
-                s2 = np.zeros((T,), np.float32)
-                s3 = np.zeros((T,), np.float32)
-                dh = np.zeros((2 * m,), np.float32)
-                dl = np.zeros((2 * m,), np.float32)
-                cur_i, rows = -1, None
-                for t in range(T):
-                    i, k = int(its[c, t]), int(kts[c, t])
-                    if cur_i != i:
-                        rows = np.zeros((tb, n_p), np.float64)
-                        src = max(0, min(n - i * tb, tb))
-                        if src > 0:
-                            rows[:src, :n] = row_block_fn(i * tb, src)
-                        cur_i = i
-                    tile = rows[:, k * tb:(k + 1) * tb]
-                    if i == k:
-                        tile = tile.copy()
-                        dv = np.diagonal(tile).copy()
-                        dhi = dv.astype(np.float32)
-                        lt = int(lts[c, t])
-                        dh[lt * tb:(lt + 1) * tb] = dhi
-                        dl[lt * tb:(lt + 1) * tb] = (
-                            dv - dhi.astype(np.float64)
-                        ).astype(np.float32)
-                        np.fill_diagonal(tile, 0.0)
+                    out = quantize_storage_tiles(storage, tile, tb)
                     sl = slice(t * tb, (t + 1) * tb)
-                    (q1[sl], q2[sl], q3[sl], s1[t:t + 1], s2[t:t + 1],
-                     s3[t:t + 1]) = quantize_fq_tiles(tile, tb)
-                cache[c] = (q1, q2, q3, s1, s2, s3, dh, dl)
+                    for j in range(n_planes):
+                        planes[j][sl] = out[j]
+                    for j in range(n_scales):
+                        scales[j][t] = out[n_planes + j][0]
+                cache[c] = (*planes, *scales, dh, dl)
             return cache[c]
 
         def chip_rows_cb(which, rows_pc, sl, total):
@@ -713,11 +630,13 @@ class SymmShardedOperator(LinearOperator):
                 (n_p,), NamedSharding(mesh, P(axis)),
                 lambda sl: chip_rows_cb(which, 2 * m, sl, n_p))
 
-        operand = (mk_plane(0), mk_plane(1), mk_plane(2), mk_sc(3),
-                   mk_sc(4), mk_sc(5), mk_diag(6), mk_diag(7),
+        nd = n_planes + n_scales
+        operand = (*(mk_plane(j) for j in range(n_planes)),
+                   *(mk_sc(n_planes + j) for j in range(n_scales)),
+                   mk_diag(nd), mk_diag(nd + 1),
                    *_table_arrays(tables, g, a_sharding))
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m,
-                                   tb, storage="fq")
+                                   tb, storage=storage)
 
     @staticmethod
     def from_gen_tridiagonal(n, mesh=None, tb=None, packed=False):

@@ -42,6 +42,56 @@ def padded_size(n, multiple=None):
     return -(-n // multiple) * multiple
 
 
+# quantized-storage layouts: storage -> (per-plane dtypes, n_scales).
+# Operand order everywhere is (planes..., scales..., dh, dl, ...).
+QUANT_LAYOUT = {
+    "dfq": ((np.float32, np.int16), 1),
+    "fq": ((np.int16, np.int16, np.int16), 3),
+}
+
+
+def quantize_storage_tiles(storage, buf, tb):
+    """Storage-specific quantized planes from a (k*tb, tb) walk-order
+    f64 buffer (matrix diagonal already extracted and zeroed):
+    'dfq' -> (hi, loq, sc); 'fq' -> (q1, q2, q3, s1, s2, s3), with one
+    power-of-two scale per (tb, tb) tile. Shared by the local,
+    band-pair, and 2-D grid packs so the plane/scale layouts cannot
+    drift between backends."""
+    from lam_tpu.ops.gemv import quantize_fq_tiles, quantize_lo_tiles
+    if storage == "dfq":
+        hi, lo = split_f64_host(buf)
+        loq, sc = quantize_lo_tiles(lo, tb)
+        return (hi, loq, sc)
+    if storage != "fq":
+        raise ValueError(f"unknown quantized storage {storage!r}")
+    return quantize_fq_tiles(buf, tb)
+
+
+def _open_matrix_memmap(path):
+    """Memory-map a square f64 matrix file (.npy or the reference
+    binary format); returns (memmap, data_offset_bytes). Shared by the
+    from_file_dfq / from_file_fq native-pack prologues so the
+    validation (dtype, squareness) cannot drift between them — a
+    non-square .npy fed to the native pack would otherwise be read
+    with the wrong row stride and yield a silently wrong operator."""
+    path = str(path)
+    if path.endswith(".npy"):
+        a = np.load(path, mmap_mode="r")
+        if a.dtype != np.float64:
+            raise ValueError(f"{path}: expected float64, got {a.dtype}")
+        data_off = a.offset
+    else:
+        from lam_tpu import io as lio
+        rows, cols = lio.read_header(path)
+        a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
+                      shape=(rows, cols))
+        data_off = 16
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"{path}: matrix must be square, got "
+                         f"{a.shape}")
+    return a, data_off
+
+
 def _verifies_symmetric(a, tol=1e-12):
     """Whole-matrix symmetry check via two random matvecs: A v vs A^T v.
 
@@ -739,25 +789,8 @@ class DenseOperator(LinearOperator):
         from lam_tpu.ops.gemv import SYMM_TB
 
         path = str(path)
-        if path.endswith(".npy"):
-            a = np.load(path, mmap_mode="r")
-            if a.dtype != np.float64:
-                raise ValueError(f"{path}: expected float64, got "
-                                 f"{a.dtype}")
-            data_off = a.offset
-        else:
-            from lam_tpu import io as lio
-            rows, cols = lio.read_header(path)
-            if rows != cols:
-                raise ValueError(f"{path}: matrix must be square "
-                                 f"({rows}x{cols})")
-            a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
-                          shape=(rows, cols))
-            data_off = 16
+        a, data_off = _open_matrix_memmap(path)
         n = a.shape[0]
-        if a.shape != (n, n):
-            raise ValueError(f"{path}: matrix must be square, got "
-                             f"{a.shape}")
         if check_symmetric or not _native_io.available():
             return DenseOperator.from_dense_dfq(
                 a, check_symmetric=check_symmetric)
@@ -849,21 +882,7 @@ class DenseOperator(LinearOperator):
         from lam_tpu.ops.gemv import SYMM_TB
 
         path = str(path)
-        if path.endswith(".npy"):
-            a = np.load(path, mmap_mode="r")
-            if a.dtype != np.float64:
-                raise ValueError(f"{path}: expected float64, got "
-                                 f"{a.dtype}")
-            data_off = a.offset
-        else:
-            from lam_tpu import io as lio
-            rows, cols = lio.read_header(path)
-            if rows != cols:
-                raise ValueError(f"{path}: matrix must be square "
-                                 f"({rows}x{cols})")
-            a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
-                          shape=(rows, cols))
-            data_off = 16
+        a, data_off = _open_matrix_memmap(path)
         if check_symmetric or not _native_io.available():
             return DenseOperator.from_dense_fq(
                 a, check_symmetric=check_symmetric)

@@ -56,9 +56,19 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if TPU_RUN:
-        return  # `-m tpu` already deselects the CPU suite
     import pytest
+
+    if TPU_RUN:
+        # `-m tpu` deselects the CPU suite by itself; when the run was
+        # requested via LAM_TPU_TESTS=1 alone, deselect it here too —
+        # the virtual-mesh/f64 CPU tests must never run against the
+        # real chip (wrong backend, wrong device count)
+        keep = [it for it in items if "tpu" in it.keywords]
+        drop = [it for it in items if "tpu" not in it.keywords]
+        if drop:
+            config.hook.pytest_deselected(items=drop)
+            items[:] = keep
+        return
 
     skip = pytest.mark.skip(
         reason="TPU hardware test: run `pytest -m tpu` on a chip")
