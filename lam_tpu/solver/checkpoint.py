@@ -45,9 +45,9 @@ class CGState(NamedTuple):
 
 
 class PCGState(NamedTuple):
-    """Jacobi-PCG restart point: the plain-CG state plus the
-    preconditioned inner product rz = <r, M^-1 r> the recurrence
-    carries (lam_tpu/solver/cg.py:_pcg_loop)."""
+    """Jacobi-PCG restart point: the plain-CG state plus the carried
+    preconditioned inner product rz = <r, M^-1 r>
+    (lam_tpu/solver/cg.py:_pcg_loop)."""
     x: jax.Array
     r: jax.Array
     p: jax.Array

@@ -97,6 +97,22 @@ def test_native_dfq_pack_bitwise_matches_python(tmp_path, monkeypatch):
                                           err_msg=f"{path}:{name}")
 
 
+def test_from_file_quantized_rejects_nonsquare_npy(tmp_path):
+    """A non-square .npy must be refused by BOTH native-pack file
+    constructors — fed to the native pack it would be read with the
+    wrong row stride and yield a silently wrong operator (round-3
+    review finding: from_file_fq lacked the check from_file_dfq had;
+    both now share _open_matrix_memmap)."""
+    import pytest
+
+    from lam_tpu.solver.operators import DenseOperator
+    path = tmp_path / "rect.npy"
+    np.save(path, np.zeros((64, 128), np.float64))
+    for ctor in (DenseOperator.from_file_dfq, DenseOperator.from_file_fq):
+        with pytest.raises(ValueError, match="square"):
+            ctor(str(path))
+
+
 def test_native_fq_pack_bitwise_matches_python(tmp_path, monkeypatch):
     """ln_pack_fq (fused read + triple int16 quantize over the lower
     triangle) must reproduce the Python cascade BIT FOR BIT — same f64
