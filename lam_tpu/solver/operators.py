@@ -83,6 +83,12 @@ def _open_matrix_memmap(path):
     else:
         from lam_tpu import io as lio
         rows, cols = lio.read_header(path)
+        if rows != cols:
+            # check the HEADER before mmapping: a corrupt header with
+            # an overstated size would otherwise fail as a raw mmap
+            # OSError instead of this actionable message
+            raise ValueError(f"{path}: matrix must be square "
+                             f"({rows}x{cols})")
         a = np.memmap(path, dtype=np.float64, mode="r", offset=16,
                       shape=(rows, cols))
         data_off = 16
@@ -724,8 +730,7 @@ class DenseOperator(LinearOperator):
         measured true residuals land at the 1e-10 scale — the capacity
         form of the f64-parity story, built for the N=70000 north-star
         (SURVEY.md §6) on a single 16 GB chip."""
-        from lam_tpu.ops.gemv import (SYMM_TB, quantize_lo_tiles,
-                                      tri_tile_count)
+        from lam_tpu.ops.gemv import SYMM_TB, tri_tile_count
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")
@@ -758,12 +763,12 @@ class DenseOperator(LinearOperator):
                 dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
                     np.float32)
                 blk[rr, r0 + rr] = 0.0
-            bh, bl = split_f64_host(blk)
             for k in range(i + 1):
-                hi_p[t * tb:(t + 1) * tb] = bh[:, k * tb:(k + 1) * tb]
-                qt, st = quantize_lo_tiles(bl[:, k * tb:(k + 1) * tb], tb)
-                loq[t * tb:(t + 1) * tb] = qt
-                sc[t] = st[0]
+                hi_t, q_t, s_t = quantize_storage_tiles(
+                    "dfq", blk[:, k * tb:(k + 1) * tb], tb)
+                hi_p[t * tb:(t + 1) * tb] = hi_t
+                loq[t * tb:(t + 1) * tb] = q_t
+                sc[t] = s_t[0]
                 t += 1
         operand = (jnp.asarray(hi_p), jnp.asarray(loq), jnp.asarray(sc),
                    jnp.asarray(dh), jnp.asarray(dl))
@@ -817,8 +822,7 @@ class DenseOperator(LinearOperator):
         matvec of precision='irfq' reads only the first plane:
         2 B/element, HALF the dfq/ir inner-loop HBM bytes. Built
         STREAMING by row-tile (`a` may be a np.memmap)."""
-        from lam_tpu.ops.gemv import (SYMM_TB, quantize_fq_tiles,
-                                      tri_tile_count)
+        from lam_tpu.ops.gemv import SYMM_TB, tri_tile_count
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")
@@ -857,8 +861,8 @@ class DenseOperator(LinearOperator):
             for k in range(i + 1):
                 sl = slice(t * tb, (t + 1) * tb)
                 (q1[sl], q2[sl], q3[sl], s1[t:t + 1], s2[t:t + 1],
-                 s3[t:t + 1]) = quantize_fq_tiles(
-                    blk[:, k * tb:(k + 1) * tb], tb)
+                 s3[t:t + 1]) = quantize_storage_tiles(
+                    "fq", blk[:, k * tb:(k + 1) * tb], tb)
                 t += 1
         operand = (jnp.asarray(q1), jnp.asarray(q2), jnp.asarray(q3),
                    jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),

@@ -39,7 +39,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 
 import numpy as np
 
@@ -66,14 +69,18 @@ _lines = []
 def emit(s):
     print(s, flush=True)
     _lines.append(s)
-    # incremental write: a later-phase abort must not lose earlier
-    # measured phases
-    with open(OUT, "w") as fh:
+    # incremental ATOMIC write (temp + replace): a later-phase abort —
+    # the OOM killer or the rendezvous hard-abort documented above can
+    # kill this process at any point — must not lose or truncate
+    # earlier measured phases
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write("# Stress-scale program proof on the 8-shard virtual "
                  "mesh (scripts/stress_scale.py);\n# the reference's "
                  "STRESS_TEST_GPU_MPI.txt analog within one-host "
                  "limits.\n")
         fh.write("\n".join(_lines) + "\n")
+    os.replace(tmp, OUT)
 
 
 def build(n, mesh):
