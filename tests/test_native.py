@@ -113,6 +113,23 @@ def test_from_file_quantized_rejects_nonsquare_npy(tmp_path):
             ctor(str(path))
 
 
+def test_from_file_quantized_corrupt_header_clean_error(tmp_path):
+    """A corrupt reference-format header (rows != cols, product far
+    beyond the file size) must fail with the actionable 'must be
+    square' ValueError, not a raw mmap OSError — the header check runs
+    BEFORE np.memmap (second-review fix)."""
+    import pytest
+    import struct
+
+    from lam_tpu.solver.operators import DenseOperator
+    path = tmp_path / "corrupt.bin"
+    # header claims 100000 x 64 but the file holds 8 payload bytes
+    path.write_bytes(struct.pack("<qq", 100000, 64) + b"\0" * 8)
+    for ctor in (DenseOperator.from_file_dfq, DenseOperator.from_file_fq):
+        with pytest.raises(ValueError, match="square"):
+            ctor(str(path))
+
+
 def test_native_fq_pack_bitwise_matches_python(tmp_path, monkeypatch):
     """ln_pack_fq (fused read + triple int16 quantize over the lower
     triangle) must reproduce the Python cascade BIT FOR BIT — same f64
