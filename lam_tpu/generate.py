@@ -175,6 +175,50 @@ def _tridiag_hi_packed_impl(n, tb, it, kt, nblk):
     return out
 
 
+# gen-mode fq quantization: stored entries are {0, 1} (diagonal
+# extracted), and the smallest power of two >= 1/32767 rounds up to
+# 2^-14 — exactly what quantize_fq_tiles picks for such a tile, so the
+# device-built plane is quantization-EXACT (q in {0, 16384}).
+TRIDIAG_Q1_SCALE = 2.0 ** -14
+
+
+def _tridiag_q1_packed_impl(n, tb, it, kt, nblk):
+    """int16 q1 plane of the gen-mode tridiagonal in PACKED walk order
+    with the matrix diagonal EXTRACTED (the fq layout,
+    DenseOperator.from_gen_fq): diagonal tiles carry only the +-1 band
+    quantized against TRIDIAG_Q1_SCALE (q = 16384, exact), the
+    subdiagonal-neighbor tiles the single top-right 1; everything else
+    0. Same sparsity-aware scatter as _tridiag_hi_packed_impl — the
+    dense per-element form materializes full-buffer int32 temporaries
+    and OOMs one v5e."""
+    import jax
+    import jax.numpy as jnp
+
+    qv = jnp.int16(round(1.0 / TRIDIAG_Q1_SCALE))
+    rows = it.shape[0] * tb
+    out = jnp.zeros((rows, tb), jnp.int16)
+
+    dpos = jnp.nonzero(it == kt, size=nblk, fill_value=0)[0]
+    i0 = it[dpos]                                     # (nblk,)
+    r = jax.lax.broadcasted_iota(jnp.int32, (nblk, tb, tb), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nblk, tb, tb), 2)
+    gi = i0[:, None, None] * tb + r
+    gj = i0[:, None, None] * tb + c
+    d = r - c
+    vals = jnp.where((d == 1) | (d == -1), qv, jnp.int16(0))
+    vals = jnp.where((gi < n) & (gj < n), vals, jnp.int16(0))
+    ridx = (dpos[:, None] * tb
+            + jnp.arange(tb, dtype=jnp.int32)[None, :]).reshape(-1)
+    out = out.at[ridx].set(vals.reshape(nblk * tb, tb))
+
+    if nblk > 1:
+        cpos = jnp.nonzero(it == kt + 1, size=nblk - 1, fill_value=0)[0]
+        ic = it[cpos]
+        val = jnp.where((ic * tb < n) & (ic > 0), qv, jnp.int16(0))
+        out = out.at[cpos * tb, tb - 1].set(val)
+    return out
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

@@ -219,6 +219,25 @@ class ConjugateGradient:
         per-rank fill (ConjugateGradient_CPU_MPI_OMP.hpp:237-247)."""
         if jax.default_backend() != "tpu":
             return None
+        if (self.backend == "local" and self._base_precision() == "fq"
+                and self.engine in ("auto", "pallas_symm_packed")):
+            # fq gen: device-built quantization-EXACT q1 plane +
+            # broadcast zero residual planes (2 B/element; round-3
+            # closure of the "gen-mode fq builds on the host" gap) —
+            # irfq gen probes run beyond the 4 B/elem f32 gen frontier
+            import jax.numpy as jnp
+
+            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+            from lam_tpu.solver.operators import DenseOperator, padded_size
+            tb = SYMM_TB
+            n_p = padded_size(rows, tb)
+            it, kt = _symm_tables(n_p // tb)
+            q1 = jax.jit(gen._tridiag_q1_packed_impl,
+                         static_argnums=(0, 1, 4))(rows, tb,
+                                                   jnp.asarray(it),
+                                                   jnp.asarray(kt),
+                                                   n_p // tb)
+            return DenseOperator.from_gen_fq(q1, rows, n_p)
         if self._base_precision() not in ("auto", "df64", "f32"):
             return None
         if self._base_precision() == "f32":

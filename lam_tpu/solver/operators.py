@@ -479,10 +479,12 @@ def _mv_block_packed_fq(operand, p):
     tb = q1.shape[1]
     T = q1.shape[0] // tb
     # reconstruct in p's dtype (f64 on the block path): an f32 sum
-    # would round away the q2/q3 planes' contribution
+    # would round away the q2/q3 planes' contribution. A (tb, tb)
+    # plane is one broadcast EXACT-ZERO tile (gen mode) — skip it.
     rec = sum((q.reshape(T, tb, tb).astype(p.dtype)
                * s.astype(p.dtype)[:, None, None]).reshape(T * tb, tb)
-              for q, s in ((q1, s1), (q2, s2), (q3, s3)))
+              for q, s in ((q1, s1), (q2, s2), (q3, s3))
+              if q.shape == q1.shape)
     y = _packed_block_walk(rec, None, p)
     d = dh.astype(p.dtype) + dl.astype(p.dtype)
     return y + d[:, None] * p
@@ -911,6 +913,39 @@ class DenseOperator(LinearOperator):
                             n_padded, jnp.float32, "f32",
                             "pallas_symm_packed")
         out._mv_block = _MV_BLOCK_PACKED["f32"]
+        return out
+
+    @staticmethod
+    def from_gen_fq(q1, n, n_padded, diag_value=2.0):
+        """fq operator from a PRE-PACKED walk-order int16 q1 plane whose
+        quantization is EXACT (gen-mode tridiagonal: entries {0, 1}
+        against the 2^-14 scale, diagonal extracted; see
+        generate._tridiag_q1_packed_impl). The residual q2/q3 planes
+        are exactly zero, represented as ONE broadcast (tb, tb) tile
+        each — so gen-mode fq stores 2 B/element (vs 4 for the packed
+        f32 gen pair) and `irfq` gen probes run beyond the f32 gen
+        frontier on one chip. The diagonal rides as an exact df64 pair
+        (constant `diag_value` on the first n entries)."""
+        from lam_tpu.ops.gemv import SYMM_TB
+        tb = SYMM_TB
+        T = q1.shape[0] // tb
+        dv = np.float32(diag_value)
+        if float(dv) != float(diag_value):
+            raise ValueError(f"diag_value {diag_value} is not exact "
+                             "in f32 (the gen pair carries dl == 0)")
+        idx = jnp.arange(n_padded)
+        dh = jnp.where(idx < n, dv, np.float32(0.0)).astype(jnp.float32)
+        dl = jnp.zeros((n_padded,), jnp.float32)
+        zero_tile = jnp.zeros((tb, tb), jnp.int16)
+        zero_sc = jnp.zeros((T,), jnp.float32)
+        from lam_tpu import generate as gen
+        s1 = jnp.full((T,), gen.TRIDIAG_Q1_SCALE, jnp.float32)
+        operand = (jnp.asarray(q1), zero_tile, zero_tile,
+                   s1, zero_sc, zero_sc, dh, dl)
+        fn = _MATVEC_DOT[("fq", "pallas_symm_packed")]
+        out = DenseOperator(fn, operand, n, n_padded, jnp.float64, "fq",
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED["fq"]
         return out
 
     @staticmethod

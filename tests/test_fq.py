@@ -152,6 +152,76 @@ def test_block_cg_on_fq():
     assert rel < 1e-5
 
 
+def test_gen_fq_matches_from_dense(monkeypatch):
+    """The device-built gen-mode fq operator (EXACT q1 plane +
+    broadcast zero q2/q3 tiles, DenseOperator.from_gen_fq) produces
+    the same accurate matvec, f32-view matvec, and block matvec as
+    from_dense_fq on the host-assembled tridiagonal — including a
+    non-tile-multiple n (padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lam_tpu import generate as gen
+    from lam_tpu.ops.gemv import SYMM_TB
+    from lam_tpu.solver.operators import padded_size
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    tb = 128
+    for n in (384, 300):
+        n_p = padded_size(n, tb)
+        it, kt = _symm_tables(n_p // tb)
+        q1 = jax.jit(gen._tridiag_q1_packed_impl,
+                     static_argnums=(0, 1, 4))(n, tb, jnp.asarray(it),
+                                               jnp.asarray(kt),
+                                               n_p // tb)
+        gop = DenseOperator.from_gen_fq(q1, n, n_p)
+        a = gen.tridiagonal_rows(0, n, n)
+        ref = DenseOperator.from_dense_fq(a, check_symmetric=False)
+        rng = np.random.default_rng(11)
+        p = rng.uniform(-1, 1, n)
+        pp = gop.prepare_b(p)
+        np.testing.assert_allclose(np.asarray(gop.matvec(pp))[:n],
+                                   np.asarray(ref.matvec(pp))[:n],
+                                   rtol=0, atol=1e-12)
+        p32 = jnp.asarray(p, jnp.float32)
+        p32p = jnp.pad(p32, (0, n_p - n))
+        g32 = gop.as_f32()
+        r32 = ref.as_f32()
+        np.testing.assert_array_equal(
+            np.asarray(g32.matvec(p32p))[:n],
+            np.asarray(r32.matvec(p32p))[:n])
+        # block matvec skips the broadcast zero planes
+        blk = rng.uniform(-1, 1, (n, 2))
+        yb = np.asarray(gop._mv_block(gop.operand, gop.prepare_b_block(blk)))
+        np.testing.assert_allclose(yb[:n], a @ blk, rtol=0, atol=1e-12)
+
+
+def test_gen_fq_irfq_solve(monkeypatch):
+    """End-to-end irfq on the gen-built operator: the outer fq matvec
+    (broadcast zero residual planes) is EXACT for the tridiagonal, so
+    refinement converges to the true solution."""
+    import jax
+    import jax.numpy as jnp
+
+    from lam_tpu import cg_solve_ir
+    from lam_tpu import generate as gen
+    from lam_tpu.solver.operators import padded_size
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    tb, n = 128, 500
+    n_p = padded_size(n, tb)
+    it, kt = _symm_tables(n_p // tb)
+    q1 = jax.jit(gen._tridiag_q1_packed_impl,
+                 static_argnums=(0, 1, 4))(n, tb, jnp.asarray(it),
+                                           jnp.asarray(kt), n_p // tb)
+    op = DenseOperator.from_gen_fq(q1, n, n_p)
+    b = gen.ones_rhs(n)
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-6, inner_floor=1e-2)
+    assert bool(res.converged)
+    a = gen.tridiagonal_rows(0, n, n)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-5
+
+
 def test_irfq_through_api_and_file(tmp_path):
     from lam_tpu.solver.api import ConjugateGradient
     import lam_tpu.io as lio
