@@ -295,8 +295,12 @@ class _ShardedStencilOperator(LinearOperator):
         return _host_array(x_padded).reshape(H, W)[:nyi, :nxi].reshape(-1)
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         del op32  # the f32 stencil is shape-derived, not an operand view
+        if inv_diag32 is not None:
+            raise NotImplementedError(
+                "the Laplacian stencil has a constant diagonal (4); "
+                "Jacobi preconditioning is a no-op — run without it")
         nyi, nxi, _, W = self._dims
         solver = _build_sharded_heat_ir(self._mesh, self._axis, nyi, nxi,
                                         self._hs, W, self._tbr,

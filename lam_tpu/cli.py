@@ -129,8 +129,9 @@ def build_parser():
     p.add_argument("--preconditioner", default=None,
                    choices=["jacobi"],
                    help="Preconditioned CG (surplus over the reference; "
-                        "works on every backend). Not combinable with "
-                        "--precision ir or --checkpoint.")
+                        "works on every backend and composes with "
+                        "--precision ir/irq/irfq — there it scales the "
+                        "inner f32 loop — and with --checkpoint)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",
@@ -300,15 +301,12 @@ def _cli_main(argv=None):
                 # round 3: ir checkpoints at refinement-CYCLE
                 # boundaries (the natural restart points;
                 # --checkpoint-every does not apply)
-                if args.preconditioner:
-                    raise ValueError(
-                        "preconditioner is not combinable with "
-                        f"precision={cg.precision!r}")
                 result, _ = ckpt.cg_solve_ir_resumable(
                     cg.op.as_f32(), cg.op, cg.rhs,
                     max_iters=args.max_iters, rel_error=args.rel_error,
                     inner_floor=1e-2 if cg.precision == "irfq" else 1e-5,
-                    checkpoint_path=args.checkpoint, resume=args.resume)
+                    checkpoint_path=args.checkpoint, resume=args.resume,
+                    preconditioner=args.preconditioner)
             else:
                 result, _ = ckpt.cg_solve_resumable(
                     cg.op, cg.rhs, max_iters=args.max_iters,

@@ -236,17 +236,23 @@ def _build_sharded_pcg(matvec_local, matvec_cols, mesh, axis,
 
 
 def _make_local_ir(apply32, apply_acc, axis, max_cycles,
-                   apply32_dot=None):
+                   apply32_dot=None, precond=False):
     """Per-shard mixed-precision refinement program: the sharded twin of
     lam_tpu/solver/cg.py:_cg_ir_loop — outer f64 true-residual loop,
     inner f32 sharded CG. Both matvecs read ONE shared operand (the f32
     view uses the hi plane). `axis` is the axis (or axes) the VECTORS
     are sharded over — dots psum over it; the matvecs' own collectives
-    live inside apply32/apply_acc."""
+    live inside apply32/apply_acc.
+
+    precond=True Jacobi-preconditions the INNER loop: the returned
+    program takes an extra inv_diag argument (local row-block, sharded
+    like the vectors) right after b; the outer recurrence is unchanged
+    (same contract as _cg_ir_loop's inv_diag32)."""
 
     inner_cg = _make_local_cg(apply32, axis, apply_dot_fn=apply32_dot)
+    inner_pcg = _make_local_pcg(apply32, axis) if precond else None
 
-    def local_ir(operand, b, max_iters, rel_error, inner_floor):
+    def ir_body(operand, b, inv_diag, max_iters, rel_error, inner_floor):
         def pdot(u, v):
             return jax.lax.psum(jnp.vdot(u, v), axis)
 
@@ -270,8 +276,12 @@ def _make_local_ir(apply32, apply_acc, axis, max_cycles,
             rel = rnorm / jnp.sqrt(bb)
             inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
             r32 = (r / rnorm).astype(jnp.float32)
-            inner = inner_cg(operand, r32, max_iters - k,
-                             inner_tol.astype(jnp.float32))
+            if precond:
+                inner = inner_pcg(operand, r32, inv_diag, max_iters - k,
+                                  inner_tol.astype(jnp.float32))
+            else:
+                inner = inner_cg(operand, r32, max_iters - k,
+                                 inner_tol.astype(jnp.float32))
             x = x + inner.x.astype(dtype) * rnorm
             r = b - apply_acc(operand, x)
             return (x, r, k + inner.num_iters, cyc + 1)
@@ -282,20 +292,32 @@ def _make_local_ir(apply32, apply_acc, axis, max_cycles,
         return CGResult(x=x, num_iters=k, rel_residual=rel,
                         converged=rel < eps)
 
+    if precond:
+        def local_ir(operand, b, inv_diag, max_iters, rel_error,
+                     inner_floor):
+            return ir_body(operand, b, inv_diag, max_iters, rel_error,
+                           inner_floor)
+    else:
+        def local_ir(operand, b, max_iters, rel_error, inner_floor):
+            return ir_body(operand, b, None, max_iters, rel_error,
+                           inner_floor)
+
     return local_ir
 
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded_cg_ir(mv32, mv_acc, cols32, cols_acc, mesh, axis,
-                         acc_is_pair, comm, max_cycles):
+                         acc_is_pair, comm, max_cycles, precond=False):
     g = mesh.shape[axis]
     apply32 = _make_apply(mv32, cols32, axis, comm, g)
     apply_acc = _make_apply(mv_acc, cols_acc, axis, comm, g)
+    vec_specs = ((P(axis), P(axis)) if precond else (P(axis),))
     mapped = shard_map(
-        _make_local_ir(apply32, apply_acc, axis, max_cycles),
+        _make_local_ir(apply32, apply_acc, axis, max_cycles,
+                       precond=precond),
         mesh=mesh,
-        in_specs=(_operand_spec(axis, acc_is_pair),
-                  P(axis), P(), P(), P()),
+        in_specs=(_operand_spec(axis, acc_is_pair),)
+                 + vec_specs + (P(), P(), P()),
         out_specs=CGResult(x=P(axis), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -536,7 +558,7 @@ class ShardedDenseOperator(LinearOperator):
                       jnp.asarray(rel_error, b_padded.dtype))
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         if op32.operand is not self.operand:
             raise ValueError(
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
@@ -545,8 +567,11 @@ class ShardedDenseOperator(LinearOperator):
                                       op32._mv_cols, self._mv_cols,
                                       self.mesh, self.axis,
                                       self.precision == "df64", self.comm,
-                                      max_cycles)
-        return solver(self.operand, b_padded, max_iters,
+                                      max_cycles,
+                                      precond=inv_diag32 is not None)
+        vec_args = ((b_padded, inv_diag32) if inv_diag32 is not None
+                    else (b_padded,))
+        return solver(self.operand, *vec_args, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 

@@ -104,14 +104,18 @@ def _build_2d_cg(matvec_local, mesh, is_pair):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_2d_cg_ir(mv32, mv_acc, mesh, acc_is_pair, max_cycles):
+def _build_2d_cg_ir(mv32, mv_acc, mesh, acc_is_pair, max_cycles,
+                    precond=False):
     r = mesh.shape[ROWS]
     apply32 = _make_apply2d(mv32, r)
     apply_acc = _make_apply2d(mv_acc, r)
+    vec_specs = ((P(ROWS), P(ROWS)) if precond else (P(ROWS),))
     mapped = shard_map(
-        _make_local_ir(apply32, apply_acc, ROWS, max_cycles),
+        _make_local_ir(apply32, apply_acc, ROWS, max_cycles,
+                       precond=precond),
         mesh=mesh,
-        in_specs=(_operand_spec2d(acc_is_pair), P(ROWS), P(), P(), P()),
+        in_specs=(_operand_spec2d(acc_is_pair),) + vec_specs
+                 + (P(), P(), P()),
         out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -403,15 +407,18 @@ class Sharded2DOperator(LinearOperator):
                       jnp.asarray(rel_error, b_padded.dtype))
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         if op32.operand is not self.operand:
             raise ValueError(
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_2d_cg_ir(op32._mv_local, self._mv_local,
                                  self.mesh, self.precision == "df64",
-                                 max_cycles)
-        return solver(self.operand, b_padded, max_iters,
+                                 max_cycles,
+                                 precond=inv_diag32 is not None)
+        vec_args = ((b_padded, inv_diag32) if inv_diag32 is not None
+                    else (b_padded,))
+        return solver(self.operand, *vec_args, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 

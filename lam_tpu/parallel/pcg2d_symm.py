@@ -495,16 +495,19 @@ def _build_sym2d_cg(mesh, m, tb, storage="df64"):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sym2d_cg_ir(mesh, m, tb, max_cycles, storage="df64"):
+def _build_sym2d_cg_ir(mesh, m, tb, max_cycles, storage="df64",
+                       precond=False):
     r = mesh.shape[ROWS]
     apply32 = _make_apply_sym2d(_make_mv_pair(r, m, tb, "f32",
                                               storage), r)
     apply_acc = _make_apply_sym2d(_make_mv_pair(r, m, tb, "acc",
                                                 storage), r)
+    vec_specs = ((P(ROWS), P(ROWS)) if precond else (P(ROWS),))
     mapped = shard_map(
-        _make_local_ir(apply32, apply_acc, ROWS, max_cycles),
+        _make_local_ir(apply32, apply_acc, ROWS, max_cycles,
+                       precond=precond),
         mesh=mesh,
-        in_specs=(_operand_spec(storage), P(ROWS), P(), P(), P()),
+        in_specs=(_operand_spec(storage),) + vec_specs + (P(), P(), P()),
         out_specs=CGResult(x=P(ROWS), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False,
@@ -831,14 +834,17 @@ class Symm2DOperator(LinearOperator):
                       jnp.asarray(rel_error, b_padded.dtype))
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         if op32.operand is not self.operand:
             raise ValueError(
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_sym2d_cg_ir(self.mesh, self._m, self._tb,
-                                    max_cycles, self._storage)
-        return solver(self.operand, b_padded, max_iters,
+                                    max_cycles, self._storage,
+                                    precond=inv_diag32 is not None)
+        vec_args = ((b_padded, inv_diag32) if inv_diag32 is not None
+                    else (b_padded,))
+        return solver(self.operand, *vec_args, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 

@@ -341,17 +341,30 @@ def _build_symm_cg(mesh, axis, g, m, tb, storage):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, storage):
+def _build_symm_cg_ir(mesh, axis, g, m, tb, max_cycles, storage,
+                      precond=False):
     mv32 = _wrap_matvec(_make_mv32(axis, g, m, tb, storage))
     mv_acc = _wrap_matvec(_make_mv_acc(axis, g, m, tb, storage))
 
-    def local(operand, b, max_iters, rel_error, inner_floor):
-        return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
-                           rel_error, max_cycles, inner_floor)
+    if precond:
+        def local(operand, b, inv_diag, max_iters, rel_error,
+                  inner_floor):
+            return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
+                               rel_error, max_cycles, inner_floor,
+                               inv_diag)
+
+        vec_specs = (P(), P())
+    else:
+        def local(operand, b, max_iters, rel_error, inner_floor):
+            return _cg_ir_loop(mv32, mv_acc, operand, b, max_iters,
+                               rel_error, max_cycles, inner_floor)
+
+        vec_specs = (P(),)
 
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(_operand_specs(axis, storage), P(), P(), P(), P()),
+        in_specs=(_operand_specs(axis, storage),) + vec_specs
+                 + (P(), P(), P()),
         out_specs=CGResult(x=P(), num_iters=P(), rel_residual=P(),
                            converged=P()),
         check_vma=False)
@@ -732,15 +745,18 @@ class SymmShardedOperator(LinearOperator):
                       jnp.asarray(rel_error, b_padded.dtype))
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         if op32.operand is not self.operand:
             raise ValueError(
                 "cg_solve_ir requires the f32 operator to be a VIEW of "
                 "the accurate operator (use op_acc.as_f32())")
         solver = _build_symm_cg_ir(self.mesh, self.axis, self._g,
                                    self._m, self._tb, max_cycles,
-                                   self._storage)
-        return solver(self.operand, b_padded, max_iters,
+                                   self._storage,
+                                   precond=inv_diag32 is not None)
+        vec_args = ((b_padded, inv_diag32) if inv_diag32 is not None
+                    else (b_padded,))
+        return solver(self.operand, *vec_args, max_iters,
                       jnp.asarray(rel_error, b_padded.dtype),
                       jnp.asarray(inner_floor, b_padded.dtype))
 

@@ -320,15 +320,11 @@ class ConjugateGradient:
         reported time is execution, not XLA compilation (the reference has
         no JIT; its timed region is pure execution).
         preconditioner="jacobi" runs diagonal-scaled PCG (surplus; any
-        backend). Not combinable with precision="ir" (the refinement
-        loop is its own convergence accelerator).
+        backend). With precision="ir"/"irq"/"irfq" it preconditions the
+        INNER f32 loop; the outer refinement recurrence is unchanged.
         """
         if self.op is None or self.rhs is None:
             raise RuntimeError("load/generate a system first")
-        if preconditioner is not None and self.precision in (
-                "ir", "irq", "irfq"):
-            raise ValueError("preconditioner is not combinable with "
-                             f"precision={self.precision!r}")
 
         def solver(iters, tol):
             return self._solve_once(iters, tol, preconditioner)
@@ -391,7 +387,8 @@ class ConjugateGradient:
             floor = 1e-2 if self.precision == "irfq" else 1e-5
             return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
                                max_iters=max_iters, rel_error=rel_error,
-                               inner_floor=floor)
+                               inner_floor=floor,
+                               preconditioner=preconditioner)
         return cg_solve(self.op, self.rhs, max_iters=max_iters,
                         rel_error=rel_error,
                         preconditioner=preconditioner)

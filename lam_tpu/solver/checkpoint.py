@@ -251,13 +251,15 @@ def cg_solve_resumable(op, b, *, max_iters=1000, rel_error=1e-9,
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _ir_cycle(matvec_dot32, matvec_dot_acc, operand, b, x, r, k_left,
-              rel_error, inner_floor):
+              rel_error, inner_floor, inv_diag32=None):
     """One refinement cycle from (x, r); returns (x', r', inner_iters).
 
     Matches _cg_ir_loop's body exactly (same inner-tolerance schedule,
     same update order) so a cycle-checkpointed solve follows the same
-    trajectory as the fused on-device loop."""
-    from lam_tpu.solver.cg import _cg_loop
+    trajectory as the fused on-device loop. inv_diag32
+    Jacobi-preconditions the inner loop (same contract as
+    _cg_ir_loop)."""
+    from lam_tpu.solver.cg import _cg_loop, _pcg_loop
     dtype = b.dtype
     bb = jnp.vdot(b, b)
     eps = jnp.asarray(rel_error, dtype)
@@ -265,29 +267,41 @@ def _ir_cycle(matvec_dot32, matvec_dot_acc, operand, b, x, r, k_left,
     rel = rnorm / jnp.sqrt(bb)
     inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
     r32 = (r / rnorm).astype(jnp.float32)
-    inner = _cg_loop(matvec_dot32, operand, r32, k_left,
-                     inner_tol.astype(jnp.float32))
+    if inv_diag32 is None:
+        inner = _cg_loop(matvec_dot32, operand, r32, k_left,
+                         inner_tol.astype(jnp.float32))
+    else:
+        inner = _pcg_loop(matvec_dot32, operand, r32, inv_diag32,
+                          k_left, inner_tol.astype(jnp.float32))
     x = x + inner.x.astype(dtype) * rnorm
     r = b - matvec_dot_acc(operand, x)[0]
     return x, r, inner.num_iters
 
 
-def save_ir_state(path, x, r, k, cycle, n):
+def save_ir_state(path, x, r, k, cycle, n, preconditioner=None):
     os.makedirs(path, exist_ok=True)
     lio.write_matrix(os.path.join(path, "x.bin"), np.asarray(x))
     lio.write_matrix(os.path.join(path, "r.bin"), np.asarray(r))
     with open(os.path.join(path, "ir_state.json"), "w") as f:
         json.dump({"k": int(k), "cycle": int(cycle), "n": int(n),
-                   "n_padded": int(x.shape[0])}, f)
+                   "n_padded": int(x.shape[0]),
+                   "preconditioner": preconditioner}, f)
 
 
-def load_ir_state(path, op):
+def load_ir_state(path, op, preconditioner=None):
     with open(os.path.join(path, "ir_state.json")) as f:
         meta = json.load(f)
     if meta["n"] != op.n or meta["n_padded"] != op.n_padded:
         raise ValueError(
             f"ir checkpoint is for n={meta['n']}/pad={meta['n_padded']}, "
             f"operator has n={op.n}/pad={op.n_padded}")
+    # older sidecars (pre-preconditioner) lack the key: treat as None
+    saved = meta.get("preconditioner")
+    if saved != preconditioner:
+        raise ValueError(
+            f"ir checkpoint was written with "
+            f"preconditioner={saved!r}; resuming with "
+            f"{preconditioner!r} would follow a different trajectory")
     x = jnp.asarray(lio.read_vector(os.path.join(path, "x.bin")),
                     dtype=op.vector_dtype)
     r = jnp.asarray(lio.read_vector(os.path.join(path, "r.bin")),
@@ -298,23 +312,31 @@ def load_ir_state(path, op):
 def cg_solve_ir_resumable(op32, op_acc, b, *, max_iters=10000,
                           rel_error=1e-9, inner_floor=1e-5, max_cycles=6,
                           checkpoint_path=None, resume=False,
-                          on_cycle=None):
+                          on_cycle=None, preconditioner=None):
     """Mixed-precision refinement with per-cycle checkpointing.
 
     Same contract as cg_solve_ir (lam_tpu/solver/cg.py) plus: after
     every refinement cycle the outer state persists to
     `checkpoint_path` (f64 vectors in the reference binary format + a
     JSON sidecar), and `resume=True` continues from it bit-exactly.
+    The sidecar records the preconditioner so a resume with a different
+    one is rejected (it would follow a different inner trajectory).
     Returns (CGResult, [(inner_iters, cycle_seconds), ...])."""
+    from lam_tpu.solver.cg import _inv_diag_f32
     if op32.operand is not op_acc.operand:
         raise ValueError(
             "cg_solve_ir requires the f32 operator to be a VIEW of the "
             "accurate operator (use op_acc.as_f32())")
+    if preconditioner not in (None, "jacobi"):
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+    inv32 = (_inv_diag_f32(op_acc) if preconditioner == "jacobi"
+             else None)
     b_p = op_acc.prepare_b(b)
     if resume:
         if not checkpoint_path:
             raise ValueError("resume=True requires checkpoint_path")
-        x, r, k, cycle = load_ir_state(checkpoint_path, op_acc)
+        x, r, k, cycle = load_ir_state(checkpoint_path, op_acc,
+                                       preconditioner)
     else:
         x, r, k, cycle = jnp.zeros_like(b_p), b_p, 0, 0
 
@@ -331,13 +353,15 @@ def cg_solve_ir_resumable(op32, op_acc, b, *, max_iters=10000,
                                       x, r, jnp.int32(max_iters - k),
                                       rel_error,
                                       jnp.asarray(inner_floor,
-                                                  b_p.dtype))
+                                                  b_p.dtype),
+                                      inv_diag32=inv32)
         k += int(inner_iters)  # device sync bounds the cycle timing too
         cycle += 1
         cyc_times.append((int(inner_iters), time.perf_counter() - t0))
         if checkpoint_path:
             save_ir_state(checkpoint_path, np.asarray(x), np.asarray(r),
-                          k, cycle, op_acc.n)
+                          k, cycle, op_acc.n,
+                          preconditioner=preconditioner)
         if on_cycle is not None:
             on_cycle(x, r, k, cycle)
 

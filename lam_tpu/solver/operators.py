@@ -549,7 +549,7 @@ class LinearOperator:
                        max_iters, rel_error)
 
     def run_cg_ir(self, op32, b_padded, max_iters, rel_error, max_cycles,
-                  inner_floor):
+                  inner_floor, inv_diag32=None):
         from lam_tpu.solver.cg import _cg_ir_loop
         if op32.operand is not self.operand:
             raise ValueError(
@@ -558,7 +558,8 @@ class LinearOperator:
                 "buffers would double the matrix footprint in HBM")
         return _cg_ir_loop(op32._matvec_dot_fn, self._matvec_dot_fn,
                            self.operand, b_padded,
-                           max_iters, rel_error, max_cycles, inner_floor)
+                           max_iters, rel_error, max_cycles, inner_floor,
+                           inv_diag32)
 
     def prepare_b_block(self, b_block):
         """(n, k) block of right-hand sides -> padded device array."""

@@ -175,6 +175,29 @@ def test_jacobi_preconditioned_cg():
     assert int(pre.num_iters) < int(plain.num_iters)
 
 
+def test_ir_jacobi_preconditioned():
+    """ir + jacobi (round 3 closes the last rejected combination): the
+    inner f32 loop is diagonal-scaled, the outer refinement recurrence
+    is untouched, and on a badly-scaled system the preconditioned inner
+    spends fewer total iterations than the plain one."""
+    n = 200
+    rng = np.random.default_rng(19)
+    d = np.exp(rng.uniform(0, 8, n))          # diag spread 1..3000
+    a = np.diag(d) + rng.uniform(-0.5, 0.5, (n, n))
+    a = 0.5 * (a + a.T)
+    a += n * 0.01 * np.eye(n)
+    b = rng.uniform(-1, 1, n)
+    op = DenseOperator.from_dense(a, precision="df64", engine="xla")
+    plain = cg_solve_ir(op.as_f32(), op, b, max_iters=20000,
+                        rel_error=1e-9)
+    pre = cg_solve_ir(op.as_f32(), op, b, max_iters=20000,
+                      rel_error=1e-9, preconditioner="jacobi")
+    assert bool(pre.converged)
+    x = np.asarray(pre.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-9
+    assert int(pre.num_iters) < int(plain.num_iters)
+
+
 def test_block_cg_multiple_rhs():
     from lam_tpu.solver.cg import cg_solve_block
     n, k = 96, 5

@@ -227,6 +227,48 @@ def test_ir_checkpoint_resume_matches_uninterrupted(tmp_path):
     assert np.linalg.norm(b - a @ np.asarray(fused.x)) / bn < 1e-8
 
 
+def test_ir_jacobi_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """ir + jacobi + checkpoint (the full round-3 composition):
+    interrupt at a cycle boundary, resume, land exactly on the
+    uninterrupted trajectory; and a resume WITHOUT the preconditioner
+    is refused (the sidecar records it)."""
+    import numpy as np
+    import pytest
+
+    from lam_tpu import DenseOperator
+    from lam_tpu import generate as gen
+    from lam_tpu.solver.checkpoint import cg_solve_ir_resumable
+
+    n = 300
+    a, b = gen.random_spd_system(n, seed=34)
+    s = np.exp(np.linspace(0, 3, n))
+    a = a * np.outer(s, s)
+    op = DenseOperator.from_dense(a, precision="df64")
+    op32 = op.as_f32()
+
+    full, cycles = cg_solve_ir_resumable(op32, op, b, max_iters=20000,
+                                         rel_error=1e-9,
+                                         preconditioner="jacobi")
+    assert bool(full.converged) and len(cycles) >= 2
+
+    ck = str(tmp_path / "irj_ck")
+    cg_solve_ir_resumable(op32, op, b, max_iters=20000, rel_error=1e-9,
+                          max_cycles=1, checkpoint_path=ck,
+                          preconditioner="jacobi")
+    res, _ = cg_solve_ir_resumable(op32, op, b, max_iters=20000,
+                                   rel_error=1e-9, checkpoint_path=ck,
+                                   resume=True, preconditioner="jacobi")
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ np.asarray(res.x)) / bn < 1e-8
+
+    with pytest.raises(ValueError, match="preconditioner"):
+        cg_solve_ir_resumable(op32, op, b, max_iters=20000,
+                              rel_error=1e-9, checkpoint_path=ck,
+                              resume=True)
+
+
 def test_ir_checkpoint_wrong_size_rejected(tmp_path):
     import pytest
 

@@ -203,8 +203,7 @@ def test_cli_ir_checkpoint_runs(tmp_path, capsys):
 def test_cli_preconditioner_checkpoint_composes(tmp_path, capsys):
     """--preconditioner jacobi composes with --checkpoint (round 3
     closes the last rejected combination: the resumable driver gained
-    PCG plumbing). ir+preconditioner stays rejected — the refinement
-    loop is its own accelerator."""
+    PCG plumbing; later in round 3 the ir driver gained it too)."""
     ck = str(tmp_path / "ck")
     rc = cli.main(["-s", "200", "--preconditioner", "jacobi",
                    "--precision", "f64", "-e", "1e-9", "-i", "2000",
@@ -223,12 +222,23 @@ def test_cli_preconditioner_checkpoint_composes(tmp_path, capsys):
                    "-o", str(tmp_path / "sol2.bin")])
     assert rc == 1
     capsys.readouterr()
-    # ir + preconditioner + checkpoint: clean one-line rejection
-    rc = cli.main(["-s", "64", "--preconditioner", "jacobi",
-                   "--precision", "ir",
-                   "--checkpoint", str(tmp_path / "ck2")])
+    # ir + preconditioner + checkpoint: composes; the sidecar records
+    # the preconditioner so a mismatched resume is refused
+    ck2 = str(tmp_path / "ck2")
+    rc = cli.main(["-s", "200", "--preconditioner", "jacobi",
+                   "--precision", "ir", "-e", "1e-9", "-i", "5000",
+                   "--checkpoint", ck2,
+                   "-o", str(tmp_path / "sol3.bin")])
+    assert rc == 0
+    row = capsys.readouterr().out.strip().split(",")
+    assert float(row[7]) < 1e-9
+    with open(os.path.join(ck2, "ir_state.json")) as f:
+        assert json.load(f)["preconditioner"] == "jacobi"
+    rc = cli.main(["-s", "200", "--precision", "ir",
+                   "--checkpoint", ck2, "--resume",
+                   "-o", str(tmp_path / "sol4.bin")])
     assert rc == 1
-    capsys.readouterr()
+    assert "preconditioner" in capsys.readouterr().err
 
 
 def test_cli_jacobi_preconditioner(tmp_path, capsys):
@@ -253,11 +263,15 @@ def test_cli_jacobi_preconditioner(tmp_path, capsys):
                             "sharded", "--devices", "4"]) == 0
     srow = capsys.readouterr().out.strip().split(",")
     assert float(srow[7]) < 1e-9
-    # ir + preconditioner is rejected (clean one-line error since
-    # round 3, not a traceback)
+    # ir + preconditioner composes (round 3: the inner f32 loop is
+    # Jacobi-scaled; on this badly-scaled system plain ir stalls at
+    # the f32 floor while the preconditioned inner converges)
     assert cli.main(base + ["--preconditioner", "jacobi",
-                            "--precision", "ir"]) == 1
-    assert "ir" in capsys.readouterr().err
+                            "--precision", "ir"]) == 0
+    irrow = capsys.readouterr().out.strip().split(",")
+    assert float(irrow[7]) < 1e-9
+    x = lio.read_vector(o)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
 
 
 # -- clean error surface (round 3; reference prints one line and exits:

@@ -148,6 +148,21 @@ def test_sym2d_diagonal_and_jacobi(mesh2x2):
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
 
 
+def test_sym2d_ir_jacobi(mesh2x2):
+    """ir + jacobi on the symmetric 2-D grid (round 3: the shared
+    _make_local_ir preconditioned inner loop through
+    _build_sym2d_cg_ir's precond leg)."""
+    a, b = _spd_system(n=96, seed=44)
+    s = np.exp(np.linspace(0, 4, 96))
+    a = a * np.outer(s, s)
+    op = Symm2DOperator.from_dense(a, mesh=mesh2x2, tb=TB)
+    r = cg_solve_ir(op.as_f32(), op, b, max_iters=20000, rel_error=1e-9,
+                    preconditioner="jacobi")
+    assert bool(r.converged)
+    x = np.asarray(r.x)[:96]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
 def test_sym2d_from_file(tmp_path, mesh2x2):
     from lam_tpu import io as lio
     a, b = _spd_system(n=48, seed=104)
