@@ -316,3 +316,38 @@ def test_sym2d_fq_hardware_accuracy(tpu_backend, spd_system):
     x = np.asarray(res.x)[:n]
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_gen_fq_device_built_hardware(tpu_backend):
+    # device-built gen-mode fq (DenseOperator.from_gen_fq): the q1
+    # plane is quantization-EXACT ({0,1} against the 2^-14 scale) and
+    # the broadcast zero q2/q3 tiles ride block-0-pinned index maps —
+    # Mosaic must lower that BlockSpec shape, and the accurate cascade
+    # matvec must reconstruct the tridiagonal to df64 accuracy on
+    # compiled hardware; irfq against it lands a true 1e-9 residual.
+    import jax
+    import jax.numpy as jnp
+
+    from lam_tpu import cg_solve_ir
+    from lam_tpu import generate as gen
+    from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+    from lam_tpu.solver.operators import DenseOperator, padded_size
+    n = 4000
+    tb = SYMM_TB
+    n_p = padded_size(n, tb)
+    it, kt = _symm_tables(n_p // tb)
+    q1 = jax.jit(gen._tridiag_q1_packed_impl,
+                 static_argnums=(0, 1, 4))(n, tb, jnp.asarray(it),
+                                           jnp.asarray(kt), n_p // tb)
+    op = DenseOperator.from_gen_fq(q1, n, n_p)
+    a = gen.tridiagonal_rows(0, n, n)
+    rng = np.random.default_rng(5)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.extract_x(op.matvec(op.prepare_b(p))))
+    assert _rel(y, a @ p) < 1e-12
+    b = gen.ones_rhs(n)
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=20000,
+                      rel_error=1e-9, inner_floor=1e-2)
+    x = np.asarray(res.x)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
