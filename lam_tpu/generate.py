@@ -219,6 +219,22 @@ def _tridiag_q1_packed_impl(n, tb, it, kt, nblk):
     return out
 
 
+def _gen_diag_slab_impl(n, g, m, value=2.0):
+    """Slab-order (band-pair) f32 diagonal of the gen tridiagonal:
+    position c*2m + j of the (n_padded,) output is chip c's slab row j,
+    whose ORIGINAL row is c*m + j (band c) or (2g-1-c)*m + (j - m)
+    (band 2g-1-c); entries past n are padding (0). Device-built — the
+    sharded gen-fq operator's diagonal pair (dl == 0 exactly: the gen
+    diagonal is 2.0, exact in f32)."""
+    import jax.numpy as jnp
+
+    u = jnp.arange(2 * g * m)
+    c = u // (2 * m)
+    j = u % (2 * m)
+    orig = jnp.where(j < m, c * m + j, (2 * g - 1 - c) * m + (j - m))
+    return jnp.where(orig < n, jnp.float32(value), jnp.float32(0.0))
+
+
 def ones_rhs(n, dtype=np.float64):
     """Gen-mode rhs: all ones (ConjugateGradient_CPU_MPI_OMP.hpp:159-164)."""
     return np.ones(n, dtype=dtype)

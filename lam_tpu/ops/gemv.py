@@ -2082,9 +2082,12 @@ def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
         raise ValueError(f"packed slab has {T} tiles but the walk "
                          f"table has {it.shape[0]}")
     for name, q in (("q2", q2), ("q3", q3)):
-        if q.shape != q1.shape:
+        # a (tb, tb) plane is ONE broadcast tile (gen-mode exact-zero
+        # residual planes, same as gemv_fq_symm) — block-0-pinned map
+        if q.shape != q1.shape and q.shape != (tb, tb):
             raise ValueError(f"{name} plane shape {q.shape} != q1 "
-                             f"plane {q1.shape}")
+                             f"plane {q1.shape} (or one broadcast "
+                             f"({tb}, {tb}) tile)")
     for name, s in (("s1", s1), ("s2", s2), ("s3", s3)):
         if s.shape != (T,):
             raise ValueError(f"{name} table shape {s.shape} != ({T},)")
@@ -2092,9 +2095,12 @@ def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
         raise ValueError("packed slab needs ms (a multiple of tb)")
     grid = (T,)
     a_map = lambda t, *refs: (t, t * 0)
+    a_map0 = lambda t, *refs: (t * 0, t * 0)
 
-    def tile_spec():
-        return pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM)
+    def tile_spec(q=None):
+        bcast = q is not None and q.shape == (tb, tb) and T > 1
+        return pl.BlockSpec((tb, tb), a_map0 if bcast else a_map,
+                            memory_space=pltpu.VMEM)
 
     def row_spec():
         return pl.BlockSpec((1, tb),
@@ -2122,7 +2128,7 @@ def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=grid,
-        in_specs=[tile_spec(), tile_spec(), tile_spec(),
+        in_specs=[tile_spec(), tile_spec(q2), tile_spec(q3),
                   row_spec(), row_spec(), col_spec(), col_spec()],
         out_specs=(yd_spec(), yd_spec(), yt_spec(), yt_spec()),
         scratch_shapes=[

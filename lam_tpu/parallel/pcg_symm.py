@@ -255,11 +255,14 @@ def _make_mv_acc(axis, g, m, tb, storage="slab"):
                 # off-TPU accurate path: dequantize the cascade to f64
                 # (exact per plane) and run the einsum triangle walk
                 T = it.shape[1]
+                # a (tb, tb) plane is one broadcast EXACT-ZERO tile
+                # (gen mode, from_gen_fq) — skip it
                 rec = sum(
                     (q.reshape(T, tb, tb).astype(jnp.float64)
                      * sc[0].astype(jnp.float64)[:, None, None]
                      ).reshape(T * tb, tb)
-                    for q, sc in ((q1, s1), (q2, s2), (q3, s3)))
+                    for q, sc in ((q1, s1), (q2, s2), (q3, s3))
+                    if q.shape == q1.shape)
                 zero_lo = jnp.zeros((tb, tb), rec.dtype)
                 y = _packed_mv_jnp(rec, zero_lo, it[0], kt[0], p)
                 yd = join_f64(th, tl)
@@ -684,6 +687,49 @@ class SymmShardedOperator(LinearOperator):
                      out_shardings=a_sharding)()
         operand = (hi, lo, *_table_arrays(tables, g, a_sharding))
         return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m, tb)
+
+    @staticmethod
+    def from_gen_fq(n, mesh=None, tb=None):
+        """Gen-mode fq operator built ON DEVICE on the band-pair mesh:
+        the sharded twin of DenseOperator.from_gen_fq. The int16 q1
+        plane is quantization-EXACT for the gen tridiagonal ({0,1}
+        entries against the 2^-14 scale) and is built by the SAME
+        scatter program as the local path — the flat band-walk tables
+        cover every triangle tile exactly once, so
+        generate._tridiag_q1_packed_impl applies unchanged with
+        out_shardings placing each chip's slab in its own HBM. The
+        exactly-zero q2/q3 residual planes are ONE broadcast (tb, tb)
+        tile per chip; the diagonal (constant 2.0, exact in f32) rides
+        as a device-built slab-order df64 pair. 2 B/element per mesh —
+        half the packed f32 gen pair — so sharded irfq gen probes run
+        beyond the f32 gen frontier."""
+        from lam_tpu import generate as gen
+        (mesh, tb, axis, g, n_p, m, tables,
+         a_sharding) = _geometry(n, mesh, tb)
+        its, kts = tables[0], tables[1]
+        T = its.shape[1]
+        flat_it = jnp.asarray(its.reshape(-1))
+        flat_kt = jnp.asarray(kts.reshape(-1))
+        q1 = jax.jit(gen._tridiag_q1_packed_impl,
+                     static_argnums=(0, 1, 4),
+                     out_shardings=a_sharding)(n, tb, flat_it, flat_kt,
+                                               n_p // tb)
+        zeros_q = jax.jit(lambda: jnp.zeros((g * tb, tb), jnp.int16),
+                          out_shardings=a_sharding)()
+        s1 = jax.jit(lambda: jnp.full((g, T), gen.TRIDIAG_Q1_SCALE,
+                                      jnp.float32),
+                     out_shardings=a_sharding)()
+        zeros_s = jax.jit(lambda: jnp.zeros((g, T), jnp.float32),
+                          out_shardings=a_sharding)()
+        d_sharding = NamedSharding(mesh, P(axis))
+        dh = jax.jit(gen._gen_diag_slab_impl, static_argnums=(0, 1, 2),
+                     out_shardings=d_sharding)(n, g, m)
+        dl = jax.jit(lambda: jnp.zeros((n_p,), jnp.float32),
+                     out_shardings=d_sharding)()
+        operand = (q1, zeros_q, zeros_q, s1, zeros_s, zeros_s, dh, dl,
+                   *_table_arrays(tables, g, a_sharding))
+        return SymmShardedOperator(operand, n, n_p, mesh, axis, g, m,
+                                   tb, storage="fq")
 
     @staticmethod
     def from_dense(a, mesh=None, tb=None, packed=False,

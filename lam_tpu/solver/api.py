@@ -238,6 +238,13 @@ class ConjugateGradient:
                                                    jnp.asarray(kt),
                                                    n_p // tb)
             return DenseOperator.from_gen_fq(q1, rows, n_p)
+        if (self.backend == "sharded" and self._base_precision() == "fq"
+                and self.engine in ("auto", "pallas_symm_packed")):
+            # sharded twin of the branch above: device-built band-pair
+            # fq (2 B/element across the mesh, no host matrix)
+            from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+            return SymmShardedOperator.from_gen_fq(
+                rows, mesh=self._mesh_or_make())
         if self._base_precision() not in ("auto", "df64", "f32"):
             return None
         if self._base_precision() == "f32":

@@ -351,3 +351,27 @@ def test_gen_fq_device_built_hardware(tpu_backend):
     x = np.asarray(res.x)
     assert bool(res.converged)
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_sharded_gen_fq_device_built_hardware(tpu_backend):
+    # sharded gen-mode fq on a 1-device mesh: the slab fq kernel must
+    # lower the broadcast zero-residual-tile BlockSpecs on Mosaic, the
+    # accurate cascade matvec must hit the gen tridiagonal at df64
+    # accuracy, and irfq through the sharded program lands true 1e-9.
+    from lam_tpu import cg_solve_ir
+    from lam_tpu import generate as gen
+    from lam_tpu.parallel.mesh import make_mesh
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+    n = 4000
+    op = SymmShardedOperator.from_gen_fq(n, mesh=make_mesh(1))
+    a = gen.tridiagonal_rows(0, n, n)
+    rng = np.random.default_rng(6)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    assert _rel(y, a @ p) < 1e-12
+    b = gen.ones_rhs(n)
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=20000,
+                      rel_error=1e-9, inner_floor=1e-2)
+    assert bool(res.converged)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
