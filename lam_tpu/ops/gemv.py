@@ -2248,22 +2248,34 @@ def gemv_fq_dual(q1, q2, q3, s1, s2, s3, p_hi, p_lo, q_hi, q_lo, *,
     n = p_hi.shape[0]
     ms = q_hi.shape[0]
     for name, qq in (("q2", q2), ("q3", q3)):
-        if qq.shape != q1.shape:
+        # a (tb, tb) plane is ONE broadcast tile (gen-mode exact-zero
+        # residual planes, Symm2DOperator.from_gen_fq — same trick as
+        # gemv_fq_symm); its index map pins block 0 every grid step
+        if (qq.shape != q1.shape
+                and (qq.shape != (tb, tb) or q1.shape == (tb, tb))):
             raise ValueError(f"{name} plane shape {qq.shape} != q1 "
-                             f"plane {q1.shape}")
+                             f"plane {q1.shape} (or one broadcast "
+                             f"({tb}, {tb}) tile)")
     T = q1.shape[0] // tb
     for name, s in (("s1", s1), ("s2", s2), ("s3", s3)):
         if s.shape != (T,):
             raise ValueError(f"{name} table shape {s.shape} != ({T},)")
     a_map = lambda li, k, *refs: (li * cb + k, li * 0)
+    a_map0 = lambda li, k, *refs: (li * 0, li * 0)
+
+    def plane_spec(qq=None):
+        bcast = qq is not None and qq.shape != q1.shape
+        return pl.BlockSpec((tb, tb), a_map0 if bcast else a_map,
+                            memory_space=pltpu.VMEM)
+
     grid = (mb, cb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
+            plane_spec(),
+            plane_spec(q2),
+            plane_spec(q3),
             pl.BlockSpec((1, tb), lambda li, k, *refs: (k * 0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb), lambda li, k, *refs: (k * 0, k),

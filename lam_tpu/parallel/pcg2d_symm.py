@@ -420,13 +420,16 @@ def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
                                           top=False))
             else:
                 # off-TPU: dequantize the cascade to genuine f64 (exact
-                # per plane) and run XLA math — same policy as dfq
+                # per plane) and run XLA math — same policy as dfq.
+                # a (tb, tb) residual plane is ONE broadcast tile of
+                # exact zeros (gen mode, from_gen_fq) — skip it
                 def rec64():
                     return sum(
                         (q.reshape(T, tb, tb).astype(jnp.float64)
                          * sf.astype(jnp.float64)[:, None, None]
                          ).reshape(T * tb, tb)
-                        for q, sf in ((q1, s1f), (q2, s2f), (q3, s3f)))
+                        for q, sf in ((q1, s1f), (q2, s2f), (q3, s3f))
+                        if q.shape == (T * tb, tb))
 
                 def diag(_):
                     zt64 = jnp.zeros((tb, tb), jnp.float64)
@@ -802,6 +805,97 @@ class Symm2DOperator(LinearOperator):
                      out_shardings=NamedSharding(mesh,
                                                  P(ROWS, COLS)))()
         return Symm2DOperator((hi, lo), n, n_p, mesh, tb)
+
+    @staticmethod
+    def from_gen_fq(n, mesh=None, tb=None):
+        """Gen-mode fq operator built ON DEVICE on the 2-D grid — the
+        sym2d twin of SymmShardedOperator.from_gen_fq: the int16 q1
+        plane is quantization-EXACT for the gen tridiagonal (the
+        off-diagonal {0, 1} entries against the 2^-14 scale,
+        generate.TRIDIAG_Q1_SCALE), built per chip by the same
+        sparsity-aware scatter as from_gen_tridiagonal with the matrix
+        diagonal EXTRACTED to a device-built P(ROWS) df64 pair (the fq
+        layout's diagonal channel; the constant 2.0 is exact in f32 so
+        dl == 0). The exactly-zero q2/q3 residual planes are ONE
+        broadcast (tb, tb) tile per chip — 2 B/element stored once
+        across the grid, a THIRD of the file-loaded fq footprint."""
+        from lam_tpu import generate as gen
+        from lam_tpu.ops.gemv import _symm_tables
+
+        (mesh, tb, r, n_p, m, c, T,
+         sharding) = _geometry(n, mesh, tb)
+        it_np, kt_np = _symm_tables(c)
+        it_c, kt_c = jnp.asarray(it_np), jnp.asarray(kt_np)
+        rows_per_chip = T * tb
+        qv = jnp.int16(round(1.0 / gen.TRIDIAG_Q1_SCALE))
+
+        def local_build():
+            i = jax.lax.axis_index(ROWS)
+            j = jax.lax.axis_index(COLS)
+            out = jnp.zeros((rows_per_chip, tb), jnp.int16)
+
+            # diagonal-chip band: only the c diagonal tiles of the
+            # local triangle walk are nonzero (+-1 neighbors; the
+            # matrix diagonal itself is extracted to dh), so scatter
+            # just those — O(c*tb^2) work, not O(T*tb^2)
+            dpos = jnp.nonzero(it_c == kt_c, size=c, fill_value=0)[0]
+            i0 = it_c[dpos]
+            rr = jax.lax.broadcasted_iota(jnp.int32, (c, tb, tb), 1)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (c, tb, tb), 2)
+            gi = i * m + i0[:, None, None] * tb + rr
+            gj = i * m + i0[:, None, None] * tb + cc
+            d = rr - cc
+            vals = jnp.where((d == 1) | (d == -1), qv, jnp.int16(0))
+            vals = jnp.where((gi < n) & (gj < n) & (i == j), vals,
+                             jnp.int16(0))
+            ridx = (dpos[:, None] * tb
+                    + jnp.arange(tb, dtype=jnp.int32)[None, :]
+                    ).reshape(-1)
+            out = out.at[ridx].set(
+                jnp.where(i == j, vals.reshape(c * tb, tb),
+                          out[ridx]))
+
+            # within-chip tile corners: the band crosses local tile
+            # boundaries at walk tiles with it == kt + 1, whose
+            # top-right element is A[g, g-1] = 1, g = i*m + it*tb
+            # (the same cpos scatter as generate._tridiag_q1_packed_impl)
+            if c > 1:
+                cpos = jnp.nonzero(it_c == kt_c + 1, size=c - 1,
+                                   fill_value=0)[0]
+                ic = it_c[cpos]
+                cval = jnp.where((i == j) & (i * m + ic * tb < n), qv,
+                                 jnp.int16(0))
+                out = out.at[cpos * tb, tb - 1].add(cval)
+
+            # cross-block corner A[i*m, i*m - 1] = 1: the TOP half of
+            # lower block A_(i, i-1) -> chip (i, i-1), rect tile
+            # (0, c-1) = buffer row (c-1)*tb, in-tile element
+            # (0, tb-1); .add is safe — that slot is zero elsewhere
+            cv = jnp.where((i == j + 1) & (i * m < n), qv,
+                           jnp.int16(0))
+            return out.at[(c - 1) * tb, tb - 1].add(cv)
+
+        q1 = jax.jit(shard_map(local_build, mesh=mesh, in_specs=(),
+                               out_specs=P(ROWS, COLS),
+                               check_vma=False))()
+        zeros_q = jax.jit(lambda: jnp.zeros((r * tb, r * tb),
+                                            jnp.int16),
+                          out_shardings=sharding)()
+        s1 = jax.jit(lambda: jnp.full((r * T, r),
+                                      gen.TRIDIAG_Q1_SCALE,
+                                      jnp.float32),
+                     out_shardings=sharding)()
+        zeros_s = jax.jit(lambda: jnp.zeros((r * T, r), jnp.float32),
+                          out_shardings=sharding)()
+        d_sharding = NamedSharding(mesh, P(ROWS))
+        dh = jax.jit(lambda: jnp.where(jnp.arange(n_p) < n,
+                                       jnp.float32(2.0),
+                                       jnp.float32(0.0)),
+                     out_shardings=d_sharding)()
+        dl = jax.jit(lambda: jnp.zeros((n_p,), jnp.float32),
+                     out_shardings=d_sharding)()
+        operand = (q1, zeros_q, zeros_q, s1, zeros_s, zeros_s, dh, dl)
+        return Symm2DOperator(operand, n, n_p, mesh, tb, storage="fq")
 
     # -- solve path ----------------------------------------------------------
 

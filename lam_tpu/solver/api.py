@@ -245,6 +245,16 @@ class ConjugateGradient:
             from lam_tpu.parallel.pcg_symm import SymmShardedOperator
             return SymmShardedOperator.from_gen_fq(
                 rows, mesh=self._mesh_or_make())
+        if (self.backend == "sharded2d"
+                and self._base_precision() == "fq"
+                and self.engine in ("auto", "pallas_symm",
+                                    "pallas_symm_packed")):
+            # 2-D grid twin: device-built q1 plane stored once across
+            # the grid + broadcast-zero residual tiles (closes the
+            # round-3 "gen fq on the 2-D grid still host-built" note)
+            from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+            return Symm2DOperator.from_gen_fq(
+                rows, mesh=self._mesh2d_or_make())
         if self._base_precision() not in ("auto", "df64", "f32"):
             return None
         if self._base_precision() == "f32":

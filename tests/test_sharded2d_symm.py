@@ -419,3 +419,115 @@ def test_sym2d_irfq_via_api(mesh2x2, tmp_path):
     assert cg.solve(max_iters=10000, rel_error=1e-9)
     x = cg.x[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_dual_kernel_fq_broadcast_residual_tiles():
+    """gemv_fq_dual accepts ONE (tb, tb) broadcast tile for the q2/q3
+    residual planes (gen mode, Symm2DOperator.from_gen_fq) and matches
+    the full-zero-plane form bit for bit (same interpret path)."""
+    from lam_tpu.ops.gemv import (gemv_fq_dual, pack_rect_host,
+                                  quantize_fq_tiles)
+    from lam_tpu.solver.operators import split_f64_host
+    tb = 128
+    ms, n = 256, 512
+    rng = np.random.default_rng(11)
+    s = rng.uniform(-1, 1, (ms, n))
+    sp = pack_rect_host(s, tb, pad_tiles=1)
+    q1, _, _, s1, _, _ = quantize_fq_tiles(sp, tb)
+    T = q1.shape[0] // tb
+    zs = np.zeros((T,), np.float32)
+    p = rng.uniform(-1, 1, n)
+    qv = rng.uniform(-1, 1, ms)
+    ph, plo = split_f64_host(p)
+    qh, ql = split_f64_host(qv)
+    vecs = (jnp.asarray(ph), jnp.asarray(plo), jnp.asarray(qh),
+            jnp.asarray(ql))
+    full = gemv_fq_dual(jnp.asarray(q1), jnp.zeros_like(jnp.asarray(q1)),
+                        jnp.zeros_like(jnp.asarray(q1)),
+                        jnp.asarray(s1), jnp.asarray(zs),
+                        jnp.asarray(zs), *vecs)
+    bcast_tile = jnp.zeros((tb, tb), jnp.int16)
+    bc = gemv_fq_dual(jnp.asarray(q1), bcast_tile, bcast_tile,
+                      jnp.asarray(s1), jnp.asarray(zs),
+                      jnp.asarray(zs), *vecs)
+    for xf, xb in zip(full, bc):
+        np.testing.assert_array_equal(np.asarray(xf), np.asarray(xb))
+    with pytest.raises(ValueError):
+        gemv_fq_dual(jnp.asarray(q1), bcast_tile[:64], bcast_tile,
+                     jnp.asarray(s1), jnp.asarray(zs), jnp.asarray(zs),
+                     *vecs)
+
+
+def test_sym2d_gen_fq_matches_dense(mesh2x2):
+    """Device-built gen-mode fq on the 2-D grid: quantization-EXACT q1
+    plane (off-diag entries {0, 1} against the 2^-14 scale), diagonal
+    extracted to the P(ROWS) df64 pair, broadcast-zero residual
+    planes — the accurate matvec must equal the closed-form
+    tridiagonal product and both solves must converge."""
+    n = 200
+    op = Symm2DOperator.from_gen_fq(n, mesh=mesh2x2, tb=TB)
+    assert op._storage == "fq" and op.precision == "fq"
+    q1, q2, q3, s1, s2, s3, dh, dl = op.operand
+    r = 2
+    # residual planes are ONE broadcast (tb, tb) tile per chip
+    assert q2.shape == (r * TB, r * TB) and q3.shape == (r * TB, r * TB)
+    assert q1.dtype == np.int16
+    ag = np.asarray(gen.tridiagonal_matrix(n))
+    p = gen.random_rhs(n, seed=9)
+    ap = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    np.testing.assert_allclose(ap, ag @ p, rtol=1e-12, atol=1e-12)
+    d = np.asarray(op.diagonal())[:n]
+    np.testing.assert_allclose(d, np.full(n, 2.0), rtol=0, atol=0)
+    # f32 view (the irfq inner engine) reads only the q1 plane
+    p32 = p.astype(np.float32)
+    op32 = op.as_f32()
+    y32 = np.asarray(op32.matvec(op32.prepare_b(p32)), np.float64)[:n]
+    assert np.linalg.norm(y32 - ag @ p) / np.linalg.norm(ag @ p) < 1e-6
+    b = np.ones(n)
+    bn = np.linalg.norm(b)
+    res = cg_solve(op, b, max_iters=500, rel_error=1e-9)
+    assert bool(res.converged)
+    assert np.linalg.norm(b - ag @ np.asarray(res.x)[:n]) / bn < 1e-8
+    res2 = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                       rel_error=1e-9, inner_floor=1e-2)
+    assert bool(res2.converged)
+    assert np.linalg.norm(b - ag @ np.asarray(res2.x)[:n]) / bn < 1e-8
+
+
+def test_sym2d_gen_fq_offsets_and_padding(mesh2x2):
+    """The corner element and padding rows land on the right chips for
+    an n that pads (n < n_padded) and one that does not."""
+    for n in (160, 2 * 2 * TB * 2):  # padded and exact-fit sizes
+        op = Symm2DOperator.from_gen_fq(n, mesh=mesh2x2, tb=TB)
+        ag = np.asarray(gen.tridiagonal_matrix(n))
+        p = gen.random_rhs(n, seed=3)
+        ap = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+        np.testing.assert_allclose(ap, ag @ p, rtol=1e-12, atol=1e-12)
+
+
+def test_api_gen_fq_routes_sym2d(mesh2x2, monkeypatch):
+    """Gen mode with --backend sharded2d --precision irfq routes to the
+    device-built fq grid on TPU (_generate_fast); CPU hosts keep the
+    host-build path (the fast path exists to skip the host->device
+    matrix transfer, which only a real chip pays)."""
+    import lam_tpu.parallel.pcg2d_symm as s2
+    from lam_tpu.solver.api import ConjugateGradient
+    cg = ConjugateGradient(backend="sharded2d", precision="irfq",
+                           n_devices=4)
+    assert cg._generate_fast(300) is None  # CPU: host build stays
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        op = cg._generate_fast(300)
+        assert isinstance(op, s2.Symm2DOperator)
+        assert op._storage == "fq"
+        q1, q2, q3 = op.operand[0], op.operand[1], op.operand[2]
+        assert q1.dtype == np.int16
+        # residual planes are broadcast tiles, not full planes
+        assert q2.shape[0] < q1.shape[0] and q3.shape[0] < q1.shape[0]
+    finally:
+        # the poisoned-backend build must not leak Pallas-on-CPU
+        # closures into the lru-cached builders other tests share
+        for f in (s2._build_sym2d_cg, s2._build_sym2d_cg_ir,
+                  s2._build_sym2d_pcg, s2._build_sym2d_matvec,
+                  s2._build_sym2d_chain):
+            f.cache_clear()

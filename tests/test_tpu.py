@@ -375,3 +375,29 @@ def test_sharded_gen_fq_device_built_hardware(tpu_backend):
     assert bool(res.converged)
     x = np.asarray(res.x)[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_sym2d_gen_fq_device_built_hardware(tpu_backend):
+    # device-built gen-mode fq on the 2-D grid, 1x1 mesh: lax.switch
+    # compiles ALL branches, so gemv_fq_dual with BROADCAST zero
+    # residual tiles (the a_map0 BlockSpecs) must pass Mosaic lowering
+    # even though only the diagonal branch executes; the executed path
+    # must hit the gen tridiagonal exactly (quantization-EXACT q1
+    # plane) and irfq lands a true 1e-9 residual through the grid.
+    from lam_tpu import cg_solve_ir
+    from lam_tpu import generate as gen
+    from lam_tpu.parallel.pcg2d import make_mesh2d
+    from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+    n = 4000
+    op = Symm2DOperator.from_gen_fq(n, mesh=make_mesh2d(1))
+    a = gen.tridiagonal_rows(0, n, n)
+    rng = np.random.default_rng(13)
+    p = rng.uniform(-1, 1, n)
+    y = np.asarray(op.matvec(op.prepare_b(p)))[:n]
+    assert _rel(y, a @ p) < 1e-12
+    b = gen.ones_rhs(n)
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=20000,
+                      rel_error=1e-9, inner_floor=1e-2)
+    assert bool(res.converged)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
