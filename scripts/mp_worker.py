@@ -121,6 +121,28 @@ def main(argv=None):
                                            precision="f64")
         check(cg_solve(op2, b, max_iters=2000, rel_error=1e-9), "2d")
 
+        # symmetric 2-D grid with fully-quantized storage (round 3c):
+        # per-process quantized packs (callback placement) and the
+        # dual q16/fq kernels' collectives — 2 transpose ppermutes +
+        # the cols-psum — crossing the process boundary
+        from lam_tpu.parallel.pcg2d_symm import Symm2DOperator
+        fop2 = Symm2DOperator.from_dense(a, mesh=mesh2, tb=128,
+                                         precision="fq")
+        check(cg_solve(fop2, b, max_iters=2000, rel_error=1e-9),
+              "sym2d-fq")
+        # device-built gen-mode fq plane across processes (each
+        # process materializes only its own chips' shards)
+        gop2 = Symm2DOperator.from_gen_fq(256, mesh=mesh2, tb=128)
+        at = gen.tridiagonal_matrix(256)
+        pg = gen.random_rhs(256, seed=4)
+        apg = _host_array(gop2.matvec(gop2.prepare_b(pg)))[:256]
+        gerr = float(np.abs(apg - np.asarray(at) @ pg).max())
+        assert gerr < 1e-9, f"sym2d gen-fq MP mismatch: {gerr}"
+        if jax.process_index() == 0:
+            print(f"MP_OK comm=sym2d-genfq procs={args.num_processes} "
+                  f"devices={mesh2.devices.size} err={gerr:.3e}",
+                  flush=True)
+
     # heat demo: row-sharded halo-exchange stencil with CROSS-PROCESS
     # ppermute of the boundary rows (the matrix-free parallel pattern)
     from lam_tpu.apps import heat
