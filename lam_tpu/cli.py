@@ -132,6 +132,12 @@ def build_parser():
                         "works on every backend and composes with "
                         "--precision ir/irq/irfq — there it scales the "
                         "inner f32 loop — and with --checkpoint)")
+    p.add_argument("--pack-cache", action="store_true",
+                   help="For --precision dfq/irq/fq/irfq file mode: "
+                        "publish/reuse the packed quantized planes "
+                        "beside the matrix file (<file>.dfqpack/"
+                        ".fqpack), so reloads skip the quantization "
+                        "pass (~7x faster at N=70000)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",
@@ -251,7 +257,7 @@ def _cli_main(argv=None):
 
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
                            engine=args.engine, n_devices=args.devices,
-                           comm=args.comm)
+                           comm=args.comm, pack_cache=args.pack_cache)
     # the CSV procs column counts devices actually USED
     n_devices = cg.used_devices()
 

@@ -31,7 +31,8 @@ from lam_tpu.solver.operators import DenseOperator
 
 class ConjugateGradient:
     def __init__(self, backend="auto", precision="auto", engine="auto",
-                 n_devices=None, mesh=None, comm="gather"):
+                 n_devices=None, mesh=None, comm="gather",
+                 pack_cache=False):
         if backend == "auto":
             n = n_devices or len(jax.devices())
             backend = "sharded" if n > 1 else "local"
@@ -40,6 +41,10 @@ class ConjugateGradient:
         self.engine = engine
         self.n_devices = n_devices
         self.comm = comm
+        # pack_cache: publish/reuse packed quantized planes beside the
+        # matrix file (solver/pack_cache.py) so dfq/fq RELOADS skip the
+        # CPU-bound quantization pass (~7x faster measured at N=70000)
+        self.pack_cache = pack_cache
         self._mesh = mesh
         self.op = None
         self.rhs = None
@@ -172,10 +177,12 @@ class ConjugateGradient:
             # fused file->quantized-triangle pack (native when built):
             # reads only the lower-triangle bytes, never materializes
             # the full f64 matrix in host RAM
-            self.op = DenseOperator.from_file_dfq(filename)
+            self.op = DenseOperator.from_file_dfq(
+                filename, pack_cache=self.pack_cache)
         elif (self.backend == "local" and self._base_precision() == "fq"
                 and self.engine in ("auto", "pallas_symm_packed")):
-            self.op = DenseOperator.from_file_fq(filename)
+            self.op = DenseOperator.from_file_fq(
+                filename, pack_cache=self.pack_cache)
         else:
             self.op = self._build_operator(
                 lambda s, m: lio.read_matrix_rows(filename, s, m), rows,

@@ -717,6 +717,63 @@ class DenseOperator(LinearOperator):
         return out
 
     @staticmethod
+    def _host_pack_tri(a, storage, tb):
+        """Streaming host pack of a symmetric f64 matrix (`a` may be a
+        np.memmap) into the quantized packed-triangle buffers, in the
+        operand order of `_native_io.pack_{storage}` — the shared
+        fallback behind from_dense_dfq/from_dense_fq and the
+        from_file_* constructors when the native library is absent.
+        Peak host memory is the packed buffers plus one (tb, i*tb) row
+        block; the diagonal is extracted as an exact df64 pair and
+        zeroed before quantization."""
+        from lam_tpu.ops.gemv import tri_tile_count
+        n = a.shape[0]
+        n_p = padded_size(n, tb)
+        nblk = n_p // tb
+        T = tri_tile_count(nblk)
+        dtypes, n_scales = QUANT_LAYOUT[storage]
+        planes = [np.empty((T * tb, tb), dt) for dt in dtypes]
+        scales = [np.zeros((T,), np.float32) for _ in range(n_scales)]
+        dh = np.zeros((n_p,), np.float32)
+        dl = np.zeros((n_p,), np.float32)
+        t = 0
+        for i in range(nblk):
+            r0, r1 = i * tb, min((i + 1) * tb, n)
+            width = (i + 1) * tb
+            cw = min(width, n)
+            blk = np.zeros((tb, width), np.float64)
+            if r1 > r0:
+                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
+                rr = np.arange(r1 - r0)
+                dvals = blk[rr, r0 + rr].copy()
+                dhi = dvals.astype(np.float32)
+                dh[r0:r1] = dhi
+                dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
+                    np.float32)
+                blk[rr, r0 + rr] = 0.0
+            for k in range(i + 1):
+                out = quantize_storage_tiles(
+                    storage, blk[:, k * tb:(k + 1) * tb], tb)
+                for plane, val in zip(planes, out[:len(planes)]):
+                    plane[t * tb:(t + 1) * tb] = val
+                for sc, val in zip(scales, out[len(planes):]):
+                    sc[t] = val[0]
+                t += 1
+        return (*planes, *scales, dh, dl)
+
+    @staticmethod
+    def _packed_operator(storage, bufs, n, n_padded):
+        """DenseOperator over packed quantized-triangle buffers (the
+        order of `_host_pack_tri` / `_native_io.pack_*` /
+        `pack_cache.load`)."""
+        operand = tuple(jnp.asarray(b) for b in bufs)
+        fn = _MATVEC_DOT[(storage, "pallas_symm_packed")]
+        out = DenseOperator(fn, operand, n, n_padded, jnp.float64,
+                            storage, "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED[storage]
+        return out
+
+    @staticmethod
     def from_dense_dfq(a, check_symmetric=True):
         """Quantized-lo packed operator ("dfq"): hi plane f32 + lo plane
         int16 against per-tile power-of-two scales + the diagonal
@@ -744,75 +801,70 @@ class DenseOperator(LinearOperator):
                 "random-vector check found A v != A^T v")
         tb = SYMM_TB
         n_p = padded_size(n, tb)
-        nblk = n_p // tb
-        T = tri_tile_count(nblk)
-        hi_p = np.empty((T * tb, tb), np.float32)
-        loq = np.empty((T * tb, tb), np.int16)
-        sc = np.zeros((T,), np.float32)
-        dh = np.zeros((n_p,), np.float32)
-        dl = np.zeros((n_p,), np.float32)
-        t = 0
-        for i in range(nblk):
-            r0, r1 = i * tb, min((i + 1) * tb, n)
-            width = (i + 1) * tb
-            cw = min(width, n)
-            blk = np.zeros((tb, width), np.float64)
-            if r1 > r0:
-                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
-                rr = np.arange(r1 - r0)
-                dvals = blk[rr, r0 + rr].copy()
-                dhi = dvals.astype(np.float32)
-                dh[r0:r1] = dhi
-                dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
-                    np.float32)
-                blk[rr, r0 + rr] = 0.0
-            for k in range(i + 1):
-                hi_t, q_t, s_t = quantize_storage_tiles(
-                    "dfq", blk[:, k * tb:(k + 1) * tb], tb)
-                hi_p[t * tb:(t + 1) * tb] = hi_t
-                loq[t * tb:(t + 1) * tb] = q_t
-                sc[t] = s_t[0]
-                t += 1
-        operand = (jnp.asarray(hi_p), jnp.asarray(loq), jnp.asarray(sc),
-                   jnp.asarray(dh), jnp.asarray(dl))
-        fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
-        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
-                            "pallas_symm_packed")
-        out._mv_block = _MV_BLOCK_PACKED["dfq"]
-        return out
+        bufs = DenseOperator._host_pack_tri(a, "dfq", tb)
+        return DenseOperator._packed_operator("dfq", bufs, n, n_p)
 
     @staticmethod
-    def from_file_dfq(path, check_symmetric=False):
+    def _from_file_packed(path, storage, check_symmetric, pack_cache):
+        """Shared body of from_file_dfq / from_file_fq: open the matrix
+        file (reference binary format, random_spd_system.cpp:114-116,
+        or .npy), then produce the packed buffers from the cheapest
+        available source, in order:
+
+        1. the on-disk pack cache beside the file (pack_cache=True;
+           solver/pack_cache.py — a raw read of the 3-8x-smaller packed
+           planes, skipping the CPU-bound quantization entirely),
+        2. the fused native C++ pack (native/lam_native.cpp ln_pack_*,
+           reads only the lower-triangle bytes),
+        3. the streaming numpy pack over the memory map.
+
+        A fresh pack is published back to the cache when
+        pack_cache=True (atomic, best-effort). Symmetry is trusted by
+        default (CG's contract; the check costs two full passes over a
+        multi-GB file)."""
+        from lam_tpu import _native_io
+        from lam_tpu.ops.gemv import SYMM_TB
+        from lam_tpu.solver import pack_cache as pc
+
+        path = str(path)
+        a, data_off = _open_matrix_memmap(path)
+        n = a.shape[0]
+        if check_symmetric and not _verifies_symmetric(a):
+            raise ValueError(
+                f"precision='{storage}' requires a symmetric matrix "
+                "(the lower-triangle kernel mirrors A's lower half); "
+                "the random-vector check found A v != A^T v")
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        if pack_cache:
+            hit = pc.load(path, storage)
+            if hit is not None and hit[0] == n and hit[1] == n_p \
+                    and hit[2] == tb:
+                return DenseOperator._packed_operator(
+                    storage, hit[3], n, n_p)
+        if _native_io.available():
+            pack = getattr(_native_io, f"pack_{storage}")
+            bufs = pack(path, data_off, n, n_p, tb)
+        else:
+            bufs = DenseOperator._host_pack_tri(a, storage, tb)
+        if pack_cache:
+            pc.save(path, storage, n, n_p, tb, bufs)
+        return DenseOperator._packed_operator(storage, bufs, n, n_p)
+
+    @staticmethod
+    def from_file_dfq(path, check_symmetric=False, pack_cache=False):
         """Quantized-lo packed operator straight from a matrix FILE —
         the reference binary format (16-byte header,
         random_spd_system.cpp:114-116) or a .npy. With the native
         library built (native/lam_native.cpp ln_pack_dfq) the pack is
         one fused C++ pass reading only the lower-triangle bytes (~half
         the disk traffic, no numpy temporaries); otherwise falls back
-        to the streaming numpy pack over a memory map. Symmetry is
-        trusted by default (CG's contract; the check costs two full
-        passes over a multi-GB file) — pass check_symmetric=True to
-        verify via the memmap path."""
-        from lam_tpu import _native_io
-        from lam_tpu.ops.gemv import SYMM_TB
-
-        path = str(path)
-        a, data_off = _open_matrix_memmap(path)
-        n = a.shape[0]
-        if check_symmetric or not _native_io.available():
-            return DenseOperator.from_dense_dfq(
-                a, check_symmetric=check_symmetric)
-        tb = SYMM_TB
-        n_p = padded_size(n, tb)
-        hi, loq, sc, dh, dl = _native_io.pack_dfq(path, data_off, n,
-                                                  n_p, tb)
-        operand = (jnp.asarray(hi), jnp.asarray(loq), jnp.asarray(sc),
-                   jnp.asarray(dh), jnp.asarray(dl))
-        fn = _MATVEC_DOT[("dfq", "pallas_symm_packed")]
-        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "dfq",
-                            "pallas_symm_packed")
-        out._mv_block = _MV_BLOCK_PACKED["dfq"]
-        return out
+        to the streaming numpy pack over a memory map.
+        pack_cache=True additionally publishes/reuses the packed planes
+        beside the file (solver/pack_cache.py) so reloads skip the
+        quantization pass."""
+        return DenseOperator._from_file_packed(
+            path, "dfq", check_symmetric, pack_cache)
 
     @staticmethod
     def from_dense_fq(a, check_symmetric=True):
@@ -836,73 +888,21 @@ class DenseOperator(LinearOperator):
                 "random-vector check found A v != A^T v")
         tb = SYMM_TB
         n_p = padded_size(n, tb)
-        nblk = n_p // tb
-        T = tri_tile_count(nblk)
-        q1 = np.empty((T * tb, tb), np.int16)
-        q2 = np.empty((T * tb, tb), np.int16)
-        q3 = np.empty((T * tb, tb), np.int16)
-        s1 = np.zeros((T,), np.float32)
-        s2 = np.zeros((T,), np.float32)
-        s3 = np.zeros((T,), np.float32)
-        dh = np.zeros((n_p,), np.float32)
-        dl = np.zeros((n_p,), np.float32)
-        t = 0
-        for i in range(nblk):
-            r0, r1 = i * tb, min((i + 1) * tb, n)
-            width = (i + 1) * tb
-            cw = min(width, n)
-            blk = np.zeros((tb, width), np.float64)
-            if r1 > r0:
-                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
-                rr = np.arange(r1 - r0)
-                dvals = blk[rr, r0 + rr].copy()
-                dhi = dvals.astype(np.float32)
-                dh[r0:r1] = dhi
-                dl[r0:r1] = (dvals - dhi.astype(np.float64)).astype(
-                    np.float32)
-                blk[rr, r0 + rr] = 0.0
-            for k in range(i + 1):
-                sl = slice(t * tb, (t + 1) * tb)
-                (q1[sl], q2[sl], q3[sl], s1[t:t + 1], s2[t:t + 1],
-                 s3[t:t + 1]) = quantize_storage_tiles(
-                    "fq", blk[:, k * tb:(k + 1) * tb], tb)
-                t += 1
-        operand = (jnp.asarray(q1), jnp.asarray(q2), jnp.asarray(q3),
-                   jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
-                   jnp.asarray(dh), jnp.asarray(dl))
-        fn = _MATVEC_DOT[("fq", "pallas_symm_packed")]
-        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "fq",
-                            "pallas_symm_packed")
-        out._mv_block = _MV_BLOCK_PACKED["fq"]
-        return out
+        bufs = DenseOperator._host_pack_tri(a, "fq", tb)
+        return DenseOperator._packed_operator("fq", bufs, n, n_p)
 
     @staticmethod
-    def from_file_fq(path, check_symmetric=False):
+    def from_file_fq(path, check_symmetric=False, pack_cache=False):
         """Fully-quantized packed operator straight from a matrix FILE
         (reference binary format or .npy) — the fq twin of
         from_file_dfq. With the native library built
         (native/lam_native.cpp ln_pack_fq) the triple-quantize is one
         fused C++ pass reading only the lower-triangle bytes; otherwise
         it streams a numpy pack over a memory map. Symmetry is trusted
-        by default (CG's contract)."""
-        from lam_tpu import _native_io
-        from lam_tpu.ops.gemv import SYMM_TB
-
-        path = str(path)
-        a, data_off = _open_matrix_memmap(path)
-        if check_symmetric or not _native_io.available():
-            return DenseOperator.from_dense_fq(
-                a, check_symmetric=check_symmetric)
-        n = a.shape[0]
-        tb = SYMM_TB
-        n_p = padded_size(n, tb)
-        bufs = _native_io.pack_fq(path, data_off, n, n_p, tb)
-        operand = tuple(jnp.asarray(b) for b in bufs)
-        fn = _MATVEC_DOT[("fq", "pallas_symm_packed")]
-        out = DenseOperator(fn, operand, n, n_p, jnp.float64, "fq",
-                            "pallas_symm_packed")
-        out._mv_block = _MV_BLOCK_PACKED["fq"]
-        return out
+        by default (CG's contract). pack_cache=True publishes/reuses
+        the packed planes beside the file (solver/pack_cache.py)."""
+        return DenseOperator._from_file_packed(
+            path, "fq", check_symmetric, pack_cache)
 
     @staticmethod
     def from_packed_f32(a_packed, n, n_padded):

@@ -1,0 +1,123 @@
+"""On-disk cache of packed quantized-triangle planes.
+
+Packing a multi-GB f64 matrix file into the dfq/fq triangle layouts is
+CPU-bound on this class of host (single-core quantization of N^2/2
+elements dominated the measured N=70000 fq load: ~550 s of the 856 s
+total; the other ~300 s is the 39 GB disk read at ~132 MB/s). The
+packed planes are 3-8x SMALLER than the source file (6 B/element on
+the lower triangle vs 8 B/element on the full square), so caching them
+beside the source turns every RELOAD into a raw sequential read of the
+small file — no quantization pass, ~7x faster measured at N=70000.
+
+File format (version 1, little-endian):
+    8 bytes   magic b"LAMPACK1"
+    6 x u64   precision code (1=dfq, 2=fq), n, n_padded, tb,
+              source file size, source file mtime_ns
+    raw buffers in the operand order of _native_io.pack_{dfq,fq}
+      dfq: hi (T*tb, tb) f32 | loq (T*tb, tb) i16 | sc (T,) f32
+           | dh (n_p,) f32 | dl (n_p,) f32
+      fq:  q1, q2, q3 (T*tb, tb) i16 | s1, s2, s3 (T,) f32
+           | dh, dl (n_p,) f32
+All shapes are derivable from (precision, n_padded, tb), so the header
+carries no per-buffer metadata. The source (size, mtime_ns) pair makes
+the cache self-invalidating: a rewritten matrix file is repacked, not
+served stale. Loads never raise on a bad cache — any mismatch or
+truncation returns None and the caller repacks (and overwrites).
+
+The reference has no analog (it re-reads the raw fp64 file every run,
+MPI-IO at challenge/main/LAM/src/CPU/ConjugateGradient_CPU_MPI_OMP.hpp:325-363);
+this is the TPU-era answer to the same "load dominates at scale"
+problem its read_time CSV column measures.
+"""
+
+import os
+
+import numpy as np
+
+MAGIC = b"LAMPACK1"
+_PREC_CODE = {"dfq": 1, "fq": 2}
+_HEADER_WORDS = 6
+
+
+def cache_path(src_path, precision):
+    """Cache file published beside the source matrix file."""
+    return f"{src_path}.{precision}pack"
+
+
+def _buffer_specs(precision, n_padded, tb):
+    """(dtype, shape) per buffer, in operand order."""
+    nblk = n_padded // tb
+    T = nblk * (nblk + 1) // 2
+    plane = (T * tb, tb)
+    scale = (T,)
+    diag = (n_padded,)
+    if precision == "dfq":
+        return [(np.float32, plane), (np.int16, plane),
+                (np.float32, scale), (np.float32, diag),
+                (np.float32, diag)]
+    if precision == "fq":
+        return [(np.int16, plane)] * 3 + [(np.float32, scale)] * 3 + [
+            (np.float32, diag)] * 2
+    raise ValueError(f"unknown packed precision {precision!r}")
+
+
+def save(src_path, precision, n, n_padded, tb, bufs):
+    """Atomically publish the packed buffers beside `src_path`.
+
+    Best-effort: a full disk or read-only directory must not fail the
+    solve that triggered the caching — errors clean up the temp file
+    and return False."""
+    dst = cache_path(src_path, precision)
+    tmp = dst + ".tmp"
+    try:
+        st = os.stat(src_path)
+        header = np.array(
+            [_PREC_CODE[precision], n, n_padded, tb, st.st_size,
+             st.st_mtime_ns], dtype="<u8")
+        with open(tmp, "wb") as fh:
+            fh.write(MAGIC)
+            header.tofile(fh)
+            for buf in bufs:
+                np.ascontiguousarray(buf).tofile(fh)
+        os.replace(tmp, dst)
+        return True
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def load(src_path, precision):
+    """Packed buffers from the cache beside `src_path`, or None.
+
+    None means "no usable cache" (missing, stale vs the source file's
+    (size, mtime_ns), truncated, or wrong precision/format) — the
+    caller falls through to a fresh pack."""
+    path = cache_path(src_path, precision)
+    try:
+        src_st = os.stat(src_path)
+        with open(path, "rb") as fh:
+            if fh.read(len(MAGIC)) != MAGIC:
+                return None
+            header = np.fromfile(fh, dtype="<u8", count=_HEADER_WORDS)
+            if header.size != _HEADER_WORDS:
+                return None
+            code, n, n_padded, tb, src_size, src_mtime = (
+                int(v) for v in header)
+            if (code != _PREC_CODE[precision] or tb == 0
+                    or n_padded % tb != 0 or n > n_padded
+                    or src_size != src_st.st_size
+                    or src_mtime != src_st.st_mtime_ns):
+                return None
+            bufs = []
+            for dtype, shape in _buffer_specs(precision, n_padded, tb):
+                count = int(np.prod(shape))
+                buf = np.fromfile(fh, dtype=dtype, count=count)
+                if buf.size != count:
+                    return None  # truncated cache
+                bufs.append(buf.reshape(shape))
+        return n, n_padded, tb, tuple(bufs)
+    except (OSError, ValueError):
+        return None

@@ -364,3 +364,29 @@ def test_spd_gen_unwritable_output(tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert "lam-spd-gen:" in err and "Traceback" not in err
+
+
+def test_cli_pack_cache_publishes_and_reuses(tmp_path, capsys):
+    """--pack-cache (round 3): the first irfq file-mode run publishes
+    the packed planes beside the matrix file; the second solves from
+    them with an identical CSV row (N, num_iter, err)."""
+    import os
+
+    a = gen.random_spd_matrix(64, seed=5)
+    b = gen.random_rhs(64, seed=15)
+    m = tmp_path / "m.bin"
+    lio.write_matrix(m, a)
+    lio.write_matrix(tmp_path / "r.bin", b)
+    argv = ["-A", str(m), "-b", str(tmp_path / "r.bin"),
+            "-o", str(tmp_path / "s.bin"), "-e", "1e-9",
+            "--backend", "local", "--precision", "irfq", "--pack-cache"]
+    assert cli.main(argv) == 0
+    row1 = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    assert os.path.exists(str(m) + ".fqpack")
+    assert cli.main(argv) == 0
+    row2 = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+    # identical solve (same packed planes): N, num_iter, err all match
+    assert row1[0] == row2[0] and row1[6] == row2[6]
+    assert row1[7] == row2[7]
+    x = lio.read_vector(str(tmp_path / "s.bin"))
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8

@@ -1,0 +1,119 @@
+"""On-disk pack cache (solver/pack_cache.py): reloads of dfq/fq packed
+operators must come bit-identical from the cached planes, and every
+invalid-cache condition (stale source, truncation, garbage, tile-size
+change) must fall back to a fresh pack — never an error, never stale
+data. The reference re-reads the raw fp64 file every run
+(ConjugateGradient_CPU_MPI_OMP.hpp:325-363); the cache is the TPU-era
+answer to the load times its read_time CSV column measures."""
+
+import numpy as np
+import pytest
+
+from lam_tpu import generate as gen
+from lam_tpu import io as lio
+from lam_tpu.solver import pack_cache as pc
+from lam_tpu.solver.operators import DenseOperator
+
+CTORS = {"dfq": DenseOperator.from_file_dfq,
+         "fq": DenseOperator.from_file_fq}
+
+
+def _write_system(tmp_path, n=300, seed=11):
+    a = gen.random_spd_matrix_fast(n, seed=seed)
+    path = tmp_path / "m.bin"
+    lio.write_matrix(str(path), a)
+    return str(path), a
+
+
+def _assert_operands_equal(op, ref, label):
+    assert op.precision == ref.precision
+    assert op.n_padded == ref.n_padded
+    for i, (x, y) in enumerate(zip(op.operand, ref.operand)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"{label}: operand[{i}]")
+
+
+@pytest.mark.parametrize("precision", ["dfq", "fq"])
+def test_reload_is_bit_identical_and_skips_the_pack(
+        tmp_path, monkeypatch, precision):
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, _ = _write_system(tmp_path)
+    ctor = CTORS[precision]
+    ref = ctor(path, pack_cache=True)
+    assert pc.load(path, precision) is not None
+
+    # poison every pack path: a second load must be served PURELY from
+    # the cache (this is the claim that makes reloads ~7x faster)
+    def _boom(*a, **k):
+        raise AssertionError("cache miss: pack path was invoked")
+    monkeypatch.setattr("lam_tpu._native_io.pack_dfq", _boom)
+    monkeypatch.setattr("lam_tpu._native_io.pack_fq", _boom)
+    monkeypatch.setattr(DenseOperator, "_host_pack_tri", _boom)
+    op = ctor(path, pack_cache=True)
+    _assert_operands_equal(op, ref, f"{precision} cache reload")
+
+
+@pytest.mark.parametrize("precision", ["dfq", "fq"])
+def test_stale_cache_is_repacked_not_served(tmp_path, monkeypatch,
+                                            precision):
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, _ = _write_system(tmp_path, seed=11)
+    ctor = CTORS[precision]
+    ctor(path, pack_cache=True)
+
+    # rewrite the source with a DIFFERENT system (same size: only the
+    # (size, mtime_ns) stamp distinguishes them)
+    a2 = gen.random_spd_matrix_fast(300, seed=99)
+    lio.write_matrix(path, a2)
+    op = ctor(path, pack_cache=True)
+    ref = (DenseOperator.from_dense_dfq if precision == "dfq"
+           else DenseOperator.from_dense_fq)(a2, check_symmetric=False)
+    _assert_operands_equal(op, ref, f"{precision} after source rewrite")
+
+
+def test_truncated_or_garbage_cache_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, _ = _write_system(tmp_path)
+    ref = DenseOperator.from_file_fq(path, pack_cache=True)
+    cpath = pc.cache_path(path, "fq")
+
+    # truncation (e.g. disk filled mid-write of a non-atomic copy)
+    data = open(cpath, "rb").read()
+    open(cpath, "wb").write(data[:len(data) // 2])
+    assert pc.load(path, "fq") is None
+    op = DenseOperator.from_file_fq(path, pack_cache=True)
+    _assert_operands_equal(op, ref, "fq repack after truncation")
+    assert pc.load(path, "fq") is not None  # repack re-published
+
+    # garbage magic
+    open(cpath, "wb").write(b"not a pack cache")
+    assert pc.load(path, "fq") is None
+    op = DenseOperator.from_file_fq(path, pack_cache=True)
+    _assert_operands_equal(op, ref, "fq repack after garbage")
+
+
+def test_tile_size_change_invalidates(tmp_path, monkeypatch):
+    """A cache packed under a different SYMM_TB must be repacked: the
+    walk layout is tb-dependent and serving it would corrupt the
+    triangle walk."""
+    path, _ = _write_system(tmp_path)
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    DenseOperator.from_file_fq(path, pack_cache=True)
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 256)
+    op = DenseOperator.from_file_fq(path, pack_cache=True)
+    ref = DenseOperator.from_file_fq(path)  # fresh pack at tb=256
+    _assert_operands_equal(op, ref, "fq tb=128->256")
+
+
+def test_save_failure_is_best_effort(tmp_path, monkeypatch):
+    """An unwritable cache location must not fail the solve that
+    triggered the caching."""
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, a = _write_system(tmp_path)
+
+    def _deny(src, dst):
+        raise OSError("read-only filesystem")
+    monkeypatch.setattr("os.replace", _deny)
+    op = DenseOperator.from_file_fq(path, pack_cache=True)
+    ref = DenseOperator.from_dense_fq(a, check_symmetric=False)
+    _assert_operands_equal(op, ref, "fq with unwritable cache dir")
