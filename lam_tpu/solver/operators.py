@@ -790,7 +790,7 @@ class DenseOperator(LinearOperator):
         measured true residuals land at the 1e-10 scale — the capacity
         form of the f64-parity story, built for the N=70000 north-star
         (SURVEY.md §6) on a single 16 GB chip."""
-        from lam_tpu.ops.gemv import SYMM_TB, tri_tile_count
+        from lam_tpu.ops.gemv import SYMM_TB
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")
@@ -877,7 +877,7 @@ class DenseOperator(LinearOperator):
         matvec of precision='irfq' reads only the first plane:
         2 B/element, HALF the dfq/ir inner-loop HBM bytes. Built
         STREAMING by row-tile (`a` may be a np.memmap)."""
-        from lam_tpu.ops.gemv import SYMM_TB, tri_tile_count
+        from lam_tpu.ops.gemv import SYMM_TB
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"matrix must be square, got {a.shape}")

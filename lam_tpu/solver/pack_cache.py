@@ -111,12 +111,21 @@ def load(src_path, precision):
                     or src_size != src_st.st_size
                     or src_mtime != src_st.st_mtime_ns):
                 return None
+            specs = _buffer_specs(precision, n_padded, tb)
+            # size check BEFORE any fromfile: a corrupt-but-magic-valid
+            # header could otherwise demand an absurd upfront
+            # allocation (np.fromfile allocates `count` elements first)
+            expect = sum(int(np.prod(s)) * np.dtype(d).itemsize
+                         for d, s in specs)
+            payload = os.fstat(fh.fileno()).st_size - fh.tell()
+            if payload != expect:
+                return None  # truncated, padded, or corrupt-header cache
             bufs = []
-            for dtype, shape in _buffer_specs(precision, n_padded, tb):
+            for dtype, shape in specs:
                 count = int(np.prod(shape))
                 buf = np.fromfile(fh, dtype=dtype, count=count)
                 if buf.size != count:
-                    return None  # truncated cache
+                    return None
                 bufs.append(buf.reshape(shape))
         return n, n_padded, tb, tuple(bufs)
     except (OSError, ValueError):
