@@ -133,11 +133,13 @@ def build_parser():
                         "--precision ir/irq/irfq — there it scales the "
                         "inner f32 loop — and with --checkpoint)")
     p.add_argument("--pack-cache", action="store_true",
-                   help="For --precision dfq/irq/fq/irfq file mode: "
-                        "publish/reuse the packed quantized planes "
-                        "beside the matrix file (<file>.dfqpack/"
-                        ".fqpack), so reloads skip the quantization "
-                        "pass (~7x faster at N=70000)")
+                   help="For --backend local --precision dfq/irq/fq/"
+                        "irfq file mode: publish/reuse the packed "
+                        "quantized planes beside the matrix file "
+                        "(<file>.dfqpack/.fqpack), so reloads skip "
+                        "the quantization pass (~7x faster at "
+                        "N=70000). Other backends quantize per-shard "
+                        "and ignore this flag (with a warning)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",

@@ -1006,6 +1006,17 @@ def gemv_df64_symm(a_hi, a_lo, p_hi, p_lo, *, tb=None, comp=None,
 # lam_tpu/solver/operators.py.
 
 
+def _pow2_scale(m):
+    """Smallest power of two >= m/32767, frexp-exact (no libm log2
+    rounding at power-of-two boundaries). ONE definition shared by the
+    dfq and fq numpy packs: the value must stay bit-identical to the
+    native pack (native/lam_native.cpp ln_q_scale) or caches/packs
+    produced by the numpy and native paths would silently differ."""
+    import numpy as _np
+    fr, k = _np.frexp(m / 32767.0)
+    return 2.0 ** (int(k) - 1 if fr == 0.5 else int(k))
+
+
 def quantize_lo_tiles(lo_packed, tb):
     """Quantize a packed (T*tb, tb) f32 lo plane to (int16 tiles,
     per-tile f32 power-of-two scales). Reconstruction q * scale is exact
@@ -1021,11 +1032,7 @@ def quantize_lo_tiles(lo_packed, tb):
         if m == 0.0:
             q[t * tb:(t + 1) * tb] = 0
             continue
-        # smallest power of two >= m/32767, frexp-exact (no libm log2
-        # rounding at power-of-two boundaries) — bit-identical to the
-        # native pack (native/lam_native.cpp ln_q_scale)
-        fr, k = _np.frexp(m / 32767.0)
-        scale = 2.0 ** (int(k) - 1 if fr == 0.5 else int(k))
+        scale = _pow2_scale(m)
         scales[t] = scale
         qt = _np.rint(tile.astype(_np.float64) / scale)
         q[t * tb:(t + 1) * tb] = _np.clip(qt, -32767, 32767)
@@ -1770,8 +1777,7 @@ def quantize_fq_tiles(a_packed, tb):
             m = float(_np.abs(tile).max())
             if m == 0.0:
                 continue
-            fr, k = _np.frexp(m / 32767.0)
-            scale = 2.0 ** (int(k) - 1 if fr == 0.5 else int(k))
+            scale = _pow2_scale(m)
             sc[t] = scale
             qt = _np.clip(_np.rint(tile / scale), -32767, 32767)
             q[t * tb:(t + 1) * tb] = qt

@@ -101,17 +101,49 @@ def _rect_tiles_dense(buf, c2, c, tb, dtype):
             .transpose(0, 2, 1, 3).reshape(c2 * tb, c * tb))
 
 
-def _make_mv_pair(r, m, tb, which, storage="df64"):
-    """Per-chip matvec: (operand, p_own, p_recv) ->
-    (own_partial (m,), mirror_payload (m,)).
+def _route_mv_pair(m, diag_mv, dual_mv, p_own, p_recv):
+    """ONE routing scaffold shared by all three storage variants (df64,
+    dfq, fq): which half-slab product joins this chip's grid-row psum
+    and which rides the payload ppermute — and the p_own[:m2] /
+    p_recv[m2:] half-vector slicing — is decided HERE, once, so a
+    routing fix cannot silently miss a storage format.
+
+      diag_mv(p) -> (m,): the diagonal chip's full product (including
+        its diagonal channel, where the storage has one);
+      dual_mv(p_full, q_half) -> (direct (m/2,), transpose (m,)): both
+        products of the chip's packed half-slab S in one HBM pass
+        (S @ p_full, S^T @ q_half).
 
     own_partial joins this chip's grid-row psum directly; the payload
     carries the half-slab product that belongs to the MIRROR chip's
     grid row (transpose terms on lower chips, direct terms on upper
     chips) and rides the second transpose ppermute."""
+    m2 = m // 2
+    i = jax.lax.axis_index(ROWS)
+    j = jax.lax.axis_index(COLS)
+    zero_blk = jnp.zeros(m, p_own.dtype)
+
+    def diag(_):
+        return diag_mv(p_own), zero_blk
+
+    def lower(_):
+        d, t = dual_mv(p_recv, p_own[:m2])
+        return _scatter_half(d, m, top=True), t
+
+    def upper(_):
+        d, t = dual_mv(p_own, p_recv[m2:])
+        return t, _scatter_half(d, m, top=False)
+
+    idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
+    return jax.lax.switch(idx, [diag, lower, upper], None)
+
+
+def _make_mv_pair(r, m, tb, which, storage="df64"):
+    """Per-chip matvec: (operand, p_own, p_recv) ->
+    (own_partial (m,), mirror_payload (m,)). Routing lives in
+    _route_mv_pair; only the per-storage tile math is defined here."""
     from lam_tpu.ops import gemv
 
-    m2 = m // 2
     c = m // tb
     c2 = c // 2
     it_np, kt_np = gemv._symm_tables(c)
@@ -127,63 +159,37 @@ def _make_mv_pair(r, m, tb, which, storage="df64"):
 
     def mv_pair(operand, p_own, p_recv):
         hi, lo = operand
-        i = jax.lax.axis_index(ROWS)
-        j = jax.lax.axis_index(COLS)
-        zero_blk = jnp.zeros(m, p_own.dtype)
 
         if which == "f32":
             if use_pallas:
-                def diag(_):
-                    return (gemv.gemv_f32_symm(hi, p_own, packed=True),
-                            zero_blk)
+                def diag_mv(p):
+                    return gemv.gemv_f32_symm(hi, p, packed=True)
 
-                def lower(_):
-                    d, t = gemv.gemv_f32_dual(hi, p_recv, p_own[:m2])
-                    return _scatter_half(d, m, top=True), t
-
-                def upper(_):
-                    d, t = gemv.gemv_f32_dual(hi, p_own, p_recv[m2:])
-                    return t, _scatter_half(d, m, top=False)
+                def dual_mv(pf, qh):
+                    return gemv.gemv_f32_dual(hi, pf, qh)
             else:
                 zt = jnp.zeros((tb, tb), jnp.float32)
 
-                def diag(_):
-                    return (_packed_mv_jnp(hi, zt, it_c, kt_c, p_own),
-                            zero_blk)
+                def diag_mv(p):
+                    return _packed_mv_jnp(hi, zt, it_c, kt_c, p)
 
-                def lower(_):
-                    s = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
-                    return (_scatter_half(s @ p_recv, m, top=True),
-                            s.T @ p_own[:m2])
-
-                def upper(_):
-                    s = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
-                    return (s.T @ p_recv[m2:],
-                            _scatter_half(s @ p_own, m, top=False))
+                def dual_mv(pf, qh):
+                    s = _rect_tiles_dense(hi, c2, c, tb, pf.dtype)
+                    return s @ pf, s.T @ qh
         else:  # accurate df64
             if use_pallas:
-                def diag(_):
-                    ph, plo = split_f64(p_own)
+                def diag_mv(p):
+                    ph, plo = split_f64(p)
                     yh, yl = gemv.gemv_df64_symm(hi, lo, ph, plo,
                                                  packed=True)
-                    return join_f64(yh, yl), zero_blk
+                    return join_f64(yh, yl)
 
-                def lower(_):
-                    ph, plo = split_f64(p_recv)
-                    qh, ql = split_f64(p_own[:m2])
+                def dual_mv(pf, qhalf):
+                    ph, plo = split_f64(pf)
+                    qh, ql = split_f64(qhalf)
                     dh, dl, th, tl = gemv.gemv_df64_dual(
                         hi, lo, ph, plo, qh, ql)
-                    return (_scatter_half(join_f64(dh, dl), m, top=True),
-                            join_f64(th, tl))
-
-                def upper(_):
-                    ph, plo = split_f64(p_own)
-                    qh, ql = split_f64(p_recv[m2:])
-                    dh, dl, th, tl = gemv.gemv_df64_dual(
-                        hi, lo, ph, plo, qh, ql)
-                    return (join_f64(th, tl),
-                            _scatter_half(join_f64(dh, dl), m,
-                                          top=False))
+                    return join_f64(dh, dl), join_f64(th, tl)
             else:
                 # off-TPU: genuine-f64 XLA math (interpret-mode f32
                 # compensation is defeated by excess precision — same
@@ -193,29 +199,17 @@ def _make_mv_pair(r, m, tb, which, storage="df64"):
                 # it in the full-plane case
                 lo_is_plane = lo.shape != (tb, tb)
 
-                def diag(_):
-                    return (_packed_mv_jnp(hi, lo, it_c, kt_c, p_own),
-                            zero_blk)
+                def diag_mv(p):
+                    return _packed_mv_jnp(hi, lo, it_c, kt_c, p)
 
-                def dense64():
+                def dual_mv(pf, qh):
                     s = _rect_tiles_dense(hi, c2, c, tb, jnp.float64)
                     if lo_is_plane:
                         s = s + _rect_tiles_dense(lo, c2, c, tb,
                                                   jnp.float64)
-                    return s
+                    return s @ pf, s.T @ qh
 
-                def lower(_):
-                    s = dense64()
-                    return (_scatter_half(s @ p_recv, m, top=True),
-                            s.T @ p_own[:m2])
-
-                def upper(_):
-                    s = dense64()
-                    return (s.T @ p_recv[m2:],
-                            _scatter_half(s @ p_own, m, top=False))
-
-        idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
-        return jax.lax.switch(idx, [diag, lower, upper], None)
+        return _route_mv_pair(m, diag_mv, dual_mv, p_own, p_recv)
 
     return mv_pair
 
@@ -228,7 +222,6 @@ def _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c, use_pallas):
     from lam_tpu.ops import gemv
     from lam_tpu.precision import df_mul, fast_two_sum, two_sum
 
-    m2 = m // 2
     c = m // tb
     c2 = c // 2
     T = (c * (c + 1)) // 2
@@ -236,66 +229,41 @@ def _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c, use_pallas):
     def mv_pair(operand, p_own, p_recv):
         hi, loq, sc, dh, dl = operand
         sc_f = sc[:, 0]
-        i = jax.lax.axis_index(ROWS)
-        j = jax.lax.axis_index(COLS)
-        zero_blk = jnp.zeros(m, p_own.dtype)
 
         if which == "f32":
             if use_pallas:
-                def diag(_):
-                    return (gemv.gemv_f32_symm(hi, p_own, packed=True)
-                            + dh * p_own, zero_blk)
+                def diag_mv(p):
+                    return gemv.gemv_f32_symm(hi, p, packed=True) \
+                        + dh * p
 
-                def lower(_):
-                    d, t = gemv.gemv_f32_dual(hi, p_recv, p_own[:m2])
-                    return _scatter_half(d, m, top=True), t
-
-                def upper(_):
-                    d, t = gemv.gemv_f32_dual(hi, p_own, p_recv[m2:])
-                    return t, _scatter_half(d, m, top=False)
+                def dual_mv(pf, qh):
+                    return gemv.gemv_f32_dual(hi, pf, qh)
             else:
                 zt = jnp.zeros((tb, tb), jnp.float32)
 
-                def diag(_):
-                    return (_packed_mv_jnp(hi, zt, it_c, kt_c, p_own)
-                            + dh * p_own, zero_blk)
+                def diag_mv(p):
+                    return _packed_mv_jnp(hi, zt, it_c, kt_c, p) \
+                        + dh * p
 
-                def lower(_):
-                    sdn = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
-                    return (_scatter_half(sdn @ p_recv, m, top=True),
-                            sdn.T @ p_own[:m2])
-
-                def upper(_):
-                    sdn = _rect_tiles_dense(hi, c2, c, tb, p_own.dtype)
-                    return (sdn.T @ p_recv[m2:],
-                            _scatter_half(sdn @ p_own, m, top=False))
+                def dual_mv(pf, qh):
+                    sdn = _rect_tiles_dense(hi, c2, c, tb, pf.dtype)
+                    return sdn @ pf, sdn.T @ qh
         else:  # accurate dfq
             if use_pallas:
-                def diag(_):
-                    ph, plo = split_f64(p_own)
+                def diag_mv(p):
+                    ph, plo = split_f64(p)
                     yh, yl = gemv.gemv_dfq_symm(hi, loq, sc_f, ph, plo)
                     th, tl = df_mul((dh, dl), (ph, plo))
                     s_, e = two_sum(yh, th)
                     zh, zl = fast_two_sum(s_, yl + tl + e)
-                    return join_f64(zh, zl), zero_blk
+                    return join_f64(zh, zl)
 
-                def lower(_):
-                    ph, plo = split_f64(p_recv)
-                    qh, ql = split_f64(p_own[:m2])
+                def dual_mv(pf, qhalf):
+                    ph, plo = split_f64(pf)
+                    qh, ql = split_f64(qhalf)
                     dh_, dl_, th, tl = gemv.gemv_dfq_dual(
                         hi, loq, sc_f, ph, plo, qh, ql)
-                    return (_scatter_half(join_f64(dh_, dl_), m,
-                                          top=True),
-                            join_f64(th, tl))
-
-                def upper(_):
-                    ph, plo = split_f64(p_own)
-                    qh, ql = split_f64(p_recv[m2:])
-                    dh_, dl_, th, tl = gemv.gemv_dfq_dual(
-                        hi, loq, sc_f, ph, plo, qh, ql)
-                    return (join_f64(th, tl),
-                            _scatter_half(join_f64(dh_, dl_), m,
-                                          top=False))
+                    return join_f64(dh_, dl_), join_f64(th, tl)
             else:
                 # off-TPU: dequantize + genuine-f64 XLA (same policy as
                 # the df64 branch)
@@ -303,29 +271,19 @@ def _make_mv_pair_dfq(r, m, tb, which, it_c, kt_c, use_pallas):
                     return (loq.reshape(T, tb, tb).astype(jnp.float32)
                             * sc_f[:, None, None]).reshape(T * tb, tb)
 
-                def diag(_):
-                    y = _packed_mv_jnp(hi, lo_deq(), it_c, kt_c, p_own)
-                    d = dh.astype(p_own.dtype) + dl.astype(p_own.dtype)
-                    return y + d * p_own, zero_blk
+                def diag_mv(p):
+                    y = _packed_mv_jnp(hi, lo_deq(), it_c, kt_c, p)
+                    d = dh.astype(p.dtype) + dl.astype(p.dtype)
+                    return y + d * p
 
-                def dense64():
-                    return (_rect_tiles_dense(hi, c2, c, tb,
-                                              jnp.float64)
-                            + _rect_tiles_dense(lo_deq(), c2, c, tb,
-                                                jnp.float64))
+                def dual_mv(pf, qh):
+                    sdn = (_rect_tiles_dense(hi, c2, c, tb,
+                                             jnp.float64)
+                           + _rect_tiles_dense(lo_deq(), c2, c, tb,
+                                               jnp.float64))
+                    return sdn @ pf, sdn.T @ qh
 
-                def lower(_):
-                    sdn = dense64()
-                    return (_scatter_half(sdn @ p_recv, m, top=True),
-                            sdn.T @ p_own[:m2])
-
-                def upper(_):
-                    sdn = dense64()
-                    return (sdn.T @ p_recv[m2:],
-                            _scatter_half(sdn @ p_own, m, top=False))
-
-        idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
-        return jax.lax.switch(idx, [diag, lower, upper], None)
+        return _route_mv_pair(m, diag_mv, dual_mv, p_own, p_recv)
 
     return mv_pair
 
@@ -339,7 +297,6 @@ def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
     from lam_tpu.ops import gemv
     from lam_tpu.precision import df_mul, fast_two_sum, two_sum
 
-    m2 = m // 2
     c = m // tb
     c2 = c // 2
     T = (c * (c + 1)) // 2
@@ -347,9 +304,6 @@ def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
     def mv_pair(operand, p_own, p_recv):
         q1, q2, q3, s1, s2, s3, dh, dl = operand
         s1f, s2f, s3f = s1[:, 0], s2[:, 0], s3[:, 0]
-        i = jax.lax.axis_index(ROWS)
-        j = jax.lax.axis_index(COLS)
-        zero_blk = jnp.zeros(m, p_own.dtype)
 
         def rec_f32():
             # q1 plane dequantized (the inner-view operator) — off-TPU
@@ -358,66 +312,39 @@ def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
 
         if which == "f32":
             if use_pallas:
-                def diag(_):
-                    return (gemv.gemv_q16_symm(q1, s1f, p_own)
-                            + dh * p_own, zero_blk)
+                def diag_mv(p):
+                    return gemv.gemv_q16_symm(q1, s1f, p) + dh * p
 
-                def lower(_):
-                    d, t = gemv.gemv_q16_dual(q1, s1f, p_recv,
-                                              p_own[:m2])
-                    return _scatter_half(d, m, top=True), t
-
-                def upper(_):
-                    d, t = gemv.gemv_q16_dual(q1, s1f, p_own,
-                                              p_recv[m2:])
-                    return t, _scatter_half(d, m, top=False)
+                def dual_mv(pf, qh):
+                    return gemv.gemv_q16_dual(q1, s1f, pf, qh)
             else:
                 zt = jnp.zeros((tb, tb), jnp.float32)
 
-                def diag(_):
-                    return (_packed_mv_jnp(rec_f32(), zt, it_c, kt_c,
-                                           p_own)
-                            + dh * p_own, zero_blk)
+                def diag_mv(p):
+                    return _packed_mv_jnp(rec_f32(), zt, it_c, kt_c,
+                                          p) + dh * p
 
-                def lower(_):
+                def dual_mv(pf, qh):
                     sdn = _rect_tiles_dense(rec_f32(), c2, c, tb,
-                                            p_own.dtype)
-                    return (_scatter_half(sdn @ p_recv, m, top=True),
-                            sdn.T @ p_own[:m2])
-
-                def upper(_):
-                    sdn = _rect_tiles_dense(rec_f32(), c2, c, tb,
-                                            p_own.dtype)
-                    return (sdn.T @ p_recv[m2:],
-                            _scatter_half(sdn @ p_own, m, top=False))
+                                            pf.dtype)
+                    return sdn @ pf, sdn.T @ qh
         else:  # accurate fq
             if use_pallas:
-                def diag(_):
-                    ph, plo = split_f64(p_own)
+                def diag_mv(p):
+                    ph, plo = split_f64(p)
                     yh, yl = gemv.gemv_fq_symm(q1, q2, q3, s1f, s2f,
                                                s3f, ph, plo)
                     th, tl = df_mul((dh, dl), (ph, plo))
                     s_, e = two_sum(yh, th)
                     zh, zl = fast_two_sum(s_, yl + tl + e)
-                    return join_f64(zh, zl), zero_blk
+                    return join_f64(zh, zl)
 
-                def lower(_):
-                    ph, plo = split_f64(p_recv)
-                    qh, ql = split_f64(p_own[:m2])
+                def dual_mv(pf, qhalf):
+                    ph, plo = split_f64(pf)
+                    qh, ql = split_f64(qhalf)
                     dh_, dl_, th, tl = gemv.gemv_fq_dual(
                         q1, q2, q3, s1f, s2f, s3f, ph, plo, qh, ql)
-                    return (_scatter_half(join_f64(dh_, dl_), m,
-                                          top=True),
-                            join_f64(th, tl))
-
-                def upper(_):
-                    ph, plo = split_f64(p_own)
-                    qh, ql = split_f64(p_recv[m2:])
-                    dh_, dl_, th, tl = gemv.gemv_fq_dual(
-                        q1, q2, q3, s1f, s2f, s3f, ph, plo, qh, ql)
-                    return (join_f64(th, tl),
-                            _scatter_half(join_f64(dh_, dl_), m,
-                                          top=False))
+                    return join_f64(dh_, dl_), join_f64(th, tl)
             else:
                 # off-TPU: dequantize the cascade to genuine f64 (exact
                 # per plane) and run XLA math — same policy as dfq.
@@ -431,26 +358,18 @@ def _make_mv_pair_fq(r, m, tb, which, it_c, kt_c, use_pallas):
                         for q, sf in ((q1, s1f), (q2, s2f), (q3, s3f))
                         if q.shape == (T * tb, tb))
 
-                def diag(_):
+                def diag_mv(p):
                     zt64 = jnp.zeros((tb, tb), jnp.float64)
-                    y = _packed_mv_jnp(rec64(), zt64, it_c, kt_c, p_own)
-                    d = dh.astype(p_own.dtype) + dl.astype(p_own.dtype)
-                    return y + d * p_own, zero_blk
+                    y = _packed_mv_jnp(rec64(), zt64, it_c, kt_c, p)
+                    d = dh.astype(p.dtype) + dl.astype(p.dtype)
+                    return y + d * p
 
-                def lower(_):
+                def dual_mv(pf, qh):
                     sdn = _rect_tiles_dense(rec64(), c2, c, tb,
                                             jnp.float64)
-                    return (_scatter_half(sdn @ p_recv, m, top=True),
-                            sdn.T @ p_own[:m2])
+                    return sdn @ pf, sdn.T @ qh
 
-                def upper(_):
-                    sdn = _rect_tiles_dense(rec64(), c2, c, tb,
-                                            jnp.float64)
-                    return (sdn.T @ p_recv[m2:],
-                            _scatter_half(sdn @ p_own, m, top=False))
-
-        idx = jnp.where(i == j, 0, jnp.where(i > j, 1, 2))
-        return jax.lax.switch(idx, [diag, lower, upper], None)
+        return _route_mv_pair(m, diag_mv, dual_mv, p_own, p_recv)
 
     return mv_pair
 
@@ -773,30 +692,50 @@ class Symm2DOperator(LinearOperator):
         def local_build():
             i = jax.lax.axis_index(ROWS)
             j = jax.lax.axis_index(COLS)
-            buf = jnp.zeros((rows_per_chip, tb), jnp.float32)
+            out = jnp.zeros((rows_per_chip, tb), jnp.float32)
 
-            # diagonal-chip content: tridiagonal block triangle tiles
-            rr = jax.lax.broadcasted_iota(jnp.int32, (T, tb, tb), 1)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (T, tb, tb), 2)
-            gi = i * m + it_c[:, None, None] * tb + rr
-            gj = i * m + kt_c[:, None, None] * tb + cc
-            d = gi - gj
+            # diagonal-chip band: only the c diagonal walk tiles are
+            # nonzero (2 on the diagonal, 1 on the +-1 offsets) —
+            # scatter just those, O(c*tb^2) temporaries, not
+            # O(T*tb^2): the earlier dense-iota build allocated ~5x
+            # the operand's size during construction and could OOM a
+            # triangle that itself fits (same sparsity-aware scatter
+            # as from_gen_fq below)
+            dpos = jnp.nonzero(it_c == kt_c, size=c, fill_value=0)[0]
+            i0 = it_c[dpos]
+            rr = jax.lax.broadcasted_iota(jnp.int32, (c, tb, tb), 1)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (c, tb, tb), 2)
+            gi = i * m + i0[:, None, None] * tb + rr
+            gj = i * m + i0[:, None, None] * tb + cc
+            d = rr - cc
             vals = jnp.where(d == 0, 2.0,
                              jnp.where((d == 1) | (d == -1), 1.0, 0.0))
             vals = jnp.where((gi < n) & (gj < n) & (i == j), vals, 0.0)
-            diag_buf = vals.astype(jnp.float32).reshape(rows_per_chip,
-                                                        tb)
+            ridx = (dpos[:, None] * tb
+                    + jnp.arange(tb, dtype=jnp.int32)[None, :]
+                    ).reshape(-1)
+            out = out.at[ridx].set(
+                jnp.where(i == j,
+                          vals.astype(jnp.float32).reshape(c * tb, tb),
+                          out[ridx]))
+
+            # within-chip tile corners: the band crosses local tile
+            # boundaries at walk tiles with it == kt + 1, whose
+            # top-right element is A[g, g-1] = 1, g = i*m + it*tb
+            if c > 1:
+                cpos = jnp.nonzero(it_c == kt_c + 1, size=c - 1,
+                                   fill_value=0)[0]
+                ic = it_c[cpos]
+                cval = jnp.where((i == j) & (i * m + ic * tb < n),
+                                 jnp.float32(1.0), jnp.float32(0.0))
+                out = out.at[cpos * tb, tb - 1].add(cval)
 
             # cross-block corner: A[i*m, i*m - 1] = 1 lives on the
             # LOWER chip (i, i-1) at local tile (0, c-1) -> packed walk
             # position c-1, in-tile element (0, tb-1)
-            corner = ((i == j + 1) & (i * m < n)
-                      & (jax.lax.broadcasted_iota(
-                          jnp.int32, (rows_per_chip, tb), 0)
-                         == (c - 1) * tb)
-                      & (jax.lax.broadcasted_iota(
-                          jnp.int32, (rows_per_chip, tb), 1) == tb - 1))
-            return buf + diag_buf + corner.astype(jnp.float32)
+            cv = jnp.where((i == j + 1) & (i * m < n), jnp.float32(1.0),
+                           jnp.float32(0.0))
+            return out.at[(c - 1) * tb, tb - 1].add(cv)
 
         hi = jax.jit(shard_map(local_build, mesh=mesh, in_specs=(),
                                out_specs=P(ROWS, COLS),

@@ -17,6 +17,7 @@ This class implements all six with the backend collapsed to a config:
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -184,6 +185,16 @@ class ConjugateGradient:
             self.op = DenseOperator.from_file_fq(
                 filename, pack_cache=self.pack_cache)
         else:
+            if self.pack_cache:
+                # only the LOCAL dfq/fq triangle loads above hit the
+                # cache; the sharded builds quantize per-shard in
+                # mesh-dependent layouts that a cache file keyed only
+                # by the source cannot serve. Say so instead of
+                # silently ignoring the flag.
+                print("lam-cg: --pack-cache only accelerates "
+                      "backend=local dfq/irq/fq/irfq file loads; "
+                      "ignored for this backend/precision",
+                      file=sys.stderr)
             self.op = self._build_operator(
                 lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
                 block_fn=lambda r0, c0, h, w: lio.read_matrix_block(
@@ -215,6 +226,23 @@ class ConjugateGradient:
         self.timings["load_s"] = time.perf_counter() - t0
         return True
 
+    @staticmethod
+    def _packed_gen_plane(rows, impl):
+        """Device-build ONE packed triangle gen plane (the f32 hi or
+        int16 q1 tridiagonal) — the shared body of the three local
+        gen fast paths below, so a padding or static_argnums change
+        cannot drift between precisions. Returns (plane, tb, n_p)."""
+        import jax.numpy as jnp
+
+        from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+        from lam_tpu.solver.operators import padded_size
+        tb = SYMM_TB
+        n_p = padded_size(rows, tb)
+        it, kt = _symm_tables(n_p // tb)
+        plane = jax.jit(impl, static_argnums=(0, 1, 4))(
+            rows, tb, jnp.asarray(it), jnp.asarray(kt), n_p // tb)
+        return plane, tb, n_p
+
     def _generate_fast(self, rows):
         """df64 plane fast path for the gen-mode tridiagonal on TPU:
         entries {0,1,2} are exact in f32, so build the hi plane AND the
@@ -232,18 +260,9 @@ class ConjugateGradient:
             # broadcast zero residual planes (2 B/element; round-3
             # closure of the "gen-mode fq builds on the host" gap) —
             # irfq gen probes run beyond the 4 B/elem f32 gen frontier
-            import jax.numpy as jnp
-
-            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
-            from lam_tpu.solver.operators import DenseOperator, padded_size
-            tb = SYMM_TB
-            n_p = padded_size(rows, tb)
-            it, kt = _symm_tables(n_p // tb)
-            q1 = jax.jit(gen._tridiag_q1_packed_impl,
-                         static_argnums=(0, 1, 4))(rows, tb,
-                                                   jnp.asarray(it),
-                                                   jnp.asarray(kt),
-                                                   n_p // tb)
+            from lam_tpu.solver.operators import DenseOperator
+            q1, _, n_p = self._packed_gen_plane(
+                rows, gen._tridiag_q1_packed_impl)
             return DenseOperator.from_gen_fq(q1, rows, n_p)
         if (self.backend == "sharded" and self._base_precision() == "fq"
                 and self.engine in ("auto", "pallas_symm_packed")):
@@ -271,17 +290,9 @@ class ConjugateGradient:
             if self.backend != "local" or self.engine not in (
                     "auto", "pallas_symm_packed"):
                 return None
-            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
-            from lam_tpu.solver.operators import DenseOperator, padded_size
-            import jax.numpy as jnp
-            tb = SYMM_TB
-            n_p = padded_size(rows, tb)
-            it, kt = _symm_tables(n_p // tb)
-            hi = jax.jit(gen._tridiag_hi_packed_impl,
-                         static_argnums=(0, 1, 4))(rows, tb,
-                                                   jnp.asarray(it),
-                                                   jnp.asarray(kt),
-                                                   n_p // tb)
+            from lam_tpu.solver.operators import DenseOperator
+            hi, _, n_p = self._packed_gen_plane(
+                rows, gen._tridiag_hi_packed_impl)
             return DenseOperator.from_packed_f32(hi, rows, n_p)
         if self.backend == "sharded2d":
             if self.engine in ("pallas_symm", "pallas_symm_packed"):
@@ -312,15 +323,8 @@ class ConjugateGradient:
         engine = ("pallas_symm_packed" if self.engine == "auto"
                   else self.engine)
         if engine == "pallas_symm_packed":
-            from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
-            tb = SYMM_TB
-            n_p = padded_size(rows, tb)
-            it, kt = _symm_tables(n_p // tb)
-            hi = jax.jit(gen._tridiag_hi_packed_impl,
-                         static_argnums=(0, 1, 4))(rows, tb,
-                                                   jnp.asarray(it),
-                                                   jnp.asarray(kt),
-                                                   n_p // tb)
+            hi, tb, n_p = self._packed_gen_plane(
+                rows, gen._tridiag_hi_packed_impl)
             lo = jnp.zeros((tb, tb), jnp.float32)
             return DenseOperator.from_packed_planes(hi, lo, rows, n_p)
         n_p = padded_size(rows)

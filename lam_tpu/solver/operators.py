@@ -19,6 +19,7 @@ reference's last-rank-takes-the-remainder splitting
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -828,6 +829,10 @@ class DenseOperator(LinearOperator):
 
         path = str(path)
         a, data_off = _open_matrix_memmap(path)
+        # identity of the content about to be packed — pack_cache.save
+        # refuses to publish if the source changes during the
+        # multi-minute pack (the planes could mix old and new bytes)
+        src_stat = os.stat(path)
         n = a.shape[0]
         if check_symmetric and not _verifies_symmetric(a):
             raise ValueError(
@@ -848,7 +853,7 @@ class DenseOperator(LinearOperator):
         else:
             bufs = DenseOperator._host_pack_tri(a, storage, tb)
         if pack_cache:
-            pc.save(path, storage, n, n_p, tb, bufs)
+            pc.save(path, storage, n, n_p, tb, bufs, src_stat=src_stat)
         return DenseOperator._packed_operator(storage, bufs, n, n_p)
 
     @staticmethod

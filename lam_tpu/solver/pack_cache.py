@@ -61,16 +61,30 @@ def _buffer_specs(precision, n_padded, tb):
     raise ValueError(f"unknown packed precision {precision!r}")
 
 
-def save(src_path, precision, n, n_padded, tb, bufs):
+def save(src_path, precision, n, n_padded, tb, bufs, src_stat=None):
     """Atomically publish the packed buffers beside `src_path`.
 
     Best-effort: a full disk or read-only directory must not fail the
     solve that triggered the caching — errors clean up the temp file
-    and return False."""
+    and return False.
+
+    `src_stat` is the os.stat of the source taken BEFORE the pack ran
+    (packing a multi-GB file takes minutes). The cache is tagged with
+    that pre-pack (size, mtime_ns), and if the source's CURRENT stat
+    no longer matches it the save is refused: the packed planes may
+    mix old and new content (the pack reads a live memory map), and
+    tagging them with the new file's identity would defeat the
+    self-invalidation contract — every later load would silently serve
+    a wrong operator."""
     dst = cache_path(src_path, precision)
     tmp = dst + ".tmp"
     try:
         st = os.stat(src_path)
+        if src_stat is not None:
+            if (st.st_size != src_stat.st_size
+                    or st.st_mtime_ns != src_stat.st_mtime_ns):
+                return False  # source rewritten mid-pack
+            st = src_stat
         header = np.array(
             [_PREC_CODE[precision], n, n_padded, tb, st.st_size,
              st.st_mtime_ns], dtype="<u8")

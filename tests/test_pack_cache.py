@@ -105,6 +105,34 @@ def test_tile_size_change_invalidates(tmp_path, monkeypatch):
     _assert_operands_equal(op, ref, "fq tb=128->256")
 
 
+def test_source_rewritten_mid_pack_is_not_cached(tmp_path, monkeypatch):
+    """save() must REFUSE to publish when the source changed between
+    the pre-pack stat and publication: a multi-minute pack reads a live
+    memory map, so the planes could mix old and new bytes — tagging
+    them with the new file's (size, mtime_ns) would defeat the
+    self-invalidation contract and serve a wrong operator forever."""
+    import os
+
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, _ = _write_system(tmp_path, seed=11)
+
+    # stat captured at pack START (as _from_file_packed does) ...
+    pre_stat = os.stat(path)
+    # ... then the source is swapped mid-pack (same size, new mtime)
+    a2 = gen.random_spd_matrix_fast(300, seed=99)
+    lio.write_matrix(path, a2)
+    op = DenseOperator.from_file_fq(path)  # packs the NEW content
+
+    assert not pc.save(path, "fq", op.n, op.n_padded, 128, op.operand,
+                       src_stat=pre_stat)
+    assert pc.load(path, "fq") is None  # nothing was published
+
+    # and the normal path (stat matches) still publishes
+    assert pc.save(path, "fq", op.n, op.n_padded, 128, op.operand,
+                   src_stat=os.stat(path))
+    assert pc.load(path, "fq") is not None
+
+
 def test_save_failure_is_best_effort(tmp_path, monkeypatch):
     """An unwritable cache location must not fail the solve that
     triggered the caching."""
