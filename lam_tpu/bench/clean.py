@@ -53,6 +53,14 @@ def main(argv=None):
         for path in args.files:
             with open(path) as f:
                 rows = clean_rows(f.readlines())
+            if not rows:
+                # a file with NO data rows is almost certainly not a
+                # results CSV (e.g. a study file whose rows lead with a
+                # program name) — rewriting it "cleaned" would EMPTY
+                # it. Leave the source untouched and say so.
+                print(f"lam-bench-clean: {path}: no data rows "
+                      "(not a results CSV?) — skipped", file=sys.stderr)
+                continue
             # rewrite the source file cleaned+sorted, like clean.sh
             with open(path, "w") as f:
                 for r in rows:

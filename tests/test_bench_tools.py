@@ -50,3 +50,22 @@ def test_clean_best_pick(tmp_path):
     assert "10000,4,1,1.0,0.1,0.2,350,1e-10,3.3" in txt
     assert "20000,8,1,1.0,0.1,0.2,350,1e-10,2.1" in txt
     assert "9.9" not in txt.split("File:")[-1]
+
+
+def test_clean_skips_non_csv_file_instead_of_emptying(tmp_path, capsys):
+    """A file with no digit-led rows (e.g. a study file whose rows lead
+    with a program name) is NOT a results CSV; the clean.sh-style
+    rewrite would silently EMPTY it. clean.py must leave it untouched
+    and warn."""
+    study = tmp_path / "SCALING.txt"
+    content = ("# convergence-invariance study\n"
+               "sharded_gather,1024,1,334,9.884e-10,8192\n")
+    study.write_text(content)
+    good = tmp_path / "MERGE_ok.txt"
+    good.write_text("1000,1,1,1.0,0.1,0.2,350,1e-10,2.5\n")
+    best = tmp_path / "BEST"
+    rc = clean.main([str(study), str(good), "-o", str(best)])
+    assert rc == 0
+    assert study.read_text() == content  # untouched
+    assert "skipped" in capsys.readouterr().err
+    assert "1000,1" in best.read_text()  # the real CSV still processed
