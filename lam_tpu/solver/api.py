@@ -216,6 +216,11 @@ class ConjugateGradient:
         built shard-by-shard."""
         if cols is not None and cols != rows:
             raise ValueError("generated matrix must be square")
+        if self.pack_cache:
+            # gen mode has no source file to key a cache on; say so
+            # (the CLI help promises non-applicable configs warn)
+            print("lam-cg: --pack-cache only accelerates file-mode "
+                  "loads; ignored in generate mode", file=sys.stderr)
         t0 = time.perf_counter()
         self.n = rows
         self.op = (self._generate_fast(rows)

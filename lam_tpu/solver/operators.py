@@ -828,11 +828,12 @@ class DenseOperator(LinearOperator):
         from lam_tpu.solver import pack_cache as pc
 
         path = str(path)
-        a, data_off = _open_matrix_memmap(path)
-        # identity of the content about to be packed — pack_cache.save
-        # refuses to publish if the source changes during the
-        # multi-minute pack (the planes could mix old and new bytes)
+        # identity of the content about to be packed — taken BEFORE the
+        # memmap binds to an inode, so an atomic replace in either
+        # window (stat->open or open->pack) makes pack_cache.save's
+        # re-stat mismatch and refuse to publish the stale planes
         src_stat = os.stat(path)
+        a, data_off = _open_matrix_memmap(path)
         n = a.shape[0]
         if check_symmetric and not _verifies_symmetric(a):
             raise ValueError(

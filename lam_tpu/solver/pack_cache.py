@@ -24,6 +24,14 @@ the cache self-invalidating: a rewritten matrix file is repacked, not
 served stale. Loads never raise on a bad cache — any mismatch or
 truncation returns None and the caller repacks (and overwrites).
 
+INVARIANT — bump the magic on ANY layout or quantizer change: the
+header keys only (precision code, shapes, source size+mtime), so a
+change to the pack pipeline that alters the BYTES it produces for the
+same source (e.g. _pow2_scale rounding, plane ordering, tile walk
+order) would silently serve packs built by the old algorithm. Any such
+change MUST rev the magic (LAMPACK1 -> LAMPACK2), which invalidates
+every existing cache file at load time.
+
 The reference has no analog (it re-reads the raw fp64 file every run,
 MPI-IO at challenge/main/LAM/src/CPU/ConjugateGradient_CPU_MPI_OMP.hpp:325-363);
 this is the TPU-era answer to the same "load dominates at scale"
