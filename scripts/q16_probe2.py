@@ -41,7 +41,7 @@ import lam_tpu  # noqa: F401
 from lam_tpu.ops import gemv
 from lam_tpu.ops.gemv import _LANES, _VMEM_CAP, _lane_fold, _lane_tree
 
-N = int(os.environ.get("LAM_Q16_N", 40960))
+N = int(os.environ.get("LAM_Q16_N", 114688))
 REPS = int(os.environ.get("LAM_Q16_REPS", 10))
 SCALE = 2.0 ** -14
 TB = 512
@@ -55,7 +55,7 @@ def build_q1(n, tb):
     nblk = n // tb
     it, kt = gemv._symm_tables(nblk)
     T = len(it)
-    Tp = (T + 3) // 4 * 4
+    Tp = (T + 7) // 8 * 8
     it = np.concatenate([it, np.full(Tp - T, nblk - 1, np.int32)])
     kt = np.concatenate([kt, np.full(Tp - T, nblk - 1, np.int32)])
 
@@ -84,6 +84,74 @@ def build_q1(n, tb):
     # pad tiles re-target the last diagonal: s=0 keeps them no-ops
     sc[T:] = 0.0
     return q1, jnp.asarray(sc), jnp.asarray(it), jnp.asarray(kt), T
+
+
+def _floor_kernel(it_ref, kt_ref, sc_ref, seed_ref, x_ref, o_ref, acc):
+    """Pure-stream floor: native int16 lane folds over the SAME plane
+    the kernels read (no bitcast copy — a reshaped int32 view would
+    materialize a second 12.3 GiB plane and OOM the chip), no
+    convert/products — the DMA ceiling at this block size. The
+    accumulator is SEEDED from the previous pass's output: a real data
+    dependency, because any arithmetic-identity carry (c & 0, c * 0)
+    gets constant-folded and the whole pass hoisted out of the scan
+    (first attempt 'measured' 2.8 TB/s that way)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        acc[:] = seed_ref[:]
+
+    x = x_ref[:]
+    tb = acc.shape[0]
+    s = acc[:]
+    for rb in range(x.shape[0] // tb):
+        xr = x[rb * tb:(rb + 1) * tb]
+        for j in range(xr.shape[1] // _LANES):
+            s = s + xr[:, j * _LANES:(j + 1) * _LANES]
+    acc[:] = s
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def floor_chain(q1, itj, ktj, sc, *, P):
+    """REPS streaming passes over the int16 plane with (P*tb, tb)
+    blocks; the carry feeds the prefetch table so XLA cannot hoist."""
+    tb = q1.shape[1]
+    Tp = q1.shape[0] // tb
+    grid = (Tp // P,)
+
+    def one(seed):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[pl.BlockSpec((tb, _LANES),
+                                   lambda t, *r: (t * 0, t * 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((P * tb, tb),
+                                   lambda t, *r: (t, t * 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tb, _LANES),
+                                   lambda t, *r: (t * 0, t * 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((tb, _LANES), jnp.int16)],
+        )
+        return pl.pallas_call(
+            _floor_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((tb, _LANES), jnp.int16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_CAP),
+        )(itj, ktj, sc, seed, q1)
+
+    def body(seed, _):
+        return one(seed), None
+
+    seed0 = jnp.zeros((tb, _LANES), jnp.int16)
+    out, _ = jax.lax.scan(body, seed0, None, length=REPS)
+    return out[0, 0].astype(jnp.int32)
 
 
 def _multi_kernel(it_ref, kt_ref, sc_ref, q_ref, *rest, P, sub, tb):
@@ -245,25 +313,31 @@ def main():
     emit(f"-- tb={TB}: {T} walk tiles (+{q1.shape[0] // TB - T} pad), "
          f"{gib:.2f} GiB plane, N={N}, REPS={REPS}")
 
-    # shipping kernel (uses the unpadded tile count internally)
-    q1_exact = q1[:T * TB]
-    sc_exact = sc[:T]
+    # shipping kernel (uses the unpadded tile count internally).
+    # Slice ONLY when padded: a full-extent device slice would still
+    # materialize a second 12.3 GiB plane next to q1 and OOM the chip.
+    q1_exact = q1 if q1.shape[0] == T * TB else q1[:T * TB]
+    sc_exact = sc if sc.shape[0] == T else sc[:T]
     y = np.asarray(gemv.gemv_q16_symm(q1_exact, sc_exact, p0) + 2.0 * p0)
     assert np.array_equal(y, expect), "base closed-form failed"
     t = timed(chain_base, q1_exact, sc_exact, p0) / REPS
     emit(f"  base   (shipping):        {t*1e3:7.2f} ms/mv -> "
          f"{gib * 2**30 / t / 1e9:5.0f} GB/s")
 
-    for P in (1, 2, 4):
-        for sub in (1, 8):
-            y = np.asarray(gemv_q16_multi(q1, sc, itj, ktj, p0,
-                                          P=P, sub=sub) + 2.0 * p0)
-            assert np.array_equal(y, expect), \
-                f"P={P} sub={sub} closed-form failed"
-            t = timed(chain_multi, q1, sc, itj, ktj, p0,
-                      P=P, sub=sub) / REPS
-            emit(f"  P={P} sub={sub}:             {t*1e3:7.2f} ms/mv -> "
-                 f"{gib * 2**30 / t / 1e9:5.0f} GB/s")
+    # pure-stream DMA floor per P: int16 lane folds over the SAME
+    # plane — the bandwidth ceiling each block size allows
+    for P in (1, 2, 4, 8, 16):
+        t = timed(floor_chain, q1, itj, ktj, sc, P=P) / REPS
+        emit(f"  floor P={P} ({P * TB * TB * 2 // 1024:5d} KiB DMA): "
+             f"{t*1e3:7.2f} ms/mv -> {gib * 2**30 / t / 1e9:5.0f} GB/s")
+
+    for P in (1, 2, 4, 8, 16):
+        y = np.asarray(gemv_q16_multi(q1, sc, itj, ktj, p0,
+                                      P=P, sub=1) + 2.0 * p0)
+        assert np.array_equal(y, expect), f"P={P} closed-form failed"
+        t = timed(chain_multi, q1, sc, itj, ktj, p0, P=P, sub=1) / REPS
+        emit(f"  P={P} full kernel:        {t*1e3:7.2f} ms/mv -> "
+             f"{gib * 2**30 / t / 1e9:5.0f} GB/s")
 
     out_path = os.path.join(os.path.dirname(__file__), "..", "results",
                             "Q16_PROBE2_r04.log")
