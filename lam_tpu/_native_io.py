@@ -66,6 +66,13 @@ def _load():
                                i16p, i16p, i16p, f32p, f32p, f32p,
                                f32p, f32p]
     lib.ln_pack_fq.restype = ctypes.c_int
+    # newer symbol — a stale .so built before it may still be loaded
+    # (the auto-build only fires when the .so is MISSING); register
+    # defensively and let has_pack() report the capability
+    if hasattr(lib, "ln_pack_planes"):
+        lib.ln_pack_planes.argtypes = [ctypes.c_char_p, u64, u64, u64,
+                                       u64, f32p, f32p]
+        lib.ln_pack_planes.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -150,6 +157,46 @@ def pack_dfq(path, data_off, n, n_pad, tb):
     if rc != 0:
         raise IOError(f"native dfq pack of {path} failed (rc={rc})")
     return hi, loq, sc, dh, dl
+
+
+def has_pack(storage):
+    """True when the loaded library provides the fused pack for this
+    storage — guards callers against a stale .so built before
+    ln_pack_planes existed."""
+    lib = _load()
+    if lib is None:
+        return False
+    if storage in ("dfq", "fq"):
+        return True
+    return hasattr(lib, "ln_pack_planes")
+
+
+def _pack_planes(path, data_off, n, n_pad, tb, want_lo):
+    lib = _load()
+    nblk = n_pad // tb
+    T = nblk * (nblk + 1) // 2
+    hi = np.empty((T * tb, tb), dtype=np.float32)
+    lo = np.empty((T * tb, tb), dtype=np.float32) if want_lo else None
+    rc = lib.ln_pack_planes(
+        str(path).encode(), data_off, n, n_pad, tb, _f32p(hi),
+        _f32p(lo) if want_lo else None)
+    if rc != 0:
+        raise IOError(f"native plane pack of {path} failed (rc={rc})")
+    return (hi,) if lo is None else (hi, lo)
+
+
+def pack_f32(path, data_off, n, n_pad, tb):
+    """Fused read+convert of a symmetric f64 matrix file into the f32
+    packed-triangle plane (native ln_pack_planes); bit-identical to
+    from_dense's a.astype(f32) + pack_tri_host."""
+    return _pack_planes(path, data_off, n, n_pad, tb, want_lo=False)
+
+
+def pack_df64(path, data_off, n, n_pad, tb):
+    """Fused read+split of a symmetric f64 matrix file into the (hi, lo)
+    f32 packed-triangle planes (native ln_pack_planes); bit-identical
+    to from_dense's split_f64_host + pack_tri_host pair."""
+    return _pack_planes(path, data_off, n, n_pad, tb, want_lo=True)
 
 
 def pack_fq(path, data_off, n, n_pad, tb):

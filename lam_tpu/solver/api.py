@@ -184,16 +184,30 @@ class ConjugateGradient:
                 and self.engine in ("auto", "pallas_symm_packed")):
             self.op = DenseOperator.from_file_fq(
                 filename, pack_cache=self.pack_cache)
+        elif (self.backend == "local"
+                and self._base_precision() in ("f32", "df64")
+                and (self.engine == "pallas_symm_packed"
+                     or (self.engine == "auto"
+                         and jax.default_backend() == "tpu"))):
+            # unquantized packed-triangle fast path (round 4): fused
+            # lower-triangle read + f32/(hi,lo) convert, cacheable.
+            # Same engine from_dense's auto would pick on TPU, but
+            # symmetry is trusted (CG's contract) instead of verified —
+            # the check costs two streaming passes over a multi-GB file
+            ctor = (DenseOperator.from_file_f32
+                    if self._base_precision() == "f32"
+                    else DenseOperator.from_file_df64)
+            self.op = ctor(filename, pack_cache=self.pack_cache)
         else:
             if self.pack_cache:
-                # only the LOCAL dfq/fq triangle loads above hit the
+                # only the LOCAL packed-triangle loads above hit the
                 # cache; the sharded builds quantize per-shard in
                 # mesh-dependent layouts that a cache file keyed only
                 # by the source cannot serve. Say so instead of
                 # silently ignoring the flag.
                 print("lam-cg: --pack-cache only accelerates "
-                      "backend=local dfq/irq/fq/irfq file loads; "
-                      "ignored for this backend/precision",
+                      "backend=local f32/df64/ir/dfq/irq/fq/irfq "
+                      "file loads; ignored for this backend/precision",
                       file=sys.stderr)
             self.op = self._build_operator(
                 lambda s, m: lio.read_matrix_rows(filename, s, m), rows,

@@ -763,6 +763,63 @@ class DenseOperator(LinearOperator):
         return (*planes, *scales, dh, dl)
 
     @staticmethod
+    def _host_pack_planes(a, precision, tb):
+        """Streaming host pack of a symmetric f64 matrix (`a` may be a
+        np.memmap) into the UNQUANTIZED packed-triangle f32 plane(s) of
+        from_dense with engine='pallas_symm_packed' — 'f32' (one plane)
+        or 'df64' (hi, lo pair). Unlike _host_pack_tri the diagonal
+        stays in the plane and there are no scales. Bit-identical to
+        from_dense's astype/split + pack_tri_host, but peak host memory
+        is the plane(s) plus one (tb, i*tb) row block — never the full
+        f64 square (20 GB at N=50000)."""
+        from lam_tpu.ops.gemv import tri_tile_count
+        n = a.shape[0]
+        n_p = padded_size(n, tb)
+        nblk = n_p // tb
+        T = tri_tile_count(nblk)
+        hi = np.empty((T * tb, tb), np.float32)
+        lo = (np.empty((T * tb, tb), np.float32)
+              if precision == "df64" else None)
+        t = 0
+        for i in range(nblk):
+            r0, r1 = i * tb, min((i + 1) * tb, n)
+            width = (i + 1) * tb
+            cw = min(width, n)
+            blk = np.zeros((tb, width), np.float64)
+            if r1 > r0:
+                blk[:r1 - r0, :cw] = a[r0:r1, :cw]
+            bh = blk.astype(np.float32)
+            bl = ((blk - bh.astype(np.float64)).astype(np.float32)
+                  if lo is not None else None)
+            for k in range(i + 1):
+                sl = slice(t * tb, (t + 1) * tb)
+                hi[sl] = bh[:, k * tb:(k + 1) * tb]
+                if lo is not None:
+                    lo[sl] = bl[:, k * tb:(k + 1) * tb]
+                t += 1
+        return (hi,) if lo is None else (hi, lo)
+
+    @staticmethod
+    def _plane_operator(precision, bufs, n, n_padded):
+        """DenseOperator over unquantized packed-triangle plane(s) —
+        the engine='pallas_symm_packed' layouts of from_dense, built
+        from _host_pack_planes / _native_io.pack_{f32,df64} /
+        pack_cache.load buffers."""
+        if precision == "f32":
+            operand = jnp.asarray(bufs[0])
+            vdtype = jnp.float32
+        elif precision == "df64":
+            operand = (jnp.asarray(bufs[0]), jnp.asarray(bufs[1]))
+            vdtype = jnp.float64
+        else:
+            raise ValueError(f"not a plane precision: {precision!r}")
+        fn = _MATVEC_DOT[(precision, "pallas_symm_packed")]
+        out = DenseOperator(fn, operand, n, n_padded, vdtype, precision,
+                            "pallas_symm_packed")
+        out._mv_block = _MV_BLOCK_PACKED[precision]
+        return out
+
+    @staticmethod
     def _packed_operator(storage, bufs, n, n_padded):
         """DenseOperator over packed quantized-triangle buffers (the
         order of `_host_pack_tri` / `_native_io.pack_*` /
@@ -842,20 +899,24 @@ class DenseOperator(LinearOperator):
                 "the random-vector check found A v != A^T v")
         tb = SYMM_TB
         n_p = padded_size(n, tb)
+        quantized = storage in ("dfq", "fq")
+        mk = (DenseOperator._packed_operator if quantized
+              else DenseOperator._plane_operator)
         if pack_cache:
             hit = pc.load(path, storage)
             if hit is not None and hit[0] == n and hit[1] == n_p \
                     and hit[2] == tb:
-                return DenseOperator._packed_operator(
-                    storage, hit[3], n, n_p)
-        if _native_io.available():
+                return mk(storage, hit[3], n, n_p)
+        if _native_io.available() and _native_io.has_pack(storage):
             pack = getattr(_native_io, f"pack_{storage}")
             bufs = pack(path, data_off, n, n_p, tb)
-        else:
+        elif quantized:
             bufs = DenseOperator._host_pack_tri(a, storage, tb)
+        else:
+            bufs = DenseOperator._host_pack_planes(a, storage, tb)
         if pack_cache:
             pc.save(path, storage, n, n_p, tb, bufs, src_stat=src_stat)
-        return DenseOperator._packed_operator(storage, bufs, n, n_p)
+        return mk(storage, bufs, n, n_p)
 
     @staticmethod
     def from_file_dfq(path, check_symmetric=False, pack_cache=False):
@@ -909,6 +970,35 @@ class DenseOperator(LinearOperator):
         the packed planes beside the file (solver/pack_cache.py)."""
         return DenseOperator._from_file_packed(
             path, "fq", check_symmetric, pack_cache)
+
+    @staticmethod
+    def from_file_f32(path, check_symmetric=False, pack_cache=False):
+        """f32 packed-triangle operator straight from a matrix FILE —
+        the unquantized sibling of from_file_dfq/from_file_fq, for
+        precision='f32'. Fused native convert (ln_pack_planes) reads
+        only the lower-triangle bytes (~half the disk traffic, never
+        the 8 B/element square in host RAM); pack_cache=True
+        publishes/reuses the 4x-smaller f32 plane beside the file, so
+        reloads are a raw sequential read (the f64->f32 conversion
+        dominated measured f32 loads, results/MERGE_TPU_FP.txt N=50000
+        load_s=719 s). Symmetry is trusted by default (CG's contract;
+        the check is two full passes over a multi-GB file)."""
+        return DenseOperator._from_file_packed(
+            path, "f32", check_symmetric, pack_cache)
+
+    @staticmethod
+    def from_file_df64(path, check_symmetric=False, pack_cache=False):
+        """df64 (hi, lo) packed-triangle operator straight from a
+        matrix FILE — the f64-parity storage of from_dense with
+        engine='pallas_symm_packed', for precision='df64'/'ir'. Fused
+        native split (ln_pack_planes) reads only the lower-triangle
+        bytes; pack_cache=True publishes/reuses the plane pair beside
+        the file (2x smaller than the source), so reloads skip the
+        f64->(hi, lo) split (results/MERGE_TPU_DF64.txt N=57344
+        load_s=417 s). Symmetry is trusted by default (CG's
+        contract)."""
+        return DenseOperator._from_file_packed(
+            path, "df64", check_symmetric, pack_cache)
 
     @staticmethod
     def from_packed_f32(a_packed, n, n_padded):

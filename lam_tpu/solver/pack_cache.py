@@ -9,15 +9,25 @@ the lower triangle vs 8 B/element on the full square), so caching them
 beside the source turns every RELOAD into a raw sequential read of the
 small file — no quantization pass, ~7x faster measured at N=70000.
 
+The same mechanism covers the UNQUANTIZED packed-triangle planes
+(precision "f32": one f32 plane; "df64": the (hi, lo) f32 pair,
+diagonal kept in-plane — the layouts of DenseOperator.from_dense with
+engine='pallas_symm_packed'): their host-side f64->f32 conversion is
+cheaper than quantization but the conversion + full-square read still
+dominated measured loads (results/MERGE_TPU_FP.txt N=50000
+load_s=719 s), and the f32 cache is 4x smaller than the source.
+
 File format (version 1, little-endian):
     8 bytes   magic b"LAMPACK1"
-    6 x u64   precision code (1=dfq, 2=fq), n, n_padded, tb,
-              source file size, source file mtime_ns
+    6 x u64   precision code (1=dfq, 2=fq, 3=f32, 4=df64), n,
+              n_padded, tb, source file size, source file mtime_ns
     raw buffers in the operand order of _native_io.pack_{dfq,fq}
       dfq: hi (T*tb, tb) f32 | loq (T*tb, tb) i16 | sc (T,) f32
            | dh (n_p,) f32 | dl (n_p,) f32
       fq:  q1, q2, q3 (T*tb, tb) i16 | s1, s2, s3 (T,) f32
            | dh, dl (n_p,) f32
+      f32: hi (T*tb, tb) f32
+      df64: hi (T*tb, tb) f32 | lo (T*tb, tb) f32
 All shapes are derivable from (precision, n_padded, tb), so the header
 carries no per-buffer metadata. The source (size, mtime_ns) pair makes
 the cache self-invalidating: a rewritten matrix file is repacked, not
@@ -43,7 +53,7 @@ import os
 import numpy as np
 
 MAGIC = b"LAMPACK1"
-_PREC_CODE = {"dfq": 1, "fq": 2}
+_PREC_CODE = {"dfq": 1, "fq": 2, "f32": 3, "df64": 4}
 _HEADER_WORDS = 6
 
 
@@ -66,6 +76,10 @@ def _buffer_specs(precision, n_padded, tb):
     if precision == "fq":
         return [(np.int16, plane)] * 3 + [(np.float32, scale)] * 3 + [
             (np.float32, diag)] * 2
+    if precision == "f32":
+        return [(np.float32, plane)]
+    if precision == "df64":
+        return [(np.float32, plane)] * 2
     raise ValueError(f"unknown packed precision {precision!r}")
 
 

@@ -380,6 +380,62 @@ int ln_pack_fq(const char* path, uint64_t data_off, uint64_t n,
     return ok ? 0 : 2;
 }
 
+// Stream a symmetric f64 matrix file into the UNQUANTIZED packed
+// triangle f32 plane layout of DenseOperator.from_dense with
+// engine='pallas_symm_packed' (lam_tpu/solver/operators.py): walk-order
+// (T*tb, tb) f32 hi tiles, plus the df64 lo plane (f32 of the f64
+// remainder) when `lo` is non-null. Unlike ln_pack_dfq/fq the diagonal
+// STAYS in the plane (the f32/df64 symm kernels read it there) and
+// there are no scales. Bit-identical to the numpy path (a.astype(f32),
+// lo = f32(a - f64(hi))). One fused pass; only the lower-triangle
+// bytes are read — ~half the disk traffic of the full-square load the
+// f32/df64 file path previously required. The reference's analog is
+// the MPI-IO sharded load (ConjugateGradient_CPU_MPI_OMP.hpp:325-363).
+int ln_pack_planes(const char* path, uint64_t data_off, uint64_t n,
+                   uint64_t n_pad, uint64_t tb, float* hi, float* lo) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return 1;
+    uint64_t nblk = n_pad / tb;
+    std::atomic<bool> ok{true};
+    parallel_chunks(nblk, n_pad * n_pad / 2 * sizeof(double),
+                    [&](uint64_t i0, uint64_t i1) {
+        std::vector<double> buf;
+        for (uint64_t i = i0; i < i1 && ok; ++i) {
+            uint64_t w = (i + 1) * tb;           // padded tile-row width
+            uint64_t cw = w < n ? w : n;         // file columns present
+            uint64_t r0 = i * tb;
+            uint64_t src = n > r0 ? (n - r0 < tb ? n - r0 : tb) : 0;
+            buf.assign(tb * w, 0.0);
+            for (uint64_t r = 0; r < src && ok; ++r) {
+                if (!pread_all(fd, buf.data() + r * w,
+                               cw * sizeof(double),
+                               data_off + (r0 + r) * n * sizeof(double)))
+                    ok = false;
+            }
+            if (!ok) break;
+            uint64_t t0 = i * (i + 1) / 2;
+            for (uint64_t k = 0; k <= i; ++k) {
+                float* ht = hi + (t0 + k) * tb * tb;
+                float* lt = lo ? lo + (t0 + k) * tb * tb : nullptr;
+                for (uint64_t r = 0; r < tb; ++r) {
+                    const double* s = buf.data() + r * w + k * tb;
+                    float* hrow = ht + r * tb;
+                    for (uint64_t c = 0; c < tb; ++c)
+                        hrow[c] = static_cast<float>(s[c]);
+                    if (lt) {
+                        float* lrow = lt + r * tb;
+                        for (uint64_t c = 0; c < tb; ++c)
+                            lrow[c] = static_cast<float>(
+                                s[c] - static_cast<double>(hrow[c]));
+                    }
+                }
+            }
+        }
+    });
+    ::close(fd);
+    return ok ? 0 : 2;
+}
+
 // Tridiagonal row block split directly into (hi, lo) planes (the values
 // 0/1/2 are exact in f32, so lo is zero — kept general anyway).
 void ln_tridiagonal_rows_split(uint64_t row_start, uint64_t num_rows,

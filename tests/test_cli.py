@@ -390,3 +390,35 @@ def test_cli_pack_cache_publishes_and_reuses(tmp_path, capsys):
     assert row1[7] == row2[7]
     x = lio.read_vector(str(tmp_path / "s.bin"))
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_cli_pack_cache_covers_plane_precisions(tmp_path, capsys):
+    """--pack-cache (round 4) also serves the UNQUANTIZED f32/df64
+    packed-triangle loads — the host f64->f32 conversion dominated
+    measured f32 file loads (results/MERGE_TPU_FP.txt N=50000
+    load_s=719 s). Same contract as the irfq test: publish on first
+    run, identical CSV row from the cache on the second."""
+    import os
+
+    a = gen.random_spd_matrix(64, seed=5)
+    b = gen.random_rhs(64, seed=15)
+    m = tmp_path / "m.bin"
+    lio.write_matrix(m, a)
+    lio.write_matrix(tmp_path / "r.bin", b)
+    # pure-f32 iterations floor the TRUE residual near f32 eps * kappa;
+    # ir refines in df64 so it actually reaches the requested 1e-6
+    for precision, ext, true_tol in (("f32", ".f32pack", 2e-4),
+                                     ("ir", ".df64pack", 1e-5)):
+        argv = ["-A", str(m), "-b", str(tmp_path / "r.bin"),
+                "-o", str(tmp_path / "s.bin"), "-e", "1e-6",
+                "--backend", "local", "--precision", precision,
+                "--engine", "pallas_symm_packed", "--pack-cache"]
+        assert cli.main(argv) == 0
+        row1 = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+        assert os.path.exists(str(m) + ext)
+        assert cli.main(argv) == 0
+        row2 = capsys.readouterr().out.strip().splitlines()[-1].split(",")
+        assert row1[0] == row2[0] and row1[6] == row2[6]
+        assert row1[7] == row2[7]
+        x = lio.read_vector(str(tmp_path / "s.bin"))
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < true_tol

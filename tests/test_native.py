@@ -152,3 +152,57 @@ def test_native_fq_pack_bitwise_matches_python(tmp_path, monkeypatch):
                 op.operand, ref.operand):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                           err_msg=f"{path}:{name}")
+
+
+def _gold_planes(a, tb, want_lo):
+    """The from_dense packed-plane layout, computed the slow obvious
+    way: pad, convert, pack_tri_host — the contract ln_pack_planes and
+    _host_pack_planes both promise to match bit for bit."""
+    from lam_tpu.ops.gemv import pack_tri_host
+    from lam_tpu.solver.operators import padded_size
+    n = a.shape[0]
+    n_p = padded_size(n, tb)
+    ap = np.zeros((n_p, n_p), np.float64)
+    ap[:n, :n] = a
+    hi = ap.astype(np.float32)
+    if not want_lo:
+        return (pack_tri_host(hi, tb),)
+    lo = (ap - hi.astype(np.float64)).astype(np.float32)
+    return (pack_tri_host(hi, tb), pack_tri_host(lo, tb))
+
+
+@pytest.mark.parametrize("precision", ["f32", "df64"])
+def test_native_plane_pack_bitwise_matches_python(tmp_path, monkeypatch,
+                                                  precision):
+    """ln_pack_planes (fused lower-triangle read + f32/(hi,lo) convert)
+    and the numpy fallback _host_pack_planes must BOTH reproduce
+    from_dense's astype/split + pack_tri_host bit for bit, on both
+    source formats — the unquantized siblings of the dfq/fq packs
+    (VERDICT r3 item 3: the 719 s N=50000 f32 load these paths kill)."""
+    from lam_tpu.solver.operators import DenseOperator
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 256)
+    n = 700   # padding exercised: 700 -> 768
+    a = gen.random_spd_matrix_fast(n, seed=23)
+    bin_path = tmp_path / "m.bin"
+    npy_path = tmp_path / "m.npy"
+    lio.write_matrix(str(bin_path), a)
+    np.save(npy_path, a)
+    gold = _gold_planes(a, 256, want_lo=(precision == "df64"))
+    ctor = (DenseOperator.from_file_f32 if precision == "f32"
+            else DenseOperator.from_file_df64)
+    names = ("hi",) if precision == "f32" else ("hi", "lo")
+
+    for native in (True, False):
+        if not native:
+            monkeypatch.setattr("lam_tpu._native_io.available",
+                                lambda: False)
+        for path in (bin_path, npy_path):
+            op = ctor(str(path))
+            assert op.precision == precision
+            assert op.engine == "pallas_symm_packed"
+            got = op.operand if isinstance(op.operand, tuple) \
+                else (op.operand,)
+            for name, x, y in zip(names, got, gold):
+                np.testing.assert_array_equal(
+                    np.asarray(x), y,
+                    err_msg=f"native={native} {path}:{name}")

@@ -15,7 +15,10 @@ from lam_tpu.solver import pack_cache as pc
 from lam_tpu.solver.operators import DenseOperator
 
 CTORS = {"dfq": DenseOperator.from_file_dfq,
-         "fq": DenseOperator.from_file_fq}
+         "fq": DenseOperator.from_file_fq,
+         "f32": DenseOperator.from_file_f32,
+         "df64": DenseOperator.from_file_df64}
+ALL_PRECISIONS = sorted(CTORS)
 
 
 def _write_system(tmp_path, n=300, seed=11):
@@ -25,15 +28,20 @@ def _write_system(tmp_path, n=300, seed=11):
     return str(path), a
 
 
+def _bufs(op):
+    # f32's operand is a single plane, not a tuple
+    return op.operand if isinstance(op.operand, tuple) else (op.operand,)
+
+
 def _assert_operands_equal(op, ref, label):
     assert op.precision == ref.precision
     assert op.n_padded == ref.n_padded
-    for i, (x, y) in enumerate(zip(op.operand, ref.operand)):
+    for i, (x, y) in enumerate(zip(_bufs(op), _bufs(ref))):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=f"{label}: operand[{i}]")
 
 
-@pytest.mark.parametrize("precision", ["dfq", "fq"])
+@pytest.mark.parametrize("precision", ALL_PRECISIONS)
 def test_reload_is_bit_identical_and_skips_the_pack(
         tmp_path, monkeypatch, precision):
     monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
@@ -46,14 +54,15 @@ def test_reload_is_bit_identical_and_skips_the_pack(
     # the cache (this is the claim that makes reloads ~7x faster)
     def _boom(*a, **k):
         raise AssertionError("cache miss: pack path was invoked")
-    monkeypatch.setattr("lam_tpu._native_io.pack_dfq", _boom)
-    monkeypatch.setattr("lam_tpu._native_io.pack_fq", _boom)
+    for fn in ("pack_dfq", "pack_fq", "pack_f32", "pack_df64"):
+        monkeypatch.setattr(f"lam_tpu._native_io.{fn}", _boom)
     monkeypatch.setattr(DenseOperator, "_host_pack_tri", _boom)
+    monkeypatch.setattr(DenseOperator, "_host_pack_planes", _boom)
     op = ctor(path, pack_cache=True)
     _assert_operands_equal(op, ref, f"{precision} cache reload")
 
 
-@pytest.mark.parametrize("precision", ["dfq", "fq"])
+@pytest.mark.parametrize("precision", ALL_PRECISIONS)
 def test_stale_cache_is_repacked_not_served(tmp_path, monkeypatch,
                                             precision):
     monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
@@ -66,8 +75,7 @@ def test_stale_cache_is_repacked_not_served(tmp_path, monkeypatch,
     a2 = gen.random_spd_matrix_fast(300, seed=99)
     lio.write_matrix(path, a2)
     op = ctor(path, pack_cache=True)
-    ref = (DenseOperator.from_dense_dfq if precision == "dfq"
-           else DenseOperator.from_dense_fq)(a2, check_symmetric=False)
+    ref = ctor(path)  # fresh pack, cache bypassed
     _assert_operands_equal(op, ref, f"{precision} after source rewrite")
 
 
