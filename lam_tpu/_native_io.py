@@ -202,17 +202,25 @@ def pack_df64(path, data_off, n, n_pad, tb):
 def pack_fq(path, data_off, n, n_pad, tb):
     """Fused read+triple-quantize of a symmetric f64 matrix file into
     the fully-quantized packed triangle layout (native ln_pack_fq);
-    bit-identical to DenseOperator.from_dense_fq's numpy pack."""
+    bit-identical to DenseOperator.from_dense_fq's numpy pack. The
+    planes/scales are PADDED to a multiple of Q16_P walk tiles
+    (all-zero tiles, zero scales — the round-4 layout the blocked q16
+    grid needs, ops/gemv.py); the native pass fills the real triangle
+    only."""
+    from lam_tpu.ops.gemv import padded_tri_tile_count
     lib = _load()
     nblk = n_pad // tb
     T = nblk * (nblk + 1) // 2
+    Ts = padded_tri_tile_count(nblk)
     i16 = ctypes.POINTER(ctypes.c_int16)
-    q1 = np.empty((T * tb, tb), dtype=np.int16)
-    q2 = np.empty((T * tb, tb), dtype=np.int16)
-    q3 = np.empty((T * tb, tb), dtype=np.int16)
-    s1 = np.empty((T,), dtype=np.float32)
-    s2 = np.empty((T,), dtype=np.float32)
-    s3 = np.empty((T,), dtype=np.float32)
+    q1 = np.empty((Ts * tb, tb), dtype=np.int16)
+    q2 = np.empty((Ts * tb, tb), dtype=np.int16)
+    q3 = np.empty((Ts * tb, tb), dtype=np.int16)
+    s1 = np.zeros((Ts,), dtype=np.float32)
+    s2 = np.zeros((Ts,), dtype=np.float32)
+    s3 = np.zeros((Ts,), dtype=np.float32)
+    for q in (q1, q2, q3):
+        q[T * tb:] = 0
     dh = np.empty((n_pad,), dtype=np.float32)
     dl = np.empty((n_pad,), dtype=np.float32)
     rc = lib.ln_pack_fq(

@@ -291,6 +291,42 @@ def tri_tile_count(nblk):
     return nblk * (nblk + 1) // 2
 
 
+# Walk tiles per grid step of the BLOCKED q16 kernel: a (Q16_P*tb, tb)
+# int16 block is one contiguous 4 MiB DMA instead of eight 512 KiB
+# ones, cutting the per-grid-step fixed cost that dominated the q16
+# kernel's gap to its DMA floor. Measured on the real v5e at N=114688
+# (results/Q16_PROBE2_r04.log): P=8 full kernel 600 GB/s vs 501
+# shipping; the pure-stream floor at this block size is 650.
+Q16_P = 8
+
+
+def padded_tri_tile_count(nblk, p=Q16_P):
+    """Triangle tile count rounded up to a multiple of the q16 block
+    factor — the STORED plane size of padded fq layouts."""
+    t = tri_tile_count(nblk)
+    return -(-t // p) * p
+
+
+@functools.lru_cache(maxsize=None)
+def _symm_tables_padded(nblk, p=Q16_P):
+    """Walk tables padded to a multiple of p with INERT entries
+    (i=0, k=1): k > i so neither the diagonal write nor the transpose
+    branch fires, k != 0 so the row accumulator is never reset, and
+    both block indices are in range (requires nblk >= 2). The padded
+    plane carries all-zero tiles there and producers zero the padded
+    scales, so the fold contributes exactly 0."""
+    if nblk < 2:
+        raise ValueError("padded walk tables need nblk >= 2 (the inert "
+                         "(0, 1) entry must be in range)")
+    import numpy as _np
+    it, kt = _symm_tables(nblk)
+    pad = padded_tri_tile_count(nblk, p) - len(it)
+    if pad:
+        it = _np.concatenate([it, _np.zeros(pad, _np.int32)])
+        kt = _np.concatenate([kt, _np.ones(pad, _np.int32)])
+    return it, kt
+
+
 # --- PACKED triangle storage -------------------------------------------------
 #
 # The symm kernels walk lower-triangle tiles in a FIXED order (the it/kt
@@ -1801,6 +1837,118 @@ def _gemv_q16_symm_kernel(it_ref, kt_ref, sc_ref, q_ref, prow_ref,
                    pcol_ref[:] * s, yd_ref, yt_ref, acc_d, acc_t)
 
 
+def _gemv_q16_symm_multi_kernel(it_ref, kt_ref, sc_ref, q_ref, *rest,
+                                P, tb):
+    """P triangle-walk tiles per grid step over one (P*tb, tb) int16
+    block — the round-4 form of the q16 step (_symm_f32_step unrolled
+    P times with per-tile dynamic output slices). The larger contiguous
+    DMA is the whole point: measured 600 GB/s vs 501 for the one-tile
+    grid at N=114688 (results/Q16_PROBE2_r04.log)."""
+    pr_refs = rest[:P]
+    pc_refs = rest[P:2 * P]
+    yd_ref, yt_ref, acc_d, acc_t = rest[2 * P:]
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_t[:] = jnp.zeros_like(acc_t)
+
+    for u in range(P):
+        g = t * P + u
+        i = it_ref[g]
+        k = kt_ref[g]
+        s = sc_ref[g]
+
+        @pl.when(k == 0)
+        def _():
+            acc_d[:] = jnp.zeros_like(acc_d)
+
+        a = q_ref[u * tb:(u + 1) * tb, :].astype(jnp.float32)
+        acc_d[:] = _lane_fold(a * (pr_refs[u][:] * s), acc_d[:])
+
+        @pl.when(k == i)               # diagonal tile = last of row i
+        def _():
+            yd_ref[pl.dslice(i * tb, tb), :] = _lane_tree(acc_d[:])
+
+        @pl.when(k < i)                # strictly-lower: transpose term
+        def _():
+            w = a * (pc_refs[u][:] * s)
+            width = tb
+            while width > 1:           # same halving tree as _lane_tree,
+                half = width // 2      # over rows
+                w = w[:half] + w[half:width]
+                width = half
+            idx = pl.dslice(k * tb, tb)
+            acc_t[:, idx] = acc_t[:, idx] + w
+
+    @pl.when(t == nt - 1)
+    def _():
+        yt_ref[:] = acc_t[:]
+
+
+def _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T):
+    """The P-blocked grid of gemv_q16_symm (T % Q16_P == 0). Each grid
+    step DMAs one (Q16_P*tb, tb) block and unrolls the walk step over
+    its tiles; per-tile operand rows/columns arrive as Q16_P separately
+    index-mapped (1, tb)/(tb, 1) views of p."""
+    n = p.shape[0]
+    P = Q16_P
+    it, kt = (_symm_tables_padded(nblk)
+              if T > tri_tile_count(nblk) else _symm_tables(nblk))
+    grid = (T // P,)
+
+    def pr_spec(u):
+        return pl.BlockSpec(
+            (1, tb),
+            lambda t, it_ref, kt_ref, sc_ref, u=u: (t * 0,
+                                                    kt_ref[t * P + u]),
+            memory_space=pltpu.VMEM)
+
+    def pc_spec(u):
+        return pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, sc_ref, u=u: (it_ref[t * P + u],
+                                                    t * 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=(
+            [pl.BlockSpec((P * tb, tb),
+                          lambda t, it_ref, kt_ref, sc_ref: (t, t * 0),
+                          memory_space=pltpu.VMEM)]
+            + [pr_spec(u) for u in range(P)]
+            + [pc_spec(u) for u in range(P)]
+        ),
+        out_specs=(
+            pl.BlockSpec((n, 1),
+                         lambda t, it_ref, kt_ref, sc_ref: (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n),
+                         lambda t, it_ref, kt_ref, sc_ref: (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    yd, yt = pl.pallas_call(
+        functools.partial(_gemv_q16_symm_multi_kernel, P=P, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=_use_interpret(),
+    )(jnp.asarray(it), jnp.asarray(kt), sc1, q1,
+      *([p.reshape(1, n)] * Q16_P), *([p.reshape(n, 1)] * Q16_P))
+    return yd.reshape(n) + yt.reshape(n)
+
+
 @jax.jit
 def gemv_q16_symm(q1, sc1, p):
     """y ~= A @ p for SYMMETRIC A stored as the q1 plane of the fq
@@ -1808,15 +1956,28 @@ def gemv_q16_symm(q1, sc1, p):
     against per-tile power-of-two scales. 2 B/element — half the f32
     triangle's HBM bytes; ~2^-16 tile-relative operator error. This is
     the INNER engine of precision='irfq' (the refinement loop absorbs
-    the error; lam_tpu/solver/cg.py cg_solve_ir)."""
+    the error; lam_tpu/solver/cg.py cg_solve_ir).
+
+    The plane may be EXACT (tri_tile_count(nblk) tiles) or PADDED to a
+    multiple of Q16_P tiles (all-zero pad tiles, zero pad scales — the
+    round-4 fq storage layout). Whenever the stored tile count is a
+    multiple of Q16_P (and nblk >= 2), the blocked grid runs: one
+    (Q16_P*tb, tb) DMA per step, 600 vs 501 GB/s measured at N=114688
+    (results/Q16_PROBE2_r04.log)."""
     n = p.shape[0]
     tb, nblk, T = _packed_geometry(q1, p, "gemv_q16_symm")
-    if T != tri_tile_count(nblk):
+    t_tri = tri_tile_count(nblk)
+    t_pad = padded_tri_tile_count(nblk)
+    if T not in (t_tri, t_pad):
         raise ValueError(
             f"packed buffer has {T} tiles, triangle of nblk={nblk} "
-            f"needs {tri_tile_count(nblk)}")
+            f"needs {t_tri} (or {t_pad} padded)")
     if sc1.shape != (T,):
         raise ValueError(f"scale table shape {sc1.shape} != ({T},)")
+    if T % Q16_P == 0 and nblk >= 2:
+        return _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T)
+    # one-tile grid; on padded storage it simply never reads the pad
+    # tiles (grid covers the first t_tri block-rows only)
     it, kt = _symm_tables(nblk)
     grid = (len(it),)
     a_map = lambda t, it_ref, kt_ref, sc_ref: (t, t * 0)
@@ -1897,10 +2058,14 @@ def gemv_fq_symm(q1, q2, q3, s1, s2, s3, p_hi, p_lo, *, comp=None):
     comp = _resolve_comp(comp)
     n = p_hi.shape[0]
     tb, nblk, T = _packed_geometry(q1, p_hi, "gemv_fq_symm")
-    if T != tri_tile_count(nblk):
+    if T not in (tri_tile_count(nblk), padded_tri_tile_count(nblk)):
+        # padded planes (the round-4 fq layout, a multiple of Q16_P
+        # tiles) are fine: this kernel's grid covers the real triangle
+        # only, so the pad tiles are simply never read
         raise ValueError(
             f"packed buffer has {T} tiles, triangle of nblk={nblk} "
-            f"needs {tri_tile_count(nblk)}")
+            f"needs {tri_tile_count(nblk)} "
+            f"(or {padded_tri_tile_count(nblk)} padded)")
     for name, q in (("q2", q2), ("q3", q3)):
         # a (tb, tb) plane is ONE broadcast tile (gen-mode exact-zero
         # residual planes — same trick as the packed f32 engine's zero

@@ -55,10 +55,23 @@ AXES = (ROWS, COLS)
 
 
 def make_mesh2d(r=None):
-    """R x R mesh over the first R^2 devices (default: largest square)."""
+    """R x R mesh over the first R^2 devices (default: largest square).
+
+    The grid is square by construction — the per-iteration transpose
+    exchange is the permutation chip (i, j) <- (j, i), which only
+    exists on a square grid. When the default drops devices (e.g. 8
+    devices -> 2x2 grid, 4 idle) that is said OUT LOUD on stderr so a
+    user who meant to use all chips picks the 1-D backend instead."""
+    import sys
+
     devices = jax.devices()
     if r is None:
         r = math.isqrt(len(devices))
+        if r * r < len(devices):
+            print(f"lam-cg: 2-D grid uses the largest square: "
+                  f"{r}x{r} = {r * r} of {len(devices)} devices "
+                  f"({len(devices) - r * r} idle; the 1-D sharded "
+                  f"backend uses all devices)", file=sys.stderr)
     if r * r > len(devices):
         raise ValueError(f"need {r * r} devices for a {r}x{r} grid, "
                          f"have {len(devices)}")

@@ -246,20 +246,27 @@ class ConjugateGradient:
         return True
 
     @staticmethod
-    def _packed_gen_plane(rows, impl):
+    def _packed_gen_plane(rows, impl, padded=False):
         """Device-build ONE packed triangle gen plane (the f32 hi or
         int16 q1 tridiagonal) — the shared body of the three local
         gen fast paths below, so a padding or static_argnums change
-        cannot drift between precisions. Returns (plane, tb, n_p)."""
+        cannot drift between precisions. Returns (plane, tb, n_p).
+        padded=True builds over the Q16_P-padded walk tables (the fq
+        layout): the inert (0, 1) pad entries match nothing in the
+        tridiagonal scatter, so the pad tiles come out all-zero."""
         import jax.numpy as jnp
 
-        from lam_tpu.ops.gemv import SYMM_TB, _symm_tables
+        from lam_tpu.ops.gemv import (SYMM_TB, _symm_tables,
+                                      _symm_tables_padded)
         from lam_tpu.solver.operators import padded_size
         tb = SYMM_TB
         n_p = padded_size(rows, tb)
-        it, kt = _symm_tables(n_p // tb)
+        nblk = n_p // tb
+        tables = (_symm_tables_padded if padded and nblk >= 2
+                  else _symm_tables)
+        it, kt = tables(nblk)
         plane = jax.jit(impl, static_argnums=(0, 1, 4))(
-            rows, tb, jnp.asarray(it), jnp.asarray(kt), n_p // tb)
+            rows, tb, jnp.asarray(it), jnp.asarray(kt), nblk)
         return plane, tb, n_p
 
     def _generate_fast(self, rows):
@@ -281,7 +288,7 @@ class ConjugateGradient:
             # irfq gen probes run beyond the 4 B/elem f32 gen frontier
             from lam_tpu.solver.operators import DenseOperator
             q1, _, n_p = self._packed_gen_plane(
-                rows, gen._tridiag_q1_packed_impl)
+                rows, gen._tridiag_q1_packed_impl, padded=True)
             return DenseOperator.from_gen_fq(q1, rows, n_p)
         if (self.backend == "sharded" and self._base_precision() == "fq"
                 and self.engine in ("auto", "pallas_symm_packed")):

@@ -437,12 +437,14 @@ def _packed_block_walk(buf_hi, buf_lo, p_block):
     n, k = p_block.shape
     nblk = n // tb
     it, kt = _symm_tables(nblk)
-    tiles = buf_hi.reshape(T, tb, tb).astype(p_block.dtype)
+    # [:len(it)]: fq planes may be PADDED past the triangle (round-4
+    # Q16_P-blocked layout); the walk covers the real tiles only
+    tiles = buf_hi.reshape(T, tb, tb)[:len(it)].astype(p_block.dtype)
     if buf_lo is not None:
         if buf_lo.shape[0] == tb:            # broadcast zero lo tile
             tiles = tiles + buf_lo.astype(p_block.dtype)[None]
         else:
-            tiles = tiles + buf_lo.reshape(T, tb, tb).astype(
+            tiles = tiles + buf_lo.reshape(T, tb, tb)[:len(it)].astype(
                 p_block.dtype)
     pb = p_block.reshape(nblk, tb, k)
     it_j = jnp.asarray(it)
@@ -727,14 +729,20 @@ class DenseOperator(LinearOperator):
         Peak host memory is the packed buffers plus one (tb, i*tb) row
         block; the diagonal is extracted as an exact df64 pair and
         zeroed before quantization."""
-        from lam_tpu.ops.gemv import tri_tile_count
+        from lam_tpu.ops.gemv import padded_tri_tile_count, tri_tile_count
         n = a.shape[0]
         n_p = padded_size(n, tb)
         nblk = n_p // tb
         T = tri_tile_count(nblk)
+        # fq planes pad to a multiple of Q16_P walk tiles (all-zero
+        # tiles, zero scales) so the blocked q16 grid applies
+        # (ops/gemv.py gemv_q16_symm; round 4)
+        Ts = padded_tri_tile_count(nblk) if storage == "fq" else T
         dtypes, n_scales = QUANT_LAYOUT[storage]
-        planes = [np.empty((T * tb, tb), dt) for dt in dtypes]
-        scales = [np.zeros((T,), np.float32) for _ in range(n_scales)]
+        planes = [np.empty((Ts * tb, tb), dt) for dt in dtypes]
+        scales = [np.zeros((Ts,), np.float32) for _ in range(n_scales)]
+        for plane in planes:
+            plane[T * tb:] = 0
         dh = np.zeros((n_p,), np.float32)
         dl = np.zeros((n_p,), np.float32)
         t = 0

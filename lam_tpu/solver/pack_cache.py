@@ -17,17 +17,21 @@ cheaper than quantization but the conversion + full-square read still
 dominated measured loads (results/MERGE_TPU_FP.txt N=50000
 load_s=719 s), and the f32 cache is 4x smaller than the source.
 
-File format (version 1, little-endian):
-    8 bytes   magic b"LAMPACK1"
+File format (version 2, little-endian):
+    8 bytes   magic b"LAMPACK2"
     6 x u64   precision code (1=dfq, 2=fq, 3=f32, 4=df64), n,
               n_padded, tb, source file size, source file mtime_ns
     raw buffers in the operand order of _native_io.pack_{dfq,fq}
       dfq: hi (T*tb, tb) f32 | loq (T*tb, tb) i16 | sc (T,) f32
            | dh (n_p,) f32 | dl (n_p,) f32
-      fq:  q1, q2, q3 (T*tb, tb) i16 | s1, s2, s3 (T,) f32
+      fq:  q1, q2, q3 (Tq*tb, tb) i16 | s1, s2, s3 (Tq,) f32
            | dh, dl (n_p,) f32
       f32: hi (T*tb, tb) f32
       df64: hi (T*tb, tb) f32 | lo (T*tb, tb) f32
+with T = tri_tile_count(n_padded/tb) and Tq = padded_tri_tile_count
+(T rounded up to a multiple of Q16_P — the round-4 fq layout change
+that bumped the magic from LAMPACK1: fq planes carry all-zero pad
+tiles so the blocked q16 grid applies, ops/gemv.py gemv_q16_symm).
 All shapes are derivable from (precision, n_padded, tb), so the header
 carries no per-buffer metadata. The source (size, mtime_ns) pair makes
 the cache self-invalidating: a rewritten matrix file is repacked, not
@@ -52,7 +56,7 @@ import os
 
 import numpy as np
 
-MAGIC = b"LAMPACK1"
+MAGIC = b"LAMPACK2"
 _PREC_CODE = {"dfq": 1, "fq": 2, "f32": 3, "df64": 4}
 _HEADER_WORDS = 6
 
@@ -64,6 +68,7 @@ def cache_path(src_path, precision):
 
 def _buffer_specs(precision, n_padded, tb):
     """(dtype, shape) per buffer, in operand order."""
+    from lam_tpu.ops.gemv import padded_tri_tile_count
     nblk = n_padded // tb
     T = nblk * (nblk + 1) // 2
     plane = (T * tb, tb)
@@ -74,8 +79,10 @@ def _buffer_specs(precision, n_padded, tb):
                 (np.float32, scale), (np.float32, diag),
                 (np.float32, diag)]
     if precision == "fq":
-        return [(np.int16, plane)] * 3 + [(np.float32, scale)] * 3 + [
-            (np.float32, diag)] * 2
+        tq = padded_tri_tile_count(nblk)
+        return ([(np.int16, (tq * tb, tb))] * 3
+                + [(np.float32, (tq,))] * 3
+                + [(np.float32, diag)] * 2)
     if precision == "f32":
         return [(np.float32, plane)]
     if precision == "df64":

@@ -18,7 +18,7 @@ single-A100 matrix. This script:
   * times a 10-matvec normalized chain (one device program, scalar
     readback per the tunnel timing rules), best-of-3.
 
-Writes results/Q16_FRONTIER_r03.log. Needs the real TPU (~16 GB HBM);
+Writes results/Q16_FRONTIER_r04.log. Needs the real TPU (~16 GB HBM);
 refuses to run elsewhere.
 """
 import os
@@ -130,7 +130,7 @@ def main():
     print(lines[-1])
 
     out_path = os.path.join(os.path.dirname(__file__), "..", "results",
-                            "Q16_FRONTIER_r03.log")
+                            "Q16_FRONTIER_r04.log")
     tmp = out_path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write("# 2-byte inner-plane frontier probe on the real v5e "

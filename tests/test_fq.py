@@ -91,6 +91,57 @@ def test_q16_kernel_matches_dequantization_oracle():
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
 
 
+def test_q16_blocked_grid_matches_one_tile_grid():
+    """The Q16_P-blocked grid (padded plane, round 4) must agree with
+    the one-tile grid EXACTLY on integer data: with small-int tiles,
+    a power-of-two scale and small-int p, every product and partial
+    sum is exact in f32, so any summation-order difference between the
+    two grids would show up as a bit difference."""
+    from lam_tpu.ops.gemv import (Q16_P, padded_tri_tile_count,
+                                  tri_tile_count)
+    tb = 128
+    nblk = 4
+    n = tb * nblk
+    T = tri_tile_count(nblk)
+    tp = padded_tri_tile_count(nblk)
+    assert T % Q16_P != 0 and tp % Q16_P == 0  # both grids exercised
+    rng = np.random.default_rng(7)
+    q1 = rng.integers(-3, 4, (T * tb, tb)).astype(np.int16)
+    s1 = np.full((T,), 0.5, np.float32)          # power of two: exact
+    p = rng.integers(-3, 4, n).astype(np.float32)
+    y_one = np.asarray(gemv_q16_symm(q1, s1, p))
+    q1p = np.concatenate(
+        [q1, np.zeros(((tp - T) * tb, tb), np.int16)])
+    s1p = np.concatenate([s1, np.zeros((tp - T,), np.float32)])
+    y_blk = np.asarray(gemv_q16_symm(q1p, s1p, p))
+    np.testing.assert_array_equal(y_one, y_blk)
+    # wrong tile counts still rejected
+    with pytest.raises(ValueError, match="tiles"):
+        gemv_q16_symm(q1[: (T - 1) * tb], s1[: T - 1], p)
+
+
+def test_fq_planes_are_padded_to_the_blocked_grid():
+    """from_dense_fq (and the native/file paths that promise bitwise
+    identity with it) stores Q16_P-padded planes: all-zero pad tiles,
+    zero pad scales — the layout the blocked q16 grid reads."""
+    from lam_tpu.ops.gemv import SYMM_TB, padded_tri_tile_count
+    n = 700
+    a, _ = _spd(n, 9)
+    op = DenseOperator.from_dense(a, precision="fq")
+    tb = SYMM_TB
+    nblk = op.n_padded // tb
+    tp = padded_tri_tile_count(nblk)
+    q1, q2, q3, s1, s2, s3, _, _ = op.operand
+    from lam_tpu.ops.gemv import tri_tile_count
+    t = tri_tile_count(nblk)
+    for plane in (q1, q2, q3):
+        assert plane.shape == (tp * tb, tb)
+        assert not np.asarray(plane[t * tb:]).any()
+    for sc in (s1, s2, s3):
+        assert sc.shape == (tp,)
+        assert not np.asarray(sc[t:]).any()
+
+
 def test_fq_operator_matvec_diagonal_and_padding():
     n = 700  # not a tile multiple: exercises padding
     a, _ = _spd(n, 3)
