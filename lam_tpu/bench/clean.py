@@ -17,13 +17,21 @@ def is_data(line):
     return bool(line) and line[0].isdigit()
 
 
+def _num(field):
+    """Numeric value of a CSV field, tolerating a trailing inline
+    '# ...' comment — the corpus format allows annotated rows (the
+    reference's own WEAK_SCALABILITY_GPU_MPI.txt has one, and the TPU
+    study files mark projection rows '# projected')."""
+    return float(field.split("#", 1)[0].strip())
+
+
 def clean_rows(lines):
     rows = []
     for line in lines:
         if not is_data(line):
             continue
         rows.append(line.strip().split(","))
-    rows.sort(key=lambda r: (float(r[0]), float(r[1])))
+    rows.sort(key=lambda r: (_num(r[0]), _num(r[1])))
     return rows
 
 
@@ -33,11 +41,11 @@ def best_rows(rows, time_field=-1):
     best = {}
     for r in rows:
         key = (r[0], r[1])
-        t = float(r[time_field])
-        if key not in best or t < float(best[key][time_field]):
+        t = _num(r[time_field])
+        if key not in best or t < _num(best[key][time_field]):
             best[key] = r
-    return [best[k] for k in sorted(best, key=lambda k: (float(k[0]),
-                                                         float(k[1])))]
+    return [best[k] for k in sorted(best, key=lambda k: (_num(k[0]),
+                                                         _num(k[1])))]
 
 
 def main(argv=None):

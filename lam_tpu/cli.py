@@ -133,13 +133,15 @@ def build_parser():
                         "--precision ir/irq/irfq — there it scales the "
                         "inner f32 loop — and with --checkpoint)")
     p.add_argument("--pack-cache", action="store_true",
-                   help="For --backend local --precision dfq/irq/fq/"
-                        "irfq file mode: publish/reuse the packed "
-                        "quantized planes beside the matrix file "
-                        "(<file>.dfqpack/.fqpack), so reloads skip "
-                        "the quantization pass (~7x faster at "
-                        "N=70000). Other backends quantize per-shard "
-                        "and ignore this flag (with a warning)")
+                   help="File mode: publish/reuse packed planes beside "
+                        "the matrix file so reloads skip the pack pass "
+                        "(~7x faster at N=70000). backend=local "
+                        "f32/df64/ir/dfq/irq/fq/irfq uses one "
+                        "whole-matrix cache (<file>.dfqpack/.fqpack/"
+                        "...); backend=sharded/sharded2d dfq/irq/fq/"
+                        "irfq uses per-shard files keyed on the mesh "
+                        "placement (<file>.shardpack/). Non-applicable "
+                        "configurations ignore the flag with a notice")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",

@@ -41,6 +41,7 @@ plane of the same buffers. Square grids only (R = isqrt(G)).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -533,14 +534,15 @@ class Symm2DOperator(LinearOperator):
 
     @staticmethod
     def from_block_fn(block_fn, n, mesh=None, tb=None,
-                      precision="df64"):
+                      precision="df64", pack_cache_src=None):
         """Build from `block_fn(r0, c0, h, w)` -> f64 block of the
         UNPADDED symmetric matrix (the 2-D analog of the per-rank
         MPI-IO read; only each chip's OWNED half/triangle is read).
         precision='dfq' quantizes each chip's lo plane to int16 against
         per-tile power-of-two scales with the matrix diagonal extracted
         to a P(ROWS) df64 pair — 6 B/element stored ONCE across the
-        grid."""
+        grid. pack_cache_src (dfq/fq only): source matrix file path,
+        enables the per-shard pack cache (solver/pack_cache.py)."""
         (mesh, tb, r, n_p, m, c, T,
          sharding) = _geometry(n, mesh, tb)
         rows_per_chip = T * tb
@@ -548,7 +550,7 @@ class Symm2DOperator(LinearOperator):
         if precision in ("dfq", "fq"):
             return Symm2DOperator._from_block_fn_quantized(
                 block_fn, n, mesh, tb, r, n_p, m, c, T, sharding,
-                precision)
+                precision, pack_cache_src=pack_cache_src)
         if precision != "df64":
             raise ValueError(
                 f"Symm2DOperator precision must be 'df64', 'dfq' or "
@@ -574,7 +576,8 @@ class Symm2DOperator(LinearOperator):
 
     @staticmethod
     def _from_block_fn_quantized(block_fn, n, mesh, tb, r, n_p, m, c,
-                                 T, sharding, storage):
+                                 T, sharding, storage,
+                                 pack_cache_src=None):
         """Per-chip quantized pack, shared by storage='dfq' (f32 hi +
         int16 lo) and storage='fq' (round 3b: the three-int16 cascade
         whose inner view reads only the 2-byte q1 plane) — 6 B/element
@@ -582,15 +585,33 @@ class Symm2DOperator(LinearOperator):
         (from the diagonal chips' walk) extracted to a P(ROWS) df64
         pair BEFORE quantization so it cannot set the tiles' scales.
         Operand order is (planes..., scales..., dh, dl) —
-        QUANT_LAYOUT in solver/operators.py."""
+        QUANT_LAYOUT in solver/operators.py.
+
+        pack_cache_src: source matrix file path; enables the per-shard
+        pack cache (round 4, VERDICT r3 item 3) with topology code "r"
+        and shard index i*r+j — chip (i, j)'s pack is published to
+        <src>.shardpack/<storage>.r<r>.s<i*r+j>."""
+        from lam_tpu.solver import pack_cache as pc
         from lam_tpu.solver.operators import (QUANT_LAYOUT,
                                               quantize_storage_tiles)
         rows_per_chip = T * tb
         plane_dtypes, n_scales = QUANT_LAYOUT[storage]
         n_planes = len(plane_dtypes)
         cache = {}
+        # identity captured no later than the bytes-source is bound
+        src_stat = (os.stat(pack_cache_src)
+                    if pack_cache_src is not None else None)
+        shard_specs = ([(dt, (rows_per_chip, tb))
+                        for dt in plane_dtypes]
+                       + [(np.float32, (T,))] * n_scales
+                       + [(np.float32, (m,))] * 2)
 
         def chip_pack(i, j):
+            if (i, j) not in cache and pack_cache_src is not None:
+                hit = pc.load_shard(pack_cache_src, storage, "r", r,
+                                    i * r + j, n, n_p, tb, shard_specs)
+                if hit is not None:
+                    cache[(i, j)] = hit
             if (i, j) not in cache:
                 packed = _pack_chip_block(block_fn, n, n_p, m, tb, i, j)
                 dh = np.zeros((m,), np.float32)
@@ -610,6 +631,10 @@ class Symm2DOperator(LinearOperator):
                 cache[(i, j)] = (*quantize_storage_tiles(storage,
                                                          packed, tb),
                                  dh, dl)
+                if pack_cache_src is not None:
+                    pc.save_shard(pack_cache_src, storage, "r", r,
+                                  i * r + j, n, n_p, tb,
+                                  cache[(i, j)], src_stat=src_stat)
             return cache[(i, j)]
 
         def mk_plane(idx):

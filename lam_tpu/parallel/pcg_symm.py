@@ -41,6 +41,7 @@ engine, not another solver copy.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -461,7 +462,8 @@ class SymmShardedOperator(LinearOperator):
 
     @staticmethod
     def from_row_block_fn(row_block_fn, n, mesh=None, tb=None,
-                          packed=False, precision="df64"):
+                          packed=False, precision="df64",
+                          pack_cache_src=None):
         """Build from per-row-block reads of a SYMMETRIC f64 matrix.
 
         Each chip materializes only its two bands (the per-rank MPI-IO
@@ -471,14 +473,16 @@ class SymmShardedOperator(LinearOperator):
         precision='dfq' additionally quantizes the lo plane to int16
         against per-tile power-of-two scales with the diagonal extracted
         as a df64 pair (6 B/element per shard — see
-        DenseOperator.from_dense_dfq); implies packed storage."""
+        DenseOperator.from_dense_dfq); implies packed storage.
+        pack_cache_src (dfq/fq only): source matrix file path, enables
+        the per-shard pack cache (solver/pack_cache.py save_shard)."""
         (mesh, tb, axis, g, n_p, m, tables,
          a_sharding) = _geometry(n, mesh, tb)
 
         if precision in ("dfq", "fq"):
             return SymmShardedOperator._from_row_block_fn_quantized(
                 row_block_fn, n, mesh, tb, axis, g, n_p, m, tables,
-                a_sharding, precision)
+                a_sharding, precision, pack_cache_src=pack_cache_src)
         if precision != "df64":
             raise ValueError(
                 f"SymmShardedOperator precision must be 'df64', 'dfq' "
@@ -554,7 +558,7 @@ class SymmShardedOperator(LinearOperator):
     @staticmethod
     def _from_row_block_fn_quantized(row_block_fn, n, mesh, tb, axis,
                                      g, n_p, m, tables, a_sharding,
-                                     storage):
+                                     storage, pack_cache_src=None):
         """Per-chip quantized pack, shared by storage='dfq' (f32 hi +
         int16 lo against per-tile power-of-two scales) and
         storage='fq' (round 3b: the three-int16 cascade whose inner
@@ -563,7 +567,15 @@ class SymmShardedOperator(LinearOperator):
         df64 pair. One read of the chip's rows (row-block cache, as
         the packed df64 path); a process only packs chips it addresses
         (callback placement). Operand order is (planes..., scales...,
-        dh, dl, walk tables) — QUANT_LAYOUT in solver/operators.py."""
+        dh, dl, walk tables) — QUANT_LAYOUT in solver/operators.py.
+
+        pack_cache_src: path of the source matrix FILE the row blocks
+        come from; enables the per-shard pack cache (round 4, VERDICT
+        r3 item 3 — the per-rank analog of the reference's MPI-IO
+        reads, ConjugateGradient_CPU_MPI_OMP.hpp:325-363): each chip's
+        pack is published to <src>.shardpack/<storage>.g<g>.s<c> and
+        reloaded at raw disk speed on later runs with the same mesh."""
+        from lam_tpu.solver import pack_cache as pc
         from lam_tpu.solver.operators import (QUANT_LAYOUT,
                                               quantize_storage_tiles)
         its, kts, lts = tables
@@ -572,8 +584,20 @@ class SymmShardedOperator(LinearOperator):
         plane_dtypes, n_scales = QUANT_LAYOUT[storage]
         n_planes = len(plane_dtypes)
         cache = {}
+        # identity captured no later than the bytes-source is bound
+        # (the pack reads the live file via row_block_fn for minutes)
+        src_stat = (os.stat(pack_cache_src)
+                    if pack_cache_src is not None else None)
+        shard_specs = ([(dt, (L, tb)) for dt in plane_dtypes]
+                       + [(np.float32, (T,))] * n_scales
+                       + [(np.float32, (2 * m,))] * 2)
 
         def chip_pack(c):
+            if c not in cache and pack_cache_src is not None:
+                hit = pc.load_shard(pack_cache_src, storage, "g", g,
+                                    c, n, n_p, tb, shard_specs)
+                if hit is not None:
+                    cache[c] = hit
             if c not in cache:
                 planes = [np.empty((L, tb), dt) for dt in plane_dtypes]
                 scales = [np.zeros((T,), np.float32)
@@ -611,6 +635,10 @@ class SymmShardedOperator(LinearOperator):
                     for j in range(n_scales):
                         scales[j][t] = out[n_planes + j][0]
                 cache[c] = (*planes, *scales, dh, dl)
+                if pack_cache_src is not None:
+                    pc.save_shard(pack_cache_src, storage, "g", g, c,
+                                  n, n_p, tb, cache[c],
+                                  src_stat=src_stat)
             return cache[c]
 
         def chip_rows_cb(which, rows_pc, sl, total):

@@ -87,7 +87,10 @@ class ConjugateGradient:
         return self._mesh
 
     def _build_operator(self, row_block_fn, n, full_matrix=None,
-                        block_fn=None):
+                        block_fn=None, pack_cache_src=None):
+        # pack_cache_src: source matrix file path; the sharded dfq/fq
+        # builders use it for the PER-SHARD pack cache (round 4 —
+        # solver/pack_cache.py save_shard/load_shard)
         if self.backend == "sharded2d":
             self._mesh2d_or_make()
             if block_fn is None:
@@ -113,7 +116,8 @@ class ConjugateGradient:
                 return Symm2DOperator.from_block_fn(
                     block_fn, n, mesh=self._mesh,
                     precision=(base2d if base2d in ("dfq", "fq")
-                               else "df64"))
+                               else "df64"),
+                    pack_cache_src=pack_cache_src)
             if base2d in ("dfq", "fq"):
                 raise ValueError(
                     f"--backend sharded2d --engine {engine2d} supports "
@@ -153,7 +157,8 @@ class ConjugateGradient:
                 return SymmShardedOperator.from_row_block_fn(
                     row_block_fn, n, mesh=self._mesh_or_make(),
                     packed=engine == "pallas_symm_packed",
-                    precision=base if base in ("dfq", "fq") else "df64")
+                    precision=base if base in ("dfq", "fq") else "df64",
+                    pack_cache_src=pack_cache_src)
             from lam_tpu.parallel.pcg import ShardedDenseOperator
             return ShardedDenseOperator.from_row_block_fn(
                 row_block_fn, n, mesh=self._mesh_or_make(),
@@ -199,20 +204,27 @@ class ConjugateGradient:
                     else DenseOperator.from_file_df64)
             self.op = ctor(filename, pack_cache=self.pack_cache)
         else:
-            if self.pack_cache:
-                # only the LOCAL packed-triangle loads above hit the
-                # cache; the sharded builds quantize per-shard in
-                # mesh-dependent layouts that a cache file keyed only
-                # by the source cannot serve. Say so instead of
-                # silently ignoring the flag.
+            # the sharded/2-D quantized builds serve --pack-cache with
+            # PER-SHARD cache files keyed on the mesh placement
+            # (solver/pack_cache.py save_shard — the per-rank analog of
+            # the reference's MPI-IO reads); everything else still
+            # ignores the flag with a notice.
+            shard_cached = (
+                self.backend in ("sharded", "sharded2d")
+                and self._base_precision() in ("dfq", "fq")
+                and self.engine in ("auto", "pallas_symm_packed"))
+            if self.pack_cache and not shard_cached:
                 print("lam-cg: --pack-cache only accelerates "
-                      "backend=local f32/df64/ir/dfq/irq/fq/irfq "
-                      "file loads; ignored for this backend/precision",
+                      "backend=local f32/df64/ir/dfq/irq/fq/irfq and "
+                      "sharded/sharded2d dfq/irq/fq/irfq file loads; "
+                      "ignored for this backend/precision",
                       file=sys.stderr)
             self.op = self._build_operator(
                 lambda s, m: lio.read_matrix_rows(filename, s, m), rows,
                 block_fn=lambda r0, c0, h, w: lio.read_matrix_block(
-                    filename, r0, c0, h, w))
+                    filename, r0, c0, h, w),
+                pack_cache_src=(filename if self.pack_cache
+                                and shard_cached else None))
         jax.block_until_ready(self.op.operand)
         self.timings["load_s"] = time.perf_counter() - t0
         return True

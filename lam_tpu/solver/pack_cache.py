@@ -57,8 +57,13 @@ import os
 import numpy as np
 
 MAGIC = b"LAMPACK2"
+SHARD_MAGIC = b"LAMSHRD1"
 _PREC_CODE = {"dfq": 1, "fq": 2, "f32": 3, "df64": 4}
 _HEADER_WORDS = 6
+_SHARD_HEADER_WORDS = 9
+_TOPO_CODE = {"g": 1, "r": 2}   # 1-D band-pair mesh / R x R grid
+_DTYPE_CODE = {np.dtype(np.float32): 1, np.dtype(np.int16): 2,
+               np.dtype(np.float64): 3}
 
 
 def cache_path(src_path, precision):
@@ -171,5 +176,150 @@ def load(src_path, precision):
                     return None
                 bufs.append(buf.reshape(shape))
         return n, n_padded, tb, tuple(bufs)
+    except (OSError, ValueError):
+        return None
+
+
+# -- per-shard cache (sharded / 2-D backends) --------------------------------
+#
+# The sharded quantized builds pack per CHIP (pcg_symm chip_pack(c),
+# pcg2d_symm chip_pack(i, j)) in mesh-dependent layouts a whole-matrix
+# cache cannot serve — so each shard gets its OWN file, keyed on the
+# full placement identity (precision, n, n_padded, tb, topology, shard
+# index) plus the source's (size, mtime_ns). This mirrors the
+# reference's per-rank MPI-IO reads
+# (ConjugateGradient_CPU_MPI_OMP.hpp:325-363): every process touches
+# only the files of the shards it addresses (callback placement), and a
+# re-run on a different mesh shape simply misses and repacks.
+#
+# Shard files live in one sibling directory, <src>.shardpack/, named
+# <precision>.<topo><size>.s<idx> — e.g. matrix.npy.shardpack/fq.g8.s3.
+#
+# Format (version 1, little-endian):
+#     8 bytes  magic b"LAMSHRD1"
+#     9 x u64  precision code, n, n_padded, tb, topo code (1=1-D "g",
+#              2=2-D "r"), topo size, shard index, source size,
+#              source mtime_ns
+#     u64      number of buffers
+#     per buffer: u64 dtype code (1=f32, 2=i16, 3=f64), u64 ndim,
+#                 ndim x u64 dims
+#     raw buffers, in operand order
+# Unlike the whole-matrix format, buffer shapes are EXPLICIT: the
+# per-chip walk lengths depend on topology math that lives with the
+# operators, so the caller supplies the expected (dtype, shape) specs
+# and load_shard treats any mismatch as a miss. The quantizer-version
+# rule applies here too: any change to the per-shard pack layout or
+# the quantization algorithm MUST bump SHARD_MAGIC.
+
+
+def shard_cache_path(src_path, precision, topo, topo_size, shard_idx):
+    return os.path.join(
+        f"{src_path}.shardpack",
+        f"{precision}.{topo}{topo_size}.s{shard_idx}")
+
+
+def save_shard(src_path, precision, topo, topo_size, shard_idx,
+               n, n_padded, tb, bufs, src_stat=None):
+    """Atomically publish one shard's packed buffers. Best-effort
+    (False on any OSError); refuses to publish when the source's
+    current stat no longer matches the pre-pack `src_stat` (the pack
+    may have read a mix of old and new bytes)."""
+    dst = shard_cache_path(src_path, precision, topo, topo_size,
+                           shard_idx)
+    tmp = dst + ".tmp"
+    try:
+        st = os.stat(src_path)
+        if src_stat is not None:
+            if (st.st_size != src_stat.st_size
+                    or st.st_mtime_ns != src_stat.st_mtime_ns):
+                return False
+            st = src_stat
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        header = np.array(
+            [_PREC_CODE[precision], n, n_padded, tb,
+             _TOPO_CODE[topo], topo_size, shard_idx, st.st_size,
+             st.st_mtime_ns], dtype="<u8")
+        with open(tmp, "wb") as fh:
+            fh.write(SHARD_MAGIC)
+            header.tofile(fh)
+            np.array([len(bufs)], dtype="<u8").tofile(fh)
+            for buf in bufs:
+                arr = np.ascontiguousarray(buf)
+                np.array([_DTYPE_CODE[arr.dtype], arr.ndim, *arr.shape],
+                         dtype="<u8").tofile(fh)
+            for buf in bufs:
+                np.ascontiguousarray(buf).tofile(fh)
+        os.replace(tmp, dst)
+        return True
+    except (OSError, KeyError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def load_shard(src_path, precision, topo, topo_size, shard_idx,
+               n, n_padded, tb, expected_specs):
+    """One shard's packed buffers, or None (missing, stale, truncated,
+    or any identity/spec mismatch — the caller falls through to a
+    fresh pack). `expected_specs` is the (dtype, shape) list the
+    caller's topology math demands; a cache whose recorded buffers
+    differ in any way is a miss, never an error."""
+    path = shard_cache_path(src_path, precision, topo, topo_size,
+                            shard_idx)
+    rev_dtype = {v: k for k, v in _DTYPE_CODE.items()}
+    try:
+        src_st = os.stat(src_path)
+        with open(path, "rb") as fh:
+            if fh.read(len(SHARD_MAGIC)) != SHARD_MAGIC:
+                return None
+            header = np.fromfile(fh, dtype="<u8",
+                                 count=_SHARD_HEADER_WORDS)
+            if header.size != _SHARD_HEADER_WORDS:
+                return None
+            (code, h_n, h_np, h_tb, h_topo, h_ts, h_si, src_size,
+             src_mtime) = (int(v) for v in header)
+            if (code != _PREC_CODE[precision]
+                    or h_n != n or h_np != n_padded or h_tb != tb
+                    or h_topo != _TOPO_CODE[topo] or h_ts != topo_size
+                    or h_si != shard_idx
+                    or src_size != src_st.st_size
+                    or src_mtime != src_st.st_mtime_ns):
+                return None
+            nb = np.fromfile(fh, dtype="<u8", count=1)
+            if nb.size != 1 or int(nb[0]) != len(expected_specs):
+                return None
+            specs = []
+            for _ in range(len(expected_specs)):
+                meta = np.fromfile(fh, dtype="<u8", count=2)
+                if meta.size != 2:
+                    return None
+                dcode, ndim = int(meta[0]), int(meta[1])
+                if dcode not in rev_dtype or ndim > 4:
+                    return None
+                dims = np.fromfile(fh, dtype="<u8", count=ndim)
+                if dims.size != ndim:
+                    return None
+                specs.append((rev_dtype[dcode],
+                              tuple(int(d) for d in dims)))
+            for got, want in zip(specs, expected_specs):
+                if (got[0] != np.dtype(want[0])
+                        or got[1] != tuple(want[1])):
+                    return None
+            # size check BEFORE any payload fromfile (as load())
+            expect = sum(int(np.prod(s)) * np.dtype(d).itemsize
+                         for d, s in specs)
+            payload = os.fstat(fh.fileno()).st_size - fh.tell()
+            if payload != expect:
+                return None
+            bufs = []
+            for dtype, shape in specs:
+                count = int(np.prod(shape))
+                buf = np.fromfile(fh, dtype=dtype, count=count)
+                if buf.size != count:
+                    return None
+                bufs.append(buf.reshape(shape))
+        return tuple(bufs)
     except (OSError, ValueError):
         return None

@@ -153,3 +153,124 @@ def test_save_failure_is_best_effort(tmp_path, monkeypatch):
     op = DenseOperator.from_file_fq(path, pack_cache=True)
     ref = DenseOperator.from_dense_fq(a, check_symmetric=False)
     _assert_operands_equal(op, ref, "fq with unwritable cache dir")
+
+
+# -- per-shard cache (sharded / 2-D backends; round 4, VERDICT r3 #3) --------
+
+
+def _sharded_cg(precision, pack_cache):
+    from lam_tpu import ConjugateGradient
+    cg = ConjugateGradient(backend="sharded", precision=precision,
+                           pack_cache=pack_cache)
+    return cg
+
+
+def test_sharded_fq_pack_cache_roundtrip(tmp_path, monkeypatch, capsys):
+    """backend=sharded --pack-cache: first load publishes one shard
+    file per chip; the reload is served bitwise-identically WITHOUT
+    invoking the quantizer, and no 'ignored' notice is printed."""
+    import os
+
+    from lam_tpu.parallel.pcg_symm import SymmShardedOperator
+
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, a = _write_system(tmp_path, n=500, seed=21)
+
+    cg = _sharded_cg("irfq", pack_cache=True)
+    assert cg.load_matrix_from_file(path)
+    assert "ignored" not in capsys.readouterr().err
+    ref_bufs = [np.asarray(b) for b in cg.op.operand]
+    g = cg.op.mesh.shape[cg.op.axis]
+    for c in range(g):
+        assert os.path.exists(
+            pc.shard_cache_path(path, "fq", "g", g, c)), c
+
+    # reload must never quantize (pure cache reads)
+    def _boom(*args, **kw):
+        raise AssertionError("cache miss: quantizer was invoked")
+    monkeypatch.setattr(
+        "lam_tpu.solver.operators.quantize_storage_tiles", _boom)
+    cg2 = _sharded_cg("irfq", pack_cache=True)
+    assert cg2.load_matrix_from_file(path)
+    for i, (x, y) in enumerate(zip(cg2.op.operand, ref_bufs)):
+        np.testing.assert_array_equal(np.asarray(x), y,
+                                      err_msg=f"operand[{i}]")
+
+    # and the cached operator still solves to the true answer
+    b = gen.random_rhs(500, seed=31)
+    cg2.rhs = b
+    assert cg2.solve(max_iters=5000, rel_error=1e-9)
+    x = np.asarray(cg2.x, np.float64)[:500]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_sharded_shard_cache_is_stale_proof_and_mesh_keyed(
+        tmp_path, monkeypatch):
+    """A rewritten source misses every shard file; a different mesh
+    geometry (g) misses by key, not by accident."""
+    import os
+
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, _ = _write_system(tmp_path, n=500, seed=22)
+
+    cg = _sharded_cg("irq", pack_cache=True)
+    assert cg.load_matrix_from_file(path)
+    g = cg.op.mesh.shape[cg.op.axis]
+    spec_probe = pc.shard_cache_path(path, "dfq", "g", g, 0)
+    assert os.path.exists(spec_probe)
+
+    # stale: rewrite the source -> load_shard must miss
+    a2 = gen.random_spd_matrix_fast(500, seed=99)
+    lio.write_matrix(path, a2)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 7))
+    # the shard file exists but no longer matches the source identity
+    cg2 = _sharded_cg("irq", pack_cache=True)
+    assert cg2.load_matrix_from_file(path)  # repacks (no stale serve)
+    b = gen.random_rhs(500, seed=32)
+    cg2.rhs = b
+    assert cg2.solve(max_iters=5000, rel_error=1e-9)
+    x = np.asarray(cg2.x, np.float64)[:500]
+    assert np.linalg.norm(b - a2 @ x) / np.linalg.norm(b) < 1e-8, \
+        "stale shard cache served after source rewrite"
+
+    # different topology size -> different file, absent
+    assert not os.path.exists(
+        pc.shard_cache_path(path, "dfq", "g", g + 1, 0))
+
+
+def test_sharded2d_fq_pack_cache_roundtrip(tmp_path, monkeypatch):
+    """The 2-D grid's per-chip packs cache under topology code 'r'
+    with shard index i*r+j and reload bitwise-identically."""
+    import os
+
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, a = _write_system(tmp_path, n=500, seed=23)
+
+    from lam_tpu import ConjugateGradient
+    cg = ConjugateGradient(backend="sharded2d", precision="irfq",
+                           pack_cache=True)
+    assert cg.load_matrix_from_file(path)
+    ref_bufs = [np.asarray(b) for b in cg.op.operand]
+    r = cg.op.mesh.shape["rows"]
+    for i in range(r):
+        for j in range(r):
+            assert os.path.exists(pc.shard_cache_path(
+                path, "fq", "r", r, i * r + j)), (i, j)
+
+    def _boom(*args, **kw):
+        raise AssertionError("cache miss: quantizer was invoked")
+    monkeypatch.setattr(
+        "lam_tpu.solver.operators.quantize_storage_tiles", _boom)
+    cg2 = ConjugateGradient(backend="sharded2d", precision="irfq",
+                            pack_cache=True)
+    assert cg2.load_matrix_from_file(path)
+    for i, (x, y) in enumerate(zip(cg2.op.operand, ref_bufs)):
+        np.testing.assert_array_equal(np.asarray(x), y,
+                                      err_msg=f"operand[{i}]")
+
+    b = gen.random_rhs(500, seed=33)
+    cg2.rhs = b
+    assert cg2.solve(max_iters=5000, rel_error=1e-9)
+    x = np.asarray(cg2.x, np.float64)[:500]
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
