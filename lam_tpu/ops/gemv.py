@@ -654,10 +654,21 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
     tm, tk = t_hi.shape
     s = acc_s[:]
     c = acc_c[:]
-    for j in range(tk // _LANES):
-        sl = slice(j * _LANES, (j + 1) * _LANES)
-        s, e = two_sum(s, t_hi[:, sl])
-        c = c + (e + t_lo[:, sl])
+    if comp == "defer":
+        # slab-amortized renormalization — see _symm_df64_step
+        gs = t_hi[:, 0:_LANES]
+        gc = t_lo[:, 0:_LANES]
+        for j in range(1, tk // _LANES):
+            sl = slice(j * _LANES, (j + 1) * _LANES)
+            gs = gs + t_hi[:, sl]
+            gc = gc + t_lo[:, sl]
+        s, e = two_sum(s, gs)
+        c = c + (e + gc)
+    else:
+        for j in range(tk // _LANES):
+            sl = slice(j * _LANES, (j + 1) * _LANES)
+            s, e = two_sum(s, t_hi[:, sl])
+            c = c + (e + t_lo[:, sl])
     acc_s[:] = s
     acc_c[:] = c
 
@@ -679,7 +690,12 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
 
 
 _DF64_COMP = _os.environ.get("LAM_TPU_DF64_COMP", "nolow")
-_DF64_COMPS = ("full", "nolow")
+# 'defer' is the round-4 slab-amortized-renormalization EXPERIMENT
+# (VERDICT r3 item 8): exact Dekker products, plain in-tile group adds,
+# one two_sum per tile. Measured on hardware by scripts/df64_defer.py;
+# not a production default unless the full-solve TRUE residual holds
+# (see results/DF64_DEFER_r04.log for the verdict).
+_DF64_COMPS = ("full", "nolow", "defer")
 
 
 def _resolve_comp(comp):
@@ -852,10 +868,28 @@ def _symm_df64_step(i, k, t, nt, ah, al, prh_ref, prl_ref, pch_ref,
     t_hi, t_lo = _df64_exact_tile(ah, al, prh_ref[:], prl_ref[:], comp)
     s = accd_s[:]
     c = accd_c[:]
-    for j in range(tb // _LANES):
-        sl = slice(j * _LANES, (j + 1) * _LANES)
-        s, e = two_sum(s, t_hi[:, sl])
-        c = c + (e + t_lo[:, sl])
+    if comp == "defer":
+        # slab-amortized renormalization (round-4 experiment, VERDICT
+        # r3 item 8): PLAIN-add the tile's tb/128 slabs into a group
+        # partial, compensate ONCE per tile. Saves ~6 VPU flops per
+        # slab element; costs one uncompensated rounding per plain add
+        # (<= (k-1)*2^-24 relative to the group partial) — the
+        # hypothesis under test is whether that bound stays below the
+        # 1e-9 target across a full solve (scripts/df64_defer.py
+        # measures time + TRUE residual on hardware).
+        gs = t_hi[:, 0:_LANES]
+        gc = t_lo[:, 0:_LANES]
+        for j in range(1, tb // _LANES):
+            sl = slice(j * _LANES, (j + 1) * _LANES)
+            gs = gs + t_hi[:, sl]
+            gc = gc + t_lo[:, sl]
+        s, e = two_sum(s, gs)
+        c = c + (e + gc)
+    else:
+        for j in range(tb // _LANES):
+            sl = slice(j * _LANES, (j + 1) * _LANES)
+            s, e = two_sum(s, t_hi[:, sl])
+            c = c + (e + t_lo[:, sl])
     accd_s[:] = s
     accd_c[:] = c
 
