@@ -274,3 +274,38 @@ def test_sharded2d_fq_pack_cache_roundtrip(tmp_path, monkeypatch):
     assert cg2.solve(max_iters=5000, rel_error=1e-9)
     x = np.asarray(cg2.x, np.float64)[:500]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+
+def test_prepack_script_publishes_a_served_cache(tmp_path, monkeypatch):
+    """scripts/prepack_bench_caches.py builds the same fq cache the
+    solve path would (bench.py's irfq legs then load it inside the
+    driver's window at raw-read speed), and a second prepack run is a
+    no-op on an already-valid cache."""
+    import importlib.util
+    import os
+
+    monkeypatch.setattr("lam_tpu.ops.gemv.SYMM_TB", 128)
+    path, a = _write_system(tmp_path, n=300, seed=17)
+
+    spec = importlib.util.spec_from_file_location(
+        "prepack_bench_caches",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "prepack_bench_caches.py"))
+    prepack = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prepack)
+
+    prepack.prepack(path)
+    assert pc.load(path, "fq") is not None
+    ref = DenseOperator.from_file_fq(path)  # fresh pack, no cache
+
+    # the solve path must be served purely from the prepacked planes
+    def _boom(*args, **kw):
+        raise AssertionError("cache miss: pack path was invoked")
+    monkeypatch.setattr("lam_tpu._native_io.pack_fq", _boom)
+    monkeypatch.setattr(DenseOperator, "_host_pack_tri", _boom)
+    op = DenseOperator.from_file_fq(path, pack_cache=True)
+    _assert_operands_equal(op, ref, "prepacked fq reload")
+
+    # idempotence: a valid cache is not repacked (the pack paths are
+    # still poisoned, so any repack attempt would raise)
+    prepack.prepack(path)
