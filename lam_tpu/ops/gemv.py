@@ -299,6 +299,39 @@ def tri_tile_count(nblk):
 # shipping; the pure-stream floor at this block size is 650.
 Q16_P = 8
 
+# Per-tile product engine of the blocked LOCAL q16 kernel (IMPORT-TIME
+# knob — the kernels are jitted at module scope, so flip it via the env
+# var in a fresh process, not by assignment). The sharded slab/dual q16
+# kernels keep the VPU form.
+#   "auto" (default) "mxu" at n >= Q16_MXU_MIN_N, "vpu" below. The MXU
+#                    win only exists at DMA-floor sizes; below the
+#                    threshold the kernel is overhead-dominated AND the
+#                    bf16 rounding measurably costs refinement cycles
+#                    (n=2048: 8 outer cycles vs 5, 685 vs ~460 inner
+#                    iterations), so small systems keep the exact-f32
+#                    VPU products.
+#   "mxu"            single-pass MXU dots at DEFAULT precision: AT the
+#                    DMA floor (646 vs 598 GB/s VPU at N=114688,
+#                    results/Q16_PROBE4_r04.log). The MXU bf16-rounds
+#                    both operands (~2^-9 operator error vs the
+#                    quantization's 2^-16), which the irfq refinement
+#                    absorbs almost for free at scale: measured
+#                    end-to-end at N=20000, 0.293 s vs 0.313 s, +6
+#                    inner iterations, identical 9.5e-10 TRUE residual
+#                    (results/Q16_E2E_r04.log).
+#   "vpu"            f32 elementwise products + lane-fold / halving
+#                    tree; products exact in f32 against the int16
+#                    plane. The fallback when the inner operator must
+#                    be bit-faithful to the stored quantization.
+_Q16_IMPL = _os.environ.get("LAM_Q16_IMPL", "auto")
+Q16_MXU_MIN_N = 16384
+
+
+def _q16_impl(n):
+    if _Q16_IMPL == "auto":
+        return "mxu" if n >= Q16_MXU_MIN_N else "vpu"
+    return _Q16_IMPL
+
 
 def padded_tri_tile_count(nblk, p=Q16_P):
     """Triangle tile count rounded up to a multiple of the q16 block
@@ -1872,12 +1905,21 @@ def _gemv_q16_symm_kernel(it_ref, kt_ref, sc_ref, q_ref, prow_ref,
 
 
 def _gemv_q16_symm_multi_kernel(it_ref, kt_ref, sc_ref, q_ref, *rest,
-                                P, tb):
+                                P, tb, impl="vpu"):
     """P triangle-walk tiles per grid step over one (P*tb, tb) int16
     block — the round-4 form of the q16 step (_symm_f32_step unrolled
     P times with per-tile dynamic output slices). The larger contiguous
     DMA is the whole point: measured 600 GB/s vs 501 for the one-tile
-    grid at N=114688 (results/Q16_PROBE2_r04.log)."""
+    grid at N=114688 (results/Q16_PROBE2_r04.log).
+
+    impl="mxu" (the default, LAM_Q16_IMPL): both per-tile terms as
+    single-pass MXU dots at DEFAULT precision — measured AT the DMA
+    floor (646 vs 598 GB/s VPU, results/Q16_PROBE4_r04.log). The MXU
+    rounds both operands to bf16 (~2^-9 operator error vs the
+    quantization's ~2^-16); the irfq refinement absorbs that almost
+    for free — end-to-end at N=20000: 0.293 s vs 0.313 s, +6 inner
+    iterations, identical true residual (scripts/q16_e2e.py,
+    results/Q16_E2E_r04.log)."""
     pr_refs = rest[:P]
     pc_refs = rest[P:2 * P]
     yd_ref, yt_ref, acc_d, acc_t = rest[2 * P:]
@@ -1899,20 +1941,35 @@ def _gemv_q16_symm_multi_kernel(it_ref, kt_ref, sc_ref, q_ref, *rest,
             acc_d[:] = jnp.zeros_like(acc_d)
 
         a = q_ref[u * tb:(u + 1) * tb, :].astype(jnp.float32)
-        acc_d[:] = _lane_fold(a * (pr_refs[u][:] * s), acc_d[:])
+        if impl == "mxu":
+            acc_d[:] = acc_d[:] + jax.lax.dot_general(
+                a, pr_refs[u][:] * s,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (tb, 1)
+        else:
+            acc_d[:] = _lane_fold(a * (pr_refs[u][:] * s), acc_d[:])
 
         @pl.when(k == i)               # diagonal tile = last of row i
         def _():
-            yd_ref[pl.dslice(i * tb, tb), :] = _lane_tree(acc_d[:])
+            if impl == "mxu":
+                yd_ref[pl.dslice(i * tb, tb), :] = acc_d[:]
+            else:
+                yd_ref[pl.dslice(i * tb, tb), :] = _lane_tree(acc_d[:])
 
         @pl.when(k < i)                # strictly-lower: transpose term
         def _():
-            w = a * (pc_refs[u][:] * s)
-            width = tb
-            while width > 1:           # same halving tree as _lane_tree,
-                half = width // 2      # over rows
-                w = w[:half] + w[half:width]
-                width = half
+            if impl == "mxu":
+                w = jax.lax.dot_general(
+                    pc_refs[u][:] * s, a,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (1, tb)
+            else:
+                w = a * (pc_refs[u][:] * s)
+                width = tb
+                while width > 1:       # same halving tree as _lane_tree,
+                    half = width // 2  # over rows
+                    w = w[:half] + w[half:width]
+                    width = half
             idx = pl.dslice(k * tb, tb)
             acc_t[:, idx] = acc_t[:, idx] + w
 
@@ -1928,6 +1985,7 @@ def _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T):
     index-mapped (1, tb)/(tb, 1) views of p."""
     n = p.shape[0]
     P = Q16_P
+    impl = _q16_impl(n)
     it, kt = (_symm_tables_padded(nblk)
               if T > tri_tile_count(nblk) else _symm_tables(nblk))
     grid = (T // P,)
@@ -1940,6 +1998,12 @@ def _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T):
             memory_space=pltpu.VMEM)
 
     def pc_spec(u):
+        if impl == "mxu":  # row view: the MXU transpose term is
+            return pl.BlockSpec(  # (1,tb)@(tb,tb) -> (1,tb)
+                (1, tb),
+                lambda t, it_ref, kt_ref, sc_ref, u=u: (t * 0,
+                                                        it_ref[t * P + u]),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (tb, 1),
             lambda t, it_ref, kt_ref, sc_ref, u=u: (it_ref[t * P + u],
@@ -1965,12 +2029,15 @@ def _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, 1) if impl == "mxu" else (tb, _LANES),
+                       jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
         ],
     )
+    pc_view = (p.reshape(1, n) if impl == "mxu" else p.reshape(n, 1))
     yd, yt = pl.pallas_call(
-        functools.partial(_gemv_q16_symm_multi_kernel, P=P, tb=tb),
+        functools.partial(_gemv_q16_symm_multi_kernel, P=P, tb=tb,
+                          impl=impl),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -1979,7 +2046,7 @@ def _gemv_q16_symm_blocked(q1, sc1, p, tb, nblk, T):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
     )(jnp.asarray(it), jnp.asarray(kt), sc1, q1,
-      *([p.reshape(1, n)] * Q16_P), *([p.reshape(n, 1)] * Q16_P))
+      *([p.reshape(1, n)] * Q16_P), *([pc_view] * Q16_P))
     return yd.reshape(n) + yt.reshape(n)
 
 

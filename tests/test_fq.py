@@ -91,6 +91,19 @@ def test_q16_kernel_matches_dequantization_oracle():
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
 
 
+def test_q16_impl_auto_threshold(monkeypatch):
+    """The default 'auto' picks the MXU product engine only at
+    DMA-floor sizes (>= Q16_MXU_MIN_N); explicit env values win."""
+    from lam_tpu.ops import gemv
+    monkeypatch.setattr(gemv, "_Q16_IMPL", "auto")
+    assert gemv._q16_impl(gemv.Q16_MXU_MIN_N) == "mxu"
+    assert gemv._q16_impl(gemv.Q16_MXU_MIN_N - 1) == "vpu"
+    monkeypatch.setattr(gemv, "_Q16_IMPL", "vpu")
+    assert gemv._q16_impl(10 ** 6) == "vpu"
+    monkeypatch.setattr(gemv, "_Q16_IMPL", "mxu")
+    assert gemv._q16_impl(8) == "mxu"
+
+
 def test_q16_blocked_grid_matches_one_tile_grid():
     """The Q16_P-blocked grid (padded plane, round 4) must agree with
     the one-tile grid EXACTLY on integer data: with small-int tiles,

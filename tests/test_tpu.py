@@ -260,7 +260,10 @@ def test_fq_fully_quantized_storage_hardware_accuracy(tpu_backend,
     p = rng.uniform(-1, 1, a.shape[0])
     y = np.asarray(op.extract_x(op.matvec(op.prepare_b(p))))
     assert _rel(y, a @ p) < 1e-12
-    # the inner view reads only the q1 plane: ~2^-16 tile-relative
+    # the inner view reads only the q1 plane: ~2^-16 tile-relative.
+    # (At this n < Q16_MXU_MIN_N the q16 products are exact-f32 VPU;
+    # above the threshold the MXU engine adds ~2^-9 bf16 rounding —
+    # covered end-to-end by scripts/q16_e2e.py, Q16_E2E_r04.log.)
     op32 = op.as_f32()
     y32 = np.asarray(op32.extract_x(op32.matvec(
         op32.prepare_b(p.astype(np.float32)))), np.float64)
