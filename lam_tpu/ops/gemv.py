@@ -2246,14 +2246,53 @@ def gemv_fq_symm(q1, q2, q3, s1, s2, s3, p_hi, p_lo, *, comp=None):
 
 def _gemv_q16_symm_slab_kernel(it_ref, kt_ref, lt_ref, sc_ref, q_ref,
                                prow_ref, pcol_ref, yd_ref, yt_ref,
-                               acc_d, acc_t):
+                               acc_d, acc_t, *, impl="vpu"):
     t = pl.program_id(0)
     # dequantize + fold the per-tile scale into the operand vectors
     # (see _gemv_q16_symm_kernel); lt_ref steers the yd index map only
     a = q_ref[:].astype(jnp.float32)
     s = sc_ref[t]
-    _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref[:] * s,
-                   pcol_ref[:] * s, yd_ref, yt_ref, acc_d, acc_t)
+    if impl == "mxu":
+        # single-pass MXU dots (same trade as the local blocked kernel,
+        # results/Q16_PROBE4_r04.log / Q16_E2E_r04.log): pcol_ref is a
+        # (1, tb) ROW view of p at block-row i here
+        i = it_ref[t]
+        k = kt_ref[t]
+        nt = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_t[:] = jnp.zeros_like(acc_t)
+
+        @pl.when(k == 0)
+        def _():
+            acc_d[:] = jnp.zeros_like(acc_d)
+
+        acc_d[:] = acc_d[:] + jax.lax.dot_general(
+            a, prow_ref[:] * s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (tb, 1)
+
+        @pl.when(k == i)
+        def _():
+            yd_ref[:] = acc_d[:]
+
+        @pl.when(k < i)
+        def _():
+            tb = a.shape[0]
+            w = jax.lax.dot_general(
+                pcol_ref[:] * s, a,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (1, tb)
+            idx = pl.dslice(k * tb, tb)
+            acc_t[:, idx] = acc_t[:, idx] + w
+
+        @pl.when(t == nt - 1)
+        def _():
+            yt_ref[:] = acc_t[:]
+    else:
+        _symm_f32_step(it_ref[t], kt_ref[t], a, prow_ref[:] * s,
+                       pcol_ref[:] * s, yd_ref, yt_ref, acc_d, acc_t)
 
 
 @functools.partial(jax.jit, static_argnames=("ms",))
@@ -2273,8 +2312,23 @@ def gemv_q16_symm_slab(q1_slab, sc1, p, it, kt, lt, *, ms):
         raise ValueError(f"scale table shape {sc1.shape} != ({T},)")
     if ms is None or ms % tb:
         raise ValueError("packed slab needs ms (a multiple of tb)")
+    impl = _q16_impl(n)
     grid = (T,)
     a_map = lambda t, it_ref, kt_ref, lt_ref, sc_ref: (t, t * 0)
+    if impl == "mxu":  # (1, tb) ROW view of p at block-row i: the MXU
+        pc_spec = pl.BlockSpec(  # transpose term is (1,tb)@(tb,tb)
+            (1, tb),
+            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+            (t * 0, it_ref[t]),
+            memory_space=pltpu.VMEM)
+        pc_view = p.reshape(1, n)
+    else:
+        pc_spec = pl.BlockSpec(
+            (tb, 1),
+            lambda t, it_ref, kt_ref, lt_ref, sc_ref:
+            (it_ref[t], t * 0),
+            memory_space=pltpu.VMEM)
+        pc_view = p.reshape(n, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
@@ -2284,10 +2338,7 @@ def gemv_q16_symm_slab(q1_slab, sc1, p, it, kt, lt, *, ms):
                          lambda t, it_ref, kt_ref, lt_ref, sc_ref:
                          (t * 0, kt_ref[t]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1),
-                         lambda t, it_ref, kt_ref, lt_ref, sc_ref:
-                         (it_ref[t], t * 0),
-                         memory_space=pltpu.VMEM),
+            pc_spec,
         ],
         out_specs=(
             pl.BlockSpec((tb, 1),
@@ -2300,12 +2351,13 @@ def gemv_q16_symm_slab(q1_slab, sc1, p, it, kt, lt, *, ms):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, 1) if impl == "mxu" else (tb, _LANES),
+                       jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
         ],
     )
     yd, yt = pl.pallas_call(
-        _gemv_q16_symm_slab_kernel,
+        functools.partial(_gemv_q16_symm_slab_kernel, impl=impl),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ms, 1), jnp.float32),
@@ -2314,7 +2366,7 @@ def gemv_q16_symm_slab(q1_slab, sc1, p, it, kt, lt, *, ms):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
     )(jnp.asarray(it), jnp.asarray(kt), jnp.asarray(lt),
-      jnp.asarray(sc1), q1_slab, p.reshape(1, n), p.reshape(n, 1))
+      jnp.asarray(sc1), q1_slab, p.reshape(1, n), pc_view)
     return yd.reshape(ms), yt.reshape(n)
 
 
@@ -2430,14 +2482,51 @@ def gemv_fq_symm_slab(q1, q2, q3, s1, s2, s3, p_hi, p_lo, it, kt, lt,
 
 
 def _gemv_q16_dual_kernel(sc_ref, q_ref, p_ref, qc_ref, yd_ref, yt_ref,
-                          acc_d, acc_t, *, cb):
+                          acc_d, acc_t, *, cb, impl="vpu"):
     # dequantize the int16 tile; fold the per-tile scale into the
     # operand vectors (tb ops, not tb^2 — see _gemv_q16_symm_kernel)
     t = pl.program_id(0) * cb + pl.program_id(1)
     a = q_ref[:].astype(jnp.float32)
     s = sc_ref[t]
-    _dual_f32_step(a, p_ref[:] * s, qc_ref[:] * s, yd_ref, yt_ref,
-                   acc_d, acc_t)
+    if impl == "mxu":
+        # single-pass MXU dots (results/Q16_PROBE4_r04.log trade);
+        # qc_ref is a (1, tb) ROW view of q at block-row li here
+        li = pl.program_id(0)
+        k = pl.program_id(1)
+        nli = pl.num_programs(0)
+        nk = pl.num_programs(1)
+
+        @pl.when(jnp.logical_and(li == 0, k == 0))
+        def _():
+            acc_t[:] = jnp.zeros_like(acc_t)
+
+        @pl.when(k == 0)
+        def _():
+            acc_d[:] = jnp.zeros_like(acc_d)
+
+        acc_d[:] = acc_d[:] + jax.lax.dot_general(
+            a, p_ref[:] * s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (tb, 1)
+
+        @pl.when(k == nk - 1)
+        def _():
+            yd_ref[:] = acc_d[:]
+
+        tb = a.shape[0]
+        w = jax.lax.dot_general(
+            qc_ref[:] * s, a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (1, tb)
+        idx = pl.dslice(k * tb, tb)
+        acc_t[:, idx] = acc_t[:, idx] + w
+
+        @pl.when(jnp.logical_and(li == nli - 1, k == nk - 1))
+        def _():
+            yt_ref[:] = acc_t[:]
+    else:
+        _dual_f32_step(a, p_ref[:] * s, qc_ref[:] * s, yd_ref, yt_ref,
+                       acc_d, acc_t)
 
 
 @jax.jit
@@ -2450,11 +2539,25 @@ def gemv_q16_dual(q1buf, sc, p, q):
     tb, mb, cb = _dual_geometry(q1buf, p, q, "gemv_q16_dual")
     n = p.shape[0]
     ms = q.shape[0]
+    # threshold on the larger extent: the half-slab's operands are
+    # per-chip slices of the global vectors, and below the threshold
+    # the MXU gains nothing while the bf16 rounding costs cycles
+    impl = _q16_impl(max(n, ms))
     T = q1buf.shape[0] // tb
     if sc.shape != (T,):
         raise ValueError(f"scale table shape {sc.shape} != ({T},)")
     a_map = lambda li, k, sc_ref: (li * cb + k, li * 0)
     grid = (mb, cb)
+    if impl == "mxu":  # (1, tb) ROW view of q at block-row li
+        qc_spec = pl.BlockSpec((1, tb),
+                               lambda li, k, sc_ref: (li * 0, li),
+                               memory_space=pltpu.VMEM)
+        qc_view = q.reshape(1, ms)
+    else:
+        qc_spec = pl.BlockSpec((tb, 1),
+                               lambda li, k, sc_ref: (li, li * 0),
+                               memory_space=pltpu.VMEM)
+        qc_view = q.reshape(ms, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -2462,8 +2565,7 @@ def gemv_q16_dual(q1buf, sc, p, q):
             pl.BlockSpec((tb, tb), a_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb), lambda li, k, sc_ref: (k * 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
-                         memory_space=pltpu.VMEM),
+            qc_spec,
         ],
         out_specs=(
             pl.BlockSpec((tb, 1), lambda li, k, sc_ref: (li, li * 0),
@@ -2472,12 +2574,13 @@ def gemv_q16_dual(q1buf, sc, p, q):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tb, _LANES), jnp.float32),
+            pltpu.VMEM((tb, 1) if impl == "mxu" else (tb, _LANES),
+                       jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
         ],
     )
     yd, yt = pl.pallas_call(
-        functools.partial(_gemv_q16_dual_kernel, cb=cb),
+        functools.partial(_gemv_q16_dual_kernel, cb=cb, impl=impl),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ms, 1), jnp.float32),
@@ -2485,7 +2588,7 @@ def gemv_q16_dual(q1buf, sc, p, q):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         interpret=_use_interpret(),
-    )(jnp.asarray(sc), q1buf, p.reshape(1, n), q.reshape(ms, 1))
+    )(jnp.asarray(sc), q1buf, p.reshape(1, n), qc_view)
     return yd.reshape(ms), yt.reshape(n)
 
 

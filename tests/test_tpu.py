@@ -440,3 +440,61 @@ def test_sharded_pack_cache_roundtrip_hardware(tpu_backend, tmp_path):
     assert cg2.solve(max_iters=10000, rel_error=1e-9)
     x = np.asarray(cg2.x, np.float64)[:n]
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 2e-9
+
+
+def test_q16_mxu_slab_and_dual_kernels_hardware_exact(tpu_backend):
+    """Above Q16_MXU_MIN_N the sharded q16 kernels run their per-tile
+    products on the MXU (single-pass bf16 dots, LAM_Q16_IMPL=auto —
+    results/Q16_PROBE4_r04.log). With small-integer tiles, power-of-two
+    scales and small-integer operands every product is exact in bf16
+    and the f32 MXU accumulator is exact, so the MXU path must match
+    the numpy oracle BITWISE; any routing/index-map error in the
+    row-operand views would show up as a wrong value, not noise."""
+    import jax.numpy as jnp
+
+    from lam_tpu.ops import gemv
+    from lam_tpu.ops.gemv import Q16_MXU_MIN_N, _symm_tables
+
+    tb = 512
+    n = Q16_MXU_MIN_N
+    assert gemv._q16_impl(n) == "mxu"
+    nblk = n // tb
+    rng = np.random.default_rng(41)
+
+    # symmetric slab identity: full-triangle walk tables with lt=it and
+    # ms=n make the slab kernel compute the whole symmetric matvec
+    it, kt = _symm_tables(nblk)
+    T = len(it)
+    q1 = rng.integers(-3, 4, (T * tb, tb)).astype(np.int16)
+    s1 = np.full((T,), 0.5, np.float32)
+    p = rng.integers(-3, 4, n).astype(np.float32)
+    yd, yt = gemv.gemv_q16_symm_slab(
+        jnp.asarray(q1), jnp.asarray(s1), jnp.asarray(p),
+        np.asarray(it), np.asarray(kt), np.asarray(it), ms=n)
+    y = np.asarray(yd, np.float64) + np.asarray(yt, np.float64)
+    ref = np.zeros(n)
+    for t, (i, k) in enumerate(zip(it, kt)):
+        tile = q1[t * tb:(t + 1) * tb].astype(np.float64) * 0.5
+        ref[i * tb:(i + 1) * tb] += tile @ p[k * tb:(k + 1) * tb]
+        if k < i:
+            ref[k * tb:(k + 1) * tb] += tile.T @ p[i * tb:(i + 1) * tb]
+    np.testing.assert_array_equal(y, ref)
+
+    # dual rectangle: (S @ p, S^T @ q) through the MXU row-operand views
+    ms = 2 * tb
+    mb, cb = ms // tb, nblk
+    q1buf = rng.integers(-3, 4, (mb * cb * tb, tb)).astype(np.int16)
+    sc = np.full((mb * cb,), 0.25, np.float32)
+    qv = rng.integers(-3, 4, ms).astype(np.float32)
+    yd, yt = gemv.gemv_q16_dual(jnp.asarray(q1buf), jnp.asarray(sc),
+                                jnp.asarray(p), jnp.asarray(qv))
+    s_mat = np.zeros((ms, n))
+    for li in range(mb):
+        for k in range(cb):
+            t = li * cb + k
+            s_mat[li * tb:(li + 1) * tb, k * tb:(k + 1) * tb] = \
+                q1buf[t * tb:(t + 1) * tb].astype(np.float64) * 0.25
+    np.testing.assert_array_equal(np.asarray(yd, np.float64),
+                                  s_mat @ p.astype(np.float64))
+    np.testing.assert_array_equal(np.asarray(yt, np.float64),
+                                  s_mat.T @ qv.astype(np.float64))
