@@ -314,12 +314,16 @@ def main():
             entry.update(_anchor_fields(n, v["s"]))
             secondary[f"N{n}"] = entry
 
+    # a headline size outside ANCHORS (e.g. the documented 57344 opt-in
+    # via LAM_BENCH_SIZES) has no reference row: vs_baseline degrades
+    # to 0.0 instead of crashing after the full measurement run
+    head_anchors = ANCHORS.get(HEADLINE_N)
     out = {
         "metric": f"time_to_1e-9_N{HEADLINE_N}_1chip",
         "value": head["s"],
         "unit": "s",
-        "vs_baseline": secondary[f"N{HEADLINE_N}"].get(
-            f"vs_{ANCHORS[HEADLINE_N][0][0]}", 0.0),
+        "vs_baseline": (secondary[f"N{HEADLINE_N}"].get(
+            f"vs_{head_anchors[0][0]}", 0.0) if head_anchors else 0.0),
         "engine": engine,
         "iters": head["iters"],
         "true_rel_residual": head["true_rel"],

@@ -18,21 +18,31 @@ def is_data(line):
 
 
 def _num(field):
-    """Numeric value of a CSV field, tolerating a trailing inline
-    '# ...' comment — the corpus format allows annotated rows (the
-    reference's own WEAK_SCALABILITY_GPU_MPI.txt has one, and the TPU
-    study files mark projection rows '# projected')."""
-    return float(field.split("#", 1)[0].strip())
+    return float(field.strip())
 
 
 def clean_rows(lines):
+    """Data rows only, sorted by (N, procs).
+
+    Rows carrying an inline '# ...' annotation are DROPPED, not
+    ingested: the TPU study files mark non-measurement rows that way
+    ('# projected', results/WEAK_SCALABILITY_TPU.txt — projections from
+    measured single-chip rates, honest in the study file but NOT
+    measurements), and a best-pick corpus must never mix the two. The
+    reference's clean.sh (TESTS/results/clean.sh:14-44) only ever saw
+    measured rows, so dropping annotated ones preserves its semantics.
+    Returns (rows, n_dropped)."""
     rows = []
+    dropped = 0
     for line in lines:
         if not is_data(line):
             continue
+        if "#" in line:
+            dropped += 1
+            continue
         rows.append(line.strip().split(","))
     rows.sort(key=lambda r: (_num(r[0]), _num(r[1])))
-    return rows
+    return rows, dropped
 
 
 def best_rows(rows, time_field=-1):
@@ -60,7 +70,12 @@ def main(argv=None):
         out.write("\n")
         for path in args.files:
             with open(path) as f:
-                rows = clean_rows(f.readlines())
+                rows, dropped = clean_rows(f.readlines())
+            if dropped:
+                print(f"lam-bench-clean: {path}: dropped {dropped} "
+                      "annotated row(s) (inline '#' comment — e.g. "
+                      "'# projected' study rows are not measurements)",
+                      file=sys.stderr)
             if not rows:
                 # a file with NO data rows is almost certainly not a
                 # results CSV (e.g. a study file whose rows lead with a

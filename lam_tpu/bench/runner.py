@@ -22,18 +22,38 @@ import time
 
 
 def run_one(n, mode, max_iters, rel_error, backend, precision, engine,
-            devices, seed=2024, comm="gather"):
+            devices, seed=2024, comm="gather", pack_cache=False):
     import jax
 
     from lam_tpu import generate as gen
     from lam_tpu.solver.api import ConjugateGradient
 
     cg = ConjugateGradient(backend=backend, precision=precision,
-                           engine=engine, n_devices=devices, comm=comm)
+                           engine=engine, n_devices=devices, comm=comm,
+                           pack_cache=pack_cache)
     t0 = time.perf_counter()
     if mode == "gen":
         cg.generate_matrix(n)
         cg.generate_rhs()
+    elif pack_cache:
+        # reproducible large-N sweeps (round 5): reuse/publish the .npy
+        # system cache bench.py uses (lam_tpu/bench/systems.py), then
+        # load THROUGH the file path so the packed-plane caches beside
+        # it apply — a warm re-run is solve-bound, never
+        # regeneration-bound (Householder at N=40000 is ~30 min on a
+        # 1-core host; the reference's sweeps equally re-read
+        # pre-generated files, TESTS/GPU_SCRIPTS/GPU_2_NODE.sh:33-39)
+        from lam_tpu.bench import systems
+        path = systems.find_cached(n, seed)
+        if path is None:
+            a = (gen.random_spd_matrix_fast(n, seed=seed) if n > 4096
+                 else gen.random_spd_matrix(n, seed=seed))
+            path = systems.publish(a, n, seed)
+            del a
+        if path is None:
+            raise OSError(f"no writable cache dir for the N={n} system")
+        cg.load_matrix_from_file(path)
+        cg.rhs = gen.random_rhs(n, seed=seed + 10)
     else:
         # in-memory random SPD system (same construction the offline
         # generator writes to disk; avoids materializing N^2*8 B files)
@@ -68,6 +88,14 @@ def main(argv=None):
     p.add_argument("--engine", default="auto")
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--comm", default="gather", choices=["gather", "ring"])
+    p.add_argument("--seed", type=int, default=2024,
+                   help="spd-mode system seed (shared with bench.py)")
+    p.add_argument("--pack-cache", action="store_true",
+                   help="spd mode: reuse/publish the .npy system cache "
+                        "(io/bench/, shared with bench.py) and load via "
+                        "the file path so packed-plane caches beside it "
+                        "apply — warm sweeps are solve-bound, not "
+                        "regeneration-bound")
     args = p.parse_args(argv)
 
     max_iters = args.max_iters
@@ -80,7 +108,8 @@ def main(argv=None):
     for n in args.sizes:
         row = run_one(n, args.mode, max_iters, args.rel_error,
                       args.backend, args.precision, args.engine,
-                      args.devices, comm=args.comm)
+                      args.devices, seed=args.seed, comm=args.comm,
+                      pack_cache=args.pack_cache)
         print(row, flush=True)
         rows.append(row)
 

@@ -142,6 +142,14 @@ def build_parser():
                         "irfq uses per-shard files keyed on the mesh "
                         "placement (<file>.shardpack/). Non-applicable "
                         "configurations ignore the flag with a notice")
+    p.add_argument("--check-symmetric", action="store_true",
+                   help="File mode: verify A v == A^T v on the matrix "
+                        "file before building the operator (two "
+                        "streamed passes over the file). The "
+                        "lower-triangle engines otherwise TRUST "
+                        "symmetry (CG's contract) and would silently "
+                        "solve with the mirrored lower half of a "
+                        "non-symmetric input")
     p.add_argument("--no-warmup", action="store_true",
                    help="Include XLA compile time in the solve timing")
     p.add_argument("--init-col", action="store_true",
@@ -261,7 +269,8 @@ def _cli_main(argv=None):
 
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
                            engine=args.engine, n_devices=args.devices,
-                           comm=args.comm, pack_cache=args.pack_cache)
+                           comm=args.comm, pack_cache=args.pack_cache,
+                           check_symmetric=args.check_symmetric)
     # the CSV procs column counts devices actually USED
     n_devices = cg.used_devices()
 

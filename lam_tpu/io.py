@@ -31,13 +31,40 @@ import numpy as np
 _HEADER = struct.Struct("<QQ")
 
 
+def _is_npy(path):
+    return str(path).endswith(".npy")
+
+
+def _open_npy(path):
+    """Memory-map a .npy as a 2-D f64 array ((n,) vectors view as
+    (n, 1) columns, matching how the reference format stores them).
+
+    .npy is accepted everywhere the reference binary format is (round
+    5): the benchmark system caches are .npy (bench.py, io/bench/), and
+    routing them through the SAME read paths lets lam-bench and lam-cg
+    reuse them — including the pack caches published beside the file."""
+    a = np.load(path, mmap_mode="r")
+    if a.dtype != np.float64:
+        raise ValueError(f"{path}: expected float64 .npy, got {a.dtype}")
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    if a.ndim != 2:
+        raise ValueError(f"{path}: expected a 1-D/2-D .npy, got "
+                         f"{a.ndim}-D")
+    return a
+
+
 def read_header(path):
-    """Return (num_rows, num_cols) from a reference-format binary file.
+    """Return (num_rows, num_cols) from a reference-format binary file
+    (or a .npy file's shape — see _open_npy).
 
     Raises IOError with a one-line message on a short/corrupt header —
     the CLI converts these to the reference's clean stderr-and-exit
     behavior (ConjugateGradient_CPU_MPI_OMP.hpp:325-329) instead of a
     traceback."""
+    if _is_npy(path):
+        a = _open_npy(path)
+        return a.shape
     with open(path, "rb") as f:
         head = f.read(_HEADER.size)
     if len(head) != _HEADER.size:
@@ -57,6 +84,9 @@ def read_matrix(path, dtype=np.float64):
     but returns shape (rows, cols); vectors come back as (rows, 1).
     """
     rows, cols = read_header(path)
+    if _is_npy(path):
+        return np.ascontiguousarray(
+            np.asarray(_open_npy(path)).astype(dtype, copy=False))
     native = _native()
     if native is not None and dtype == np.float64:
         return native.read_rows(path, 0, rows, cols)
@@ -90,6 +120,11 @@ def read_matrix_rows(path, row_start, num_rows, dtype=np.float64):
     if row_start + num_rows > rows:
         raise ValueError(f"row block [{row_start}, {row_start + num_rows}) "
                          f"out of range for {rows}-row matrix")
+    if _is_npy(path):
+        mm = _open_npy(path)
+        return np.ascontiguousarray(
+            np.array(mm[row_start:row_start + num_rows]).astype(
+                dtype, copy=False))
     native = _native()
     if native is not None and dtype == np.float64:
         return native.read_rows(path, row_start, num_rows, cols)
@@ -121,8 +156,9 @@ def read_matrix_block(path, row_start, col_start, num_rows, num_cols,
             f"block [{row_start}:{row_start + num_rows}, "
             f"{col_start}:{col_start + num_cols}) out of range for "
             f"{rows}x{cols} matrix")
-    mm = np.memmap(path, dtype=np.float64, mode="r",
-                   offset=_HEADER.size, shape=(rows, cols))
+    mm = (_open_npy(path) if _is_npy(path) else
+          np.memmap(path, dtype=np.float64, mode="r",
+                    offset=_HEADER.size, shape=(rows, cols)))
     block = np.array(mm[row_start:row_start + num_rows,
                         col_start:col_start + num_cols])
     del mm

@@ -299,10 +299,11 @@ def tri_tile_count(nblk):
 # shipping; the pure-stream floor at this block size is 650.
 Q16_P = 8
 
-# Per-tile product engine of the blocked LOCAL q16 kernel (IMPORT-TIME
-# knob — the kernels are jitted at module scope, so flip it via the env
-# var in a fresh process, not by assignment). The sharded slab/dual q16
-# kernels keep the VPU form.
+# Per-tile product engine of the q16 kernels (IMPORT-TIME knob — the
+# kernels are jitted at module scope, so flip it via the env var in a
+# fresh process, not by assignment). The knob governs the local blocked,
+# sharded slab, AND dual (2-D) q16 kernels alike (each resolves
+# _q16_impl at trace time; hardware parity asserted in tests/test_tpu.py).
 #   "auto" (default) "mxu" at n >= Q16_MXU_MIN_N, "vpu" below. The MXU
 #                    win only exists at DMA-floor sizes; below the
 #                    threshold the kernel is overhead-dominated AND the
@@ -723,19 +724,29 @@ def _df64_kernel_body(ah_ref, al_ref, ph_ref, pl_ref, yh_ref, yl_ref,
 
 
 _DF64_COMP = _os.environ.get("LAM_TPU_DF64_COMP", "nolow")
+_DF64_COMPS = ("full", "nolow")
 # 'defer' is the round-4 slab-amortized-renormalization EXPERIMENT
 # (VERDICT r3 item 8): exact Dekker products, plain in-tile group adds,
-# one two_sum per tile. Measured on hardware by scripts/df64_defer.py;
-# not a production default unless the full-solve TRUE residual holds
-# (see results/DF64_DEFER_r04.log for the verdict).
-_DF64_COMPS = ("full", "nolow", "defer")
+# one two_sum per tile. Its hardware verdict is REJECTED — the full-solve
+# TRUE residual degrades to 3.3e-07 while the recurrence still reports
+# ~1e-9 (results/DF64_DEFER_r04.log) — so it is NOT selectable as a comp
+# mode: a user flipping LAM_TPU_DF64_COMP=defer would get converged=True
+# with a silently wrong answer. The kernel path survives for measurement
+# behind the private hook below (scripts/df64_defer.py sets it).
+_DF64_ALLOW_REJECTED = _os.environ.get(
+    "LAM_TPU_DF64_ALLOW_REJECTED_COMPS", "") == "1"
 
 
 def _resolve_comp(comp):
     comp = comp or _DF64_COMP
+    if comp == "defer" and _DF64_ALLOW_REJECTED:
+        return comp
     if comp not in _DF64_COMPS:
-        raise ValueError(f"comp={comp!r} (or LAM_TPU_DF64_COMP) must be "
-                         f"one of {_DF64_COMPS}")
+        raise ValueError(
+            f"comp={comp!r} (or LAM_TPU_DF64_COMP) must be one of "
+            f"{_DF64_COMPS} ('defer' was rejected on hardware: true "
+            "residual 3.3e-07 vs the 1e-9 target, "
+            "results/DF64_DEFER_r04.log)")
     return comp
 
 

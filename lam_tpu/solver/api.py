@@ -33,7 +33,7 @@ from lam_tpu.solver.operators import DenseOperator
 class ConjugateGradient:
     def __init__(self, backend="auto", precision="auto", engine="auto",
                  n_devices=None, mesh=None, comm="gather",
-                 pack_cache=False):
+                 pack_cache=False, check_symmetric=False):
         if backend == "auto":
             n = n_devices or len(jax.devices())
             backend = "sharded" if n > 1 else "local"
@@ -46,6 +46,13 @@ class ConjugateGradient:
         # matrix file (solver/pack_cache.py) so dfq/fq RELOADS skip the
         # CPU-bound quantization pass (~7x faster measured at N=70000)
         self.pack_cache = pack_cache
+        # check_symmetric: verify A v == A^T v on the file's memory map
+        # before building any lower-triangle operator. The file fast
+        # paths TRUST symmetry by default (CG's contract — the check
+        # costs two streamed passes over a multi-GB file); this opt-in
+        # restores the loud failure engine='auto' gives in-RAM matrices
+        # (operators._verifies_symmetric), for every backend/precision.
+        self.check_symmetric = check_symmetric
         self._mesh = mesh
         self.op = None
         self.rhs = None
@@ -178,6 +185,20 @@ class ConjugateGradient:
         if rows != cols:
             raise ValueError(f"{filename}: matrix must be square")
         self.n = rows
+        if self.check_symmetric:
+            # one up-front check covers every path below (the
+            # constructors then skip their own, avoiding double passes)
+            from lam_tpu.solver.operators import (_open_matrix_memmap,
+                                                  _verifies_symmetric)
+            a_map, _ = _open_matrix_memmap(filename)
+            if not _verifies_symmetric(a_map):
+                raise ValueError(
+                    f"{filename}: matrix is not symmetric (A v != A^T v "
+                    "on a random vector) — the lower-triangle engines "
+                    "would silently solve with its mirrored lower half; "
+                    "use --engine pallas/xla with a full-square "
+                    "precision (f64/f32/df64) for non-symmetric input")
+            del a_map
         if (self.backend == "local" and self._base_precision() == "dfq"
                 and self.engine in ("auto", "pallas_symm_packed")):
             # fused file->quantized-triangle pack (native when built):

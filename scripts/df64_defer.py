@@ -89,6 +89,10 @@ def main():
     for comp in ("nolow", "defer"):
         env = os.environ.copy()
         env["LAM_TPU_DF64_COMP"] = comp
+        # 'defer' is hardware-REJECTED and gated out of the public comp
+        # modes (ops/gemv.py _resolve_comp); this measurement script is
+        # the one consumer of the private re-enable hook
+        env["LAM_TPU_DF64_ALLOW_REJECTED_COMPS"] = "1"
         print(f"running comp={comp} ...", flush=True)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--comp", comp],

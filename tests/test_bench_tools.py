@@ -69,3 +69,72 @@ def test_clean_skips_non_csv_file_instead_of_emptying(tmp_path, capsys):
     assert study.read_text() == content  # untouched
     assert "skipped" in capsys.readouterr().err
     assert "1000,1" in best.read_text()  # the real CSV still processed
+
+
+def test_clean_drops_projection_rows(tmp_path, capsys):
+    """Rows annotated with an inline '#' comment (e.g. '# projected'
+    study rows) are NOT measurements and must never survive into a
+    best-pick corpus — the reference's awk (clean.sh:14-44) only ever
+    saw measured rows. VERDICT r4 weak item 3."""
+    data = tmp_path / "WEAK.txt"
+    data.write_text(
+        "# legend line\n"
+        "20480,1,1,564,0.0076,0.0076,385,9.9e-10,2.96\n"
+        "28963,2,1,0,0.00077,0.00077,384,1e-09,0.2959 # projected\n"
+        "40960,4,1,0,0.00077,0.00077,384,1e-09,0.2971 # projected\n")
+    best = tmp_path / "BEST"
+    rc = clean.main([str(data), "-o", str(best)])
+    assert rc == 0
+    assert "dropped 2 annotated row" in capsys.readouterr().err
+    cleaned = data.read_text()
+    assert "projected" not in cleaned
+    assert "20480" in cleaned
+    txt = best.read_text()
+    assert "projected" not in txt
+    assert "28963" not in txt and "40960" not in txt
+    assert "20480,1" in txt
+
+
+def test_clean_weak_scalability_corpus_roundtrip(tmp_path):
+    """The shipped WEAK_SCALABILITY_TPU.txt round-trips through clean
+    with ONLY measured rows surviving (its devices>1 rows are marked
+    '# projected')."""
+    import os
+    import shutil
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results",
+        "WEAK_SCALABILITY_TPU.txt")
+    work = tmp_path / "WEAK_SCALABILITY_TPU.txt"
+    shutil.copy(src, work)
+    best = tmp_path / "BEST"
+    rc = clean.main([str(work), "-o", str(best)])
+    assert rc == 0
+    survivors = [ln for ln in work.read_text().splitlines() if ln]
+    assert survivors, "measured rows must survive"
+    for ln in survivors:
+        assert "#" not in ln
+        assert ln.split(",")[1] == "1"  # only 1-chip rows are measured
+
+
+def test_runner_spd_pack_cache_reuses_system(tmp_path, monkeypatch):
+    """--pack-cache: first run generates + publishes the .npy system,
+    second run loads it through the file path (and the packed-plane
+    cache machinery). VERDICT r4 weak item 4."""
+    monkeypatch.setenv("LAM_BENCH_CACHE_DIR", str(tmp_path))
+    out = tmp_path / "spd.csv"
+    rc = runner.main(["--sizes", "96", "--mode", "spd", "--pack-cache",
+                      "-o", str(out), "-i", "1000"])
+    assert rc == 0
+    cached = tmp_path / "lam_bench_spd_N96_s2024.npy"
+    assert cached.exists()
+    a = np.load(cached)
+    rc = runner.main(["--sizes", "96", "--mode", "spd", "--pack-cache",
+                      "-o", str(out), "-i", "1000"])
+    assert rc == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) == 2
+    for row in rows:
+        f = row.split(",")
+        assert int(f[0]) == 96
+        assert float(f[7]) < 1e-9  # converged on the cached system
+    np.testing.assert_array_equal(np.load(cached), a)  # cache untouched

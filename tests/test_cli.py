@@ -422,3 +422,26 @@ def test_cli_pack_cache_covers_plane_precisions(tmp_path, capsys):
         assert row1[7] == row2[7]
         x = lio.read_vector(str(tmp_path / "s.bin"))
         assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < true_tol
+
+
+def test_cli_check_symmetric_rejects_asymmetric(tmp_path, capsys):
+    """--check-symmetric restores the loud failure for non-symmetric
+    input that the file fast paths (which TRUST symmetry, CG's
+    contract) deliberately skip (ADVICE r4)."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((32, 32))  # decidedly not symmetric
+    b = rng.standard_normal(32)
+    lio.write_matrix(tmp_path / "m.bin", a)
+    lio.write_matrix(tmp_path / "r.bin", b)
+    rc = cli.main(["-A", str(tmp_path / "m.bin"),
+                   "-b", str(tmp_path / "r.bin"),
+                   "-o", str(tmp_path / "s.bin"), "--check-symmetric"])
+    assert rc == 1
+    assert "not symmetric" in capsys.readouterr().err
+    # a symmetric system passes the check and solves
+    s = gen.random_spd_matrix(32, seed=3)
+    lio.write_matrix(tmp_path / "m.bin", s)
+    rc = cli.main(["-A", str(tmp_path / "m.bin"),
+                   "-b", str(tmp_path / "r.bin"),
+                   "-o", str(tmp_path / "s.bin"), "--check-symmetric"])
+    assert rc == 0

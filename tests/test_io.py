@@ -75,3 +75,31 @@ def test_column_windowed_block_read(tmp_path):
         lio.read_matrix_block(path, 3, 6, 5, 6)  # cols out of range
     with pytest.raises(ValueError):
         lio.read_matrix_block(path, 9, 0, 5, 6)  # rows out of range
+
+
+def test_npy_paths_read_like_reference_format(tmp_path):
+    """.npy files are accepted everywhere the reference binary format
+    is (round 5): the benchmark system caches are .npy and route
+    through the SAME readers, so lam-cg/lam-bench can consume them
+    (including the pack caches published beside the file)."""
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((12, 12))
+    path = tmp_path / "m.npy"
+    np.save(path, a)
+    assert tuple(lio.read_header(path)) == (12, 12)
+    np.testing.assert_array_equal(lio.read_matrix(path), a)
+    np.testing.assert_array_equal(lio.read_matrix_rows(path, 5, 4),
+                                  a[5:9])
+    np.testing.assert_array_equal(
+        lio.read_matrix_block(path, 3, 4, 5, 6), a[3:8, 4:10])
+    # 1-D .npy vectors view as (n, 1) columns like the binary format
+    v = rng.standard_normal(9)
+    vpath = tmp_path / "v.npy"
+    np.save(vpath, v)
+    assert tuple(lio.read_header(vpath)) == (9, 1)
+    np.testing.assert_array_equal(lio.read_vector(vpath), v)
+    # non-f64 .npy fails loudly, not with a garbage matrix
+    badpath = tmp_path / "bad.npy"
+    np.save(badpath, a.astype(np.float32))
+    with pytest.raises(ValueError, match="float64"):
+        lio.read_matrix(badpath)

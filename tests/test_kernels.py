@@ -166,6 +166,11 @@ def test_gemv_df64_comp_variants():
         assert cerr < 1e-6, (comp, cerr)
     with pytest.raises(ValueError, match="comp"):
         gemv_df64(hi, lo, ph, pl_, comp="bogus")
+    # 'defer' was REJECTED on hardware (true residual 3.3e-07,
+    # results/DF64_DEFER_r04.log): selecting it must fail loudly unless
+    # the private measurement hook is set (scripts/df64_defer.py)
+    with pytest.raises(ValueError, match="defer"):
+        gemv_df64(hi, lo, ph, pl_, comp="defer")
 
 
 def test_gemv_df64_symm_is_f64_quality():
