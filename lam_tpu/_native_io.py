@@ -66,13 +66,19 @@ def _load():
                                i16p, i16p, i16p, f32p, f32p, f32p,
                                f32p, f32p]
     lib.ln_pack_fq.restype = ctypes.c_int
-    # newer symbol — a stale .so built before it may still be loaded
+    # newer symbols — a stale .so built before them may still be loaded
     # (the auto-build only fires when the .so is MISSING); register
-    # defensively and let has_pack() report the capability
+    # defensively and let has_pack()/has_range_pack() report capability
     if hasattr(lib, "ln_pack_planes"):
         lib.ln_pack_planes.argtypes = [ctypes.c_char_p, u64, u64, u64,
                                        u64, f32p, f32p]
         lib.ln_pack_planes.restype = ctypes.c_int
+    if hasattr(lib, "ln_pack_fq_range"):
+        lib.ln_pack_fq_range.argtypes = [ctypes.c_char_p, u64, u64, u64,
+                                         u64, u64, u64, i16p, i16p,
+                                         i16p, f32p, f32p, f32p, f32p,
+                                         f32p]
+        lib.ln_pack_fq_range.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -157,6 +163,54 @@ def pack_dfq(path, data_off, n, n_pad, tb):
     if rc != 0:
         raise IOError(f"native dfq pack of {path} failed (rc={rc})")
     return hi, loq, sc, dh, dl
+
+
+def has_range_pack(storage):
+    """True when the library provides the chunked (tile-row range)
+    pack for this storage — the cold-path pipeline driver's gate
+    (solver/operators.py round 5)."""
+    lib = _load()
+    return (lib is not None and storage == "fq"
+            and hasattr(lib, "ln_pack_fq_range"))
+
+
+def alloc_fq_buffers(n_pad, tb):
+    """Host-side fq plane/scale/diag buffers in operand order, pad
+    tiles zeroed — the shared allocation of pack_fq and the streamed
+    range-pack driver."""
+    from lam_tpu.ops.gemv import padded_tri_tile_count
+    nblk = n_pad // tb
+    T = nblk * (nblk + 1) // 2
+    Ts = padded_tri_tile_count(nblk)
+    q1 = np.empty((Ts * tb, tb), dtype=np.int16)
+    q2 = np.empty((Ts * tb, tb), dtype=np.int16)
+    q3 = np.empty((Ts * tb, tb), dtype=np.int16)
+    s1 = np.zeros((Ts,), dtype=np.float32)
+    s2 = np.zeros((Ts,), dtype=np.float32)
+    s3 = np.zeros((Ts,), dtype=np.float32)
+    for q in (q1, q2, q3):
+        q[T * tb:] = 0
+    dh = np.zeros((n_pad,), dtype=np.float32)
+    dl = np.zeros((n_pad,), dtype=np.float32)
+    return q1, q2, q3, s1, s2, s3, dh, dl
+
+
+def pack_fq_range(path, data_off, n, n_pad, tb, row0, row1, bufs):
+    """Fill tile-rows [row0, row1) of the fq layout into `bufs` (the
+    alloc_fq_buffers tuple). The ctypes call releases the GIL, so a
+    worker thread can pack while the main thread uploads finished
+    windows (ops/transfer.py Folder)."""
+    lib = _load()
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    q1, q2, q3, s1, s2, s3, dh, dl = bufs
+    rc = lib.ln_pack_fq_range(
+        str(path).encode(), data_off, n, n_pad, tb, row0, row1,
+        q1.ctypes.data_as(i16), q2.ctypes.data_as(i16),
+        q3.ctypes.data_as(i16), _f32p(s1), _f32p(s2), _f32p(s3),
+        _f32p(dh), _f32p(dl))
+    if rc != 0:
+        raise IOError(f"native fq range pack of {path} failed "
+                      f"(rc={rc}, rows [{row0}, {row1}))")
 
 
 def has_pack(storage):

@@ -260,6 +260,9 @@ def _make_local_ir(apply32, apply_acc, axis, max_cycles,
         bb = pdot(b, b)
         eps = jnp.asarray(rel_error, dtype)
         x0 = jnp.zeros_like(b)
+        # scalar-or-schedule contract of _cg_ir_loop (solver/cg.py):
+        # cycle c uses floors[min(c, len-1)]
+        floors = jnp.atleast_1d(jnp.asarray(inner_floor, dtype))
 
         def rel_of(r):
             return jnp.sqrt(pdot(r, r) / bb)
@@ -274,7 +277,8 @@ def _make_local_ir(apply32, apply_acc, axis, max_cycles,
             x, r, k, cyc = carry
             rnorm = jnp.sqrt(pdot(r, r))
             rel = rnorm / jnp.sqrt(bb)
-            inner_tol = jnp.clip(eps / rel, inner_floor, 0.99)
+            floor = floors[jnp.minimum(cyc, floors.shape[0] - 1)]
+            inner_tol = jnp.clip(eps / rel, floor, 0.99)
             r32 = (r / rnorm).astype(jnp.float32)
             if precond:
                 inner = inner_pcg(operand, r32, inv_diag, max_iters - k,

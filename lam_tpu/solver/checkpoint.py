@@ -349,11 +349,16 @@ def cg_solve_ir_resumable(op32, op_acc, b, *, max_iters=10000,
         if rel_now < rel_error or k >= max_iters or cycle >= max_cycles:
             break
         t0 = time.perf_counter()
+        # scalar-or-schedule contract of _cg_ir_loop: cycle c uses
+        # floors[min(c, len-1)] — indexed HERE (the Python driver owns
+        # the cycle counter), so a resumed solve picks up the same
+        # schedule position the fused loop would be at
+        floors = np.atleast_1d(np.asarray(inner_floor, np.float64))
+        floor = float(floors[min(cycle, len(floors) - 1)])
         x, r, inner_iters = _ir_cycle(mv32, mv_acc, op_acc.operand, b_p,
                                       x, r, jnp.int32(max_iters - k),
                                       rel_error,
-                                      jnp.asarray(inner_floor,
-                                                  b_p.dtype),
+                                      jnp.asarray(floor, b_p.dtype),
                                       inv_diag32=inv32)
         k += int(inner_iters)  # device sync bounds the cycle timing too
         cycle += 1

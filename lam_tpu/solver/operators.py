@@ -813,11 +813,13 @@ class DenseOperator(LinearOperator):
         the engine='pallas_symm_packed' layouts of from_dense, built
         from _host_pack_planes / _native_io.pack_{f32,df64} /
         pack_cache.load buffers."""
+        from lam_tpu.ops import transfer
         if precision == "f32":
-            operand = jnp.asarray(bufs[0])
+            operand = transfer.to_device(bufs[0])
             vdtype = jnp.float32
         elif precision == "df64":
-            operand = (jnp.asarray(bufs[0]), jnp.asarray(bufs[1]))
+            operand = (transfer.to_device(bufs[0]),
+                       transfer.to_device(bufs[1]))
             vdtype = jnp.float64
         else:
             raise ValueError(f"not a plane precision: {precision!r}")
@@ -831,8 +833,11 @@ class DenseOperator(LinearOperator):
     def _packed_operator(storage, bufs, n, n_padded):
         """DenseOperator over packed quantized-triangle buffers (the
         order of `_host_pack_tri` / `_native_io.pack_*` /
-        `pack_cache.load`)."""
-        operand = tuple(jnp.asarray(b) for b in bufs)
+        `pack_cache.load`). Host buffers upload CHUNKED (a monolithic
+        device_put of a multi-GB plane is 3-10x slower through the
+        tunnel, ops/transfer.py); device buffers pass through."""
+        from lam_tpu.ops import transfer
+        operand = tuple(transfer.to_device(b) for b in bufs)
         fn = _MATVEC_DOT[(storage, "pallas_symm_packed")]
         out = DenseOperator(fn, operand, n, n_padded, jnp.float64,
                             storage, "pallas_symm_packed")
@@ -869,6 +874,82 @@ class DenseOperator(LinearOperator):
         n_p = padded_size(n, tb)
         bufs = DenseOperator._host_pack_tri(a, "dfq", tb)
         return DenseOperator._packed_operator("dfq", bufs, n, n_p)
+
+    @staticmethod
+    def _pack_fq_streamed(path, data_off, n, n_p, tb):
+        """Cold-path load-wall pipeline (round 5): a worker thread runs
+        the native fq range-pack (native/lam_native.cpp
+        ln_pack_fq_range; the ctypes call drops the GIL) while the main
+        thread folds every finished 64 MB plane window to the device
+        (ops/transfer.py Folder) — disk read, quantization, and the
+        ~45 MB/s tunnel upload all overlap instead of running
+        back-to-back. Returns (host buffers for pack_cache.save,
+        device buffers in operand order)."""
+        import threading
+
+        import jax.numpy as jnp
+
+        from lam_tpu import _native_io
+        from lam_tpu.ops import transfer
+
+        nblk = n_p // tb
+        bufs = _native_io.alloc_fq_buffers(n_p, tb)
+        q_planes = bufs[:3]
+        # tile-balanced pack chunks: fine enough that uploads start
+        # early, coarse enough that per-call overhead vanishes
+        chunk_tiles = 512
+        bounds = [0]
+        acc = 0
+        for i in range(nblk):
+            acc += i + 1
+            if acc >= chunk_tiles:
+                bounds.append(i + 1)
+                acc = 0
+        if bounds[-1] != nblk:
+            bounds.append(nblk)
+
+        progress = {"rows": 0, "err": None}
+        cv = threading.Condition()
+
+        def worker():
+            try:
+                for a, b in zip(bounds, bounds[1:]):
+                    _native_io.pack_fq_range(path, data_off, n, n_p,
+                                             tb, a, b, bufs)
+                    with cv:
+                        progress["rows"] = b
+                        cv.notify()
+            except BaseException as e:  # re-raised by the main loop
+                with cv:
+                    progress["err"] = e
+                    cv.notify()
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        folders = [transfer.Folder(q.shape, q.dtype) for q in q_planes]
+        done = 0
+        try:
+            while True:
+                with cv:
+                    while progress["rows"] == done \
+                            and progress["err"] is None:
+                        cv.wait(timeout=1.0)
+                    if progress["err"] is not None:
+                        raise progress["err"]
+                    done = progress["rows"]
+                if done == nblk:
+                    avail = q_planes[0].shape[0]  # pads pre-zeroed
+                else:
+                    avail = (done * (done + 1) // 2) * tb
+                for f, q in zip(folders, q_planes):
+                    f.advance(q, avail)
+                if done == nblk:
+                    break
+        finally:
+            t.join(timeout=600)
+        dev = (tuple(f.result() for f in folders)
+               + tuple(jnp.asarray(b) for b in bufs[3:]))
+        return bufs, dev
 
     @staticmethod
     def _from_file_packed(path, storage, check_symmetric, pack_cache):
@@ -911,10 +992,23 @@ class DenseOperator(LinearOperator):
         mk = (DenseOperator._packed_operator if quantized
               else DenseOperator._plane_operator)
         if pack_cache:
-            hit = pc.load(path, storage)
+            # load_device streams each plane to the device DURING the
+            # disk read (chunked upload + reader thread — the warm-path
+            # load-wall fix, ops/transfer.py); mk()'s jnp.asarray is a
+            # no-op on the returned device buffers
+            hit = pc.load_device(path, storage)
             if hit is not None and hit[0] == n and hit[1] == n_p \
                     and hit[2] == tb:
                 return mk(storage, hit[3], n, n_p)
+        if (_native_io.available()
+                and _native_io.has_range_pack(storage)):
+            # cold-path pipeline: range-pack || chunked upload
+            host_bufs, dev_bufs = DenseOperator._pack_fq_streamed(
+                path, data_off, n, n_p, tb)
+            if pack_cache:
+                pc.save(path, storage, n, n_p, tb, host_bufs,
+                        src_stat=src_stat)
+            return mk(storage, dev_bufs, n, n_p)
         if _native_io.available() and _native_io.has_pack(storage):
             pack = getattr(_native_io, f"pack_{storage}")
             bufs = pack(path, data_off, n, n_p, tb)

@@ -137,6 +137,36 @@ def save(src_path, precision, n, n_padded, tb, bufs, src_stat=None):
         return False
 
 
+def _validate(fh, src_path, precision):
+    """Header + payload-size validation shared by load/load_device.
+
+    Returns (n, n_padded, tb, specs) with the stream positioned at the
+    first buffer byte, or None on any mismatch."""
+    src_st = os.stat(src_path)
+    if fh.read(len(MAGIC)) != MAGIC:
+        return None
+    header = np.fromfile(fh, dtype="<u8", count=_HEADER_WORDS)
+    if header.size != _HEADER_WORDS:
+        return None
+    code, n, n_padded, tb, src_size, src_mtime = (
+        int(v) for v in header)
+    if (code != _PREC_CODE[precision] or tb == 0
+            or n_padded % tb != 0 or n > n_padded
+            or src_size != src_st.st_size
+            or src_mtime != src_st.st_mtime_ns):
+        return None
+    specs = _buffer_specs(precision, n_padded, tb)
+    # size check BEFORE any fromfile: a corrupt-but-magic-valid
+    # header could otherwise demand an absurd upfront
+    # allocation (np.fromfile allocates `count` elements first)
+    expect = sum(int(np.prod(s)) * np.dtype(d).itemsize
+                 for d, s in specs)
+    payload = os.fstat(fh.fileno()).st_size - fh.tell()
+    if payload != expect:
+        return None  # truncated, padded, or corrupt-header cache
+    return n, n_padded, tb, specs
+
+
 def load(src_path, precision):
     """Packed buffers from the cache beside `src_path`, or None.
 
@@ -145,29 +175,11 @@ def load(src_path, precision):
     caller falls through to a fresh pack."""
     path = cache_path(src_path, precision)
     try:
-        src_st = os.stat(src_path)
         with open(path, "rb") as fh:
-            if fh.read(len(MAGIC)) != MAGIC:
+            v = _validate(fh, src_path, precision)
+            if v is None:
                 return None
-            header = np.fromfile(fh, dtype="<u8", count=_HEADER_WORDS)
-            if header.size != _HEADER_WORDS:
-                return None
-            code, n, n_padded, tb, src_size, src_mtime = (
-                int(v) for v in header)
-            if (code != _PREC_CODE[precision] or tb == 0
-                    or n_padded % tb != 0 or n > n_padded
-                    or src_size != src_st.st_size
-                    or src_mtime != src_st.st_mtime_ns):
-                return None
-            specs = _buffer_specs(precision, n_padded, tb)
-            # size check BEFORE any fromfile: a corrupt-but-magic-valid
-            # header could otherwise demand an absurd upfront
-            # allocation (np.fromfile allocates `count` elements first)
-            expect = sum(int(np.prod(s)) * np.dtype(d).itemsize
-                         for d, s in specs)
-            payload = os.fstat(fh.fileno()).st_size - fh.tell()
-            if payload != expect:
-                return None  # truncated, padded, or corrupt-header cache
+            n, n_padded, tb, specs = v
             bufs = []
             for dtype, shape in specs:
                 count = int(np.prod(shape))
@@ -175,6 +187,34 @@ def load(src_path, precision):
                 if buf.size != count:
                     return None
                 bufs.append(buf.reshape(shape))
+        return n, n_padded, tb, tuple(bufs)
+    except (OSError, ValueError):
+        return None
+
+
+def load_device(src_path, precision):
+    """`load`, but each big plane streams to the DEFAULT DEVICE while
+    the next disk chunk reads (ops/transfer.py stream_file_to_device)
+    — the warm-path load-wall fix (round 5): disk and tunnel run
+    concurrently AND the upload itself is chunked (a monolithic
+    device_put of a multi-GB buffer measured 3-10x slower through the
+    tunnel). Returns (n, n_padded, tb, device buffers) or None with
+    the same no-usable-cache semantics as `load`."""
+    from lam_tpu.ops import transfer
+    path = cache_path(src_path, precision)
+    try:
+        with open(path, "rb") as fh:
+            v = _validate(fh, src_path, precision)
+            if v is None:
+                return None
+            n, n_padded, tb, specs = v
+            pos = fh.tell()
+        bufs = []
+        for dtype, shape in specs:
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            bufs.append(transfer.stream_file_to_device(
+                path, pos, dtype, shape))
+            pos += nbytes
         return n, n_padded, tb, tuple(bufs)
     except (OSError, ValueError):
         return None

@@ -299,21 +299,29 @@ static float ln_q_scale_d(double m) {
 // total) + the diagonal extracted to an (dh, dl) float-float pair.
 // Same framing as ln_pack_dfq above: one fused pass, only the
 // lower-triangle bytes read.
-int ln_pack_fq(const char* path, uint64_t data_off, uint64_t n,
-               uint64_t n_pad, uint64_t tb, int16_t* q1, int16_t* q2,
-               int16_t* q3, float* s1, float* s2, float* s3,
-               float* dh, float* dl) {
+//
+// ln_pack_fq_range packs tile-rows [i0, i1) only, into the FULL-plane
+// output pointers; diagonal entries outside the range are untouched.
+// Python drives it chunk-by-chunk (the GIL drops across the ctypes
+// call) so quantization of chunk i+1 overlaps the device upload of
+// chunk i — the cold-path load-wall pipeline (solver/operators.py
+// round 5). ln_pack_fq == range(0, nblk) + the dh/dl memset.
+int ln_pack_fq_range(const char* path, uint64_t data_off, uint64_t n,
+                     uint64_t n_pad, uint64_t tb, uint64_t row0,
+                     uint64_t row1, int16_t* q1, int16_t* q2,
+                     int16_t* q3, float* s1, float* s2, float* s3,
+                     float* dh, float* dl) {
+    (void)n_pad;  // kept for API symmetry with ln_pack_fq
     int fd = ::open(path, O_RDONLY);
     if (fd < 0) return 1;
-    uint64_t nblk = n_pad / tb;
-    std::memset(dh, 0, n_pad * sizeof(float));
-    std::memset(dl, 0, n_pad * sizeof(float));
     std::atomic<bool> ok{true};
-    parallel_chunks(nblk, n_pad * n_pad / 2 * sizeof(double),
-                    [&](uint64_t i0, uint64_t i1) {
+    parallel_chunks(row1 - row0,
+                    (row1 * row1 - row0 * row0) / 2 * tb * tb
+                        * sizeof(double),
+                    [&](uint64_t c0, uint64_t c1) {
         std::vector<double> buf;
         std::vector<double> rbuf(tb * tb);
-        for (uint64_t i = i0; i < i1 && ok; ++i) {
+        for (uint64_t i = row0 + c0; i < row0 + c1 && ok; ++i) {
             uint64_t w = (i + 1) * tb;
             uint64_t cw = w < n ? w : n;
             uint64_t r0 = i * tb;
@@ -378,6 +386,16 @@ int ln_pack_fq(const char* path, uint64_t data_off, uint64_t n,
     });
     ::close(fd);
     return ok ? 0 : 2;
+}
+
+int ln_pack_fq(const char* path, uint64_t data_off, uint64_t n,
+               uint64_t n_pad, uint64_t tb, int16_t* q1, int16_t* q2,
+               int16_t* q3, float* s1, float* s2, float* s3,
+               float* dh, float* dl) {
+    std::memset(dh, 0, n_pad * sizeof(float));
+    std::memset(dl, 0, n_pad * sizeof(float));
+    return ln_pack_fq_range(path, data_off, n, n_pad, tb, 0, n_pad / tb,
+                            q1, q2, q3, s1, s2, s3, dh, dl);
 }
 
 // Stream a symmetric f64 matrix file into the UNQUANTIZED packed
