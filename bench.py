@@ -132,6 +132,7 @@ def _measure_big(n):
 
     from lam_tpu import DenseOperator, _native_io, cg_solve_ir
     from lam_tpu import generate as gen
+    from lam_tpu.solver.cg import default_inner_floor
 
     cache_path = next((p for p in _cache_paths(n) if os.path.exists(p)),
                       None)
@@ -155,13 +156,14 @@ def _measure_big(n):
     load_s = time.perf_counter() - t0
     _progress(f"N={n}: resident in {load_s:.0f} s; compiling + solving")
 
+    floor = default_inner_floor("irfq")  # measured (3e-2, 1e-2) schedule
     _ = cg_solve_ir(opq32, opq, b, max_iters=30, rel_error=1e-2,
-                    inner_floor=1e-2)  # compile
+                    inner_floor=floor)  # compile
     best = None
     for _rep in range(3):
         t0 = time.perf_counter()
         res = cg_solve_ir(opq32, opq, b, max_iters=10000, rel_error=TOL,
-                          inner_floor=1e-2)
+                          inner_floor=floor)
         float(res.rel_residual)  # scalar readback forces execution
         dt = time.perf_counter() - t0
         if best is None or dt < best[0]:
@@ -249,14 +251,16 @@ def _measure(n):
         # the .npy (3.2x smaller than the source); every later bench
         # run (incl. the driver's) reloads them at raw disk speed,
         # skipping the single-core quantization pass
+        from lam_tpu.solver.cg import default_inner_floor
+        floor = default_inner_floor("irfq")
         opq = DenseOperator.from_file_fq(cache_path, pack_cache=True)
         opq32 = opq.as_f32()
         jax.block_until_ready(opq.operand)
         _ = cg_solve_ir(opq32, opq, b, max_iters=30, rel_error=1e-2,
-                        inner_floor=1e-2)  # compile
+                        inner_floor=floor)  # compile
         fq_s, res = timed(lambda: cg_solve_ir(
             opq32, opq, b, max_iters=10000, rel_error=TOL,
-            inner_floor=1e-2))
+            inner_floor=floor))
         out["irfq"] = {"s": round(fq_s, 4), "iters": int(res.num_iters),
                        "true_rel": true_residual(res.x),
                        "converged": bool(res.converged)}

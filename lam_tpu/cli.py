@@ -315,6 +315,7 @@ def _cli_main(argv=None):
             import time as _time
 
             from lam_tpu.solver import checkpoint as ckpt
+            from lam_tpu.solver.cg import default_inner_floor
             t0 = _time.perf_counter()
             if cg.precision in ("ir", "irq", "irfq"):
                 # round 3: ir checkpoints at refinement-CYCLE
@@ -323,7 +324,7 @@ def _cli_main(argv=None):
                 result, _ = ckpt.cg_solve_ir_resumable(
                     cg.op.as_f32(), cg.op, cg.rhs,
                     max_iters=args.max_iters, rel_error=args.rel_error,
-                    inner_floor=1e-2 if cg.precision == "irfq" else 1e-5,
+                    inner_floor=default_inner_floor(cg.precision),
                     checkpoint_path=args.checkpoint, resume=args.resume,
                     preconditioner=args.preconditioner)
             else:

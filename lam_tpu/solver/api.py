@@ -26,7 +26,7 @@ import numpy as np
 
 from lam_tpu import generate as gen
 from lam_tpu import io as lio
-from lam_tpu.solver.cg import cg_solve, cg_solve_ir
+from lam_tpu.solver.cg import cg_solve, cg_solve_ir, default_inner_floor
 from lam_tpu.solver.operators import DenseOperator
 
 
@@ -466,12 +466,10 @@ class ConjugateGradient:
 
     def _solve_once(self, max_iters, rel_error, preconditioner=None):
         if self.precision in ("ir", "irq", "irfq"):
-            # irfq's inner operator carries ~2^-16 tile-relative error;
-            # requesting tighter inner tolerances than ~1e-2 burns
-            # iterations below that operator's floor (measured sweep in
-            # scripts/fq_feasibility.py: floor 1e-2 -> 381 total inner
-            # iters vs 595 at 1e-5 on the N=4096 reference spectrum)
-            floor = 1e-2 if self.precision == "irfq" else 1e-5
+            # irfq's inner operator carries ~2^-16 tile-relative error:
+            # its floor is a loose-early/tight-late SCHEDULE, ir/irq get
+            # the flat f32-stagnation floor (cg.default_inner_floor doc)
+            floor = default_inner_floor(self.precision)
             return cg_solve_ir(self.op.as_f32(), self.op, self.rhs,
                                max_iters=max_iters, rel_error=rel_error,
                                inner_floor=floor,

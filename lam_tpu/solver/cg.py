@@ -44,6 +44,27 @@ class CGResult(NamedTuple):
     converged: jax.Array      # bool
 
 
+# Production inner-tolerance floors for the refinement loop, one per
+# inner-operator class (measured on the reference spectrum, N=4096;
+# results/ITER_RECOVERY_r05.log / FQ_FEASIBILITY_r03.log):
+#  * exact-f32 inner (ir/irq): flat 1e-5 — the recurrence stagnates
+#    near kappa*eps_f32 (~7e-5) anyway, tighter just burns iterations.
+#  * quantized inner (irfq): loose-early/tight-late SCHEDULE
+#    (cycle c uses entry min(c, len-1)). (3e-2, 1e-2) recovers 8 of
+#    the +21 inner iterations a flat 1e-2 pays vs ir, with one fewer
+#    refinement cycle and the same 1e-9 true residual; floors tighter
+#    than 1e-2 are below the 2^-16 inner operator's error floor and
+#    COST iterations.
+IR_INNER_FLOOR = 1e-5
+IRFQ_INNER_FLOOR = (3e-2, 1e-2)
+
+
+def default_inner_floor(precision):
+    """The measured-best inner_floor (scalar or per-cycle schedule)
+    for a refinement precision mode ("ir", "irq", "irfq")."""
+    return IRFQ_INNER_FLOOR if precision == "irfq" else IR_INNER_FLOOR
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _cg_loop(matvec_dot, operand, b, max_iters, rel_error):
     """Jitted CG on (possibly padded) vectors.

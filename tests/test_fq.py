@@ -202,6 +202,26 @@ def test_irfq_solve_end_to_end():
     assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-5
 
 
+def test_irfq_default_floor_schedule():
+    """The production default floor for irfq is the measured
+    loose-early/tight-late SCHEDULE (results/ITER_RECOVERY_r05.log);
+    a schedule-valued inner_floor must solve to the same residual as
+    the flat floor (cycle c uses floors[min(c, len-1)])."""
+    from lam_tpu import cg_solve_ir
+    from lam_tpu.solver.cg import default_inner_floor
+    sched = default_inner_floor("irfq")
+    assert tuple(np.atleast_1d(sched)) == (3e-2, 1e-2)
+    assert default_inner_floor("ir") == 1e-5
+    n = 600
+    a, b = _spd(n, 7)
+    op = DenseOperator.from_dense(a, precision="fq")
+    res = cg_solve_ir(op.as_f32(), op, b, max_iters=5000,
+                      rel_error=1e-6, inner_floor=sched)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-5
+
+
 def test_block_cg_on_fq():
     from lam_tpu.solver.cg import cg_solve_block
     n = 384
