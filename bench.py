@@ -7,7 +7,8 @@ and adds the north-star leg: the N=70000 irfq solve on ONE v5e
 (39 GB fp64 in the reference's storage — needed 8x A100-40GB there,
 1.672 s, TESTS/BEST_RESULTS:378). The N=70000 leg is gated on a cached
 system + the native pack + a real TPU so the driver's bench window is
-the warm pack-cache load (~450 s), not a 75-minute generation; progress
+the warm pack-cache load (92-380 s, page-cache dependent; round-5
+streamed pipeline), not a 75-minute generation; progress
 goes to stderr, the one JSON line to stdout.
 
 Every size is scored against EVERY applicable reference anchor
@@ -147,8 +148,8 @@ def _measure_big(n):
 
     b = gen.random_rhs(n, seed=SEED + 10)
     bnorm = np.linalg.norm(b)
-    _progress(f"N={n}: loading fq planes (warm pack cache ~450 s, "
-              f"cold pack ~610 s)")
+    _progress(f"N={n}: loading fq planes (warm pack cache 92-380 s "
+              f"depending on page cache, cold pack ~610 s)")
     t0 = time.perf_counter()
     opq = DenseOperator.from_file_fq(cache_path, pack_cache=True)
     opq32 = opq.as_f32()
