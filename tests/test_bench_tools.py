@@ -138,3 +138,32 @@ def test_runner_spd_pack_cache_reuses_system(tmp_path, monkeypatch):
         assert int(f[0]) == 96
         assert float(f[7]) < 1e-9  # converged on the cached system
     np.testing.assert_array_equal(np.load(cached), a)  # cache untouched
+
+
+def test_gen_caches_restore_script(tmp_path, monkeypatch):
+    """scripts/gen_bench_caches.py with LAM_GEN_PREPACK is the one-command
+    session restore: it publishes the .npy system AND its fq pack cache,
+    and a second run touches neither (round-5 lesson: io/ can be wiped
+    between sessions of the same round)."""
+    import importlib
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(os.path.join(here, "scripts"))
+    gb = importlib.import_module("gen_bench_caches")
+    pb = importlib.import_module("prepack_bench_caches")
+    from lam_tpu.solver import pack_cache as pc
+    monkeypatch.setattr(gb, "HERE", str(tmp_path))
+    monkeypatch.setattr(pb, "HERE", str(tmp_path))
+    monkeypatch.setattr(gb, "SIZES", (64,))
+    monkeypatch.setattr(gb, "PREPACK", True)
+    assert gb.main() == 0
+    npy = tmp_path / "io" / "bench" / "lam_bench_spd_N64_s2024.npy"
+    assert npy.exists()
+    hit = pc.load(str(npy), "fq")
+    assert hit is not None and hit[0] == 64
+    stamp = (npy.stat().st_mtime_ns,
+             os.stat(str(pc.cache_path(str(npy), "fq"))).st_mtime_ns)
+    assert gb.main() == 0  # idempotent: both artifacts found, untouched
+    assert (npy.stat().st_mtime_ns,
+            os.stat(str(pc.cache_path(str(npy), "fq"))).st_mtime_ns) == stamp
