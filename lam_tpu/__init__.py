@@ -93,6 +93,7 @@ from lam_tpu.solver.cg import (  # noqa: E402
     cg_solve_block,
     cg_solve_ir,
 )
+from lam_tpu.solver.host_outer import cg_solve_ir_host  # noqa: E402
 from lam_tpu.solver.operators import (  # noqa: E402
     DenseOperator,
     LinearOperator,
@@ -104,6 +105,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_block",
     "cg_solve_ir",
+    "cg_solve_ir_host",
     "DenseOperator",
     "LinearOperator",
     "ConjugateGradient",

@@ -142,6 +142,19 @@ def build_parser():
                         "irfq uses per-shard files keyed on the mesh "
                         "placement (<file>.shardpack/). Non-applicable "
                         "configurations ignore the flag with a notice")
+    p.add_argument("--outer", default="device",
+                   choices=["device", "host"],
+                   help="Where --precision irfq computes its outer "
+                        "refinement residuals. 'device' (default): the "
+                        "full 6 B/element fq cascade is uploaded and "
+                        "r = b - A x runs on-device — fastest once "
+                        "resident. 'host' (file mode, backend=local): "
+                        "only the 2 B/element q1 inner plane is "
+                        "uploaded and the host streams the exact f64 "
+                        "source for each outer residual — ~3x less "
+                        "link traffic, the fastest time-to-answer from "
+                        "cold storage on transfer-bound links "
+                        "(solver/host_outer.py)")
     p.add_argument("--check-symmetric", action="store_true",
                    help="File mode: verify A v == A^T v on the matrix "
                         "file before building the operator (two "
@@ -270,7 +283,8 @@ def _cli_main(argv=None):
     cg = ConjugateGradient(backend=args.backend, precision=args.precision,
                            engine=args.engine, n_devices=args.devices,
                            comm=args.comm, pack_cache=args.pack_cache,
-                           check_symmetric=args.check_symmetric)
+                           check_symmetric=args.check_symmetric,
+                           outer=args.outer)
     # the CSV procs column counts devices actually USED
     n_devices = cg.used_devices()
 

@@ -33,10 +33,26 @@ from lam_tpu.solver.operators import DenseOperator
 class ConjugateGradient:
     def __init__(self, backend="auto", precision="auto", engine="auto",
                  n_devices=None, mesh=None, comm="gather",
-                 pack_cache=False, check_symmetric=False):
+                 pack_cache=False, check_symmetric=False,
+                 outer="device"):
         if backend == "auto":
             n = n_devices or len(jax.devices())
             backend = "sharded" if n > 1 else "local"
+        if outer not in ("device", "host"):
+            raise ValueError(f"outer must be 'device' or 'host', "
+                             f"got {outer!r}")
+        if outer == "host" and (precision != "irfq"
+                                or backend != "local"):
+            # host-exact outer residuals exist to cut the q2/q3 upload
+            # + read the f64 source the host already holds — only the
+            # local irfq file path has both (solver/host_outer.py)
+            raise ValueError(
+                "outer='host' requires precision='irfq' and "
+                "backend='local' (file mode): the host computes "
+                "r = b - A x against the f64 source file while the "
+                "device holds only the q1 inner plane")
+        self.outer = outer
+        self._host_a = None
         self.backend = backend
         self.precision = precision
         self.engine = engine
@@ -208,8 +224,17 @@ class ConjugateGradient:
                 filename, pack_cache=self.pack_cache)
         elif (self.backend == "local" and self._base_precision() == "fq"
                 and self.engine in ("auto", "pallas_symm_packed")):
-            self.op = DenseOperator.from_file_fq(
-                filename, pack_cache=self.pack_cache)
+            if self.outer == "host":
+                # q1-only upload (4.9 of 14.7 GB at N=70000); the f64
+                # source stays memmapped host-side for the exact outer
+                # residuals (solver/host_outer.py)
+                from lam_tpu.solver.operators import _open_matrix_memmap
+                self.op = DenseOperator.from_file_fq_q1(
+                    filename, pack_cache=self.pack_cache)
+                self._host_a, _ = _open_matrix_memmap(filename)
+            else:
+                self.op = DenseOperator.from_file_fq(
+                    filename, pack_cache=self.pack_cache)
         elif (self.backend == "local"
                 and self._base_precision() in ("f32", "df64")
                 and (self.engine == "pallas_symm_packed"
@@ -465,6 +490,21 @@ class ConjugateGradient:
         return n
 
     def _solve_once(self, max_iters, rel_error, preconditioner=None):
+        if self.outer == "host":
+            if self._host_a is None:
+                raise RuntimeError(
+                    "outer='host' solves against the f64 source file: "
+                    "call load_matrix_from_file first (generate mode "
+                    "has no file to stream the outer residuals from)")
+            if preconditioner is not None:
+                raise ValueError(
+                    "outer='host' does not compose with a "
+                    "preconditioner yet; drop one of the two")
+            from lam_tpu.solver.host_outer import cg_solve_ir_host
+            return cg_solve_ir_host(
+                self._host_a, self.op, self.rhs, max_iters=max_iters,
+                rel_error=rel_error,
+                inner_floor=default_inner_floor("irfq"))
         if self.precision in ("ir", "irq", "irfq"):
             # irfq's inner operator carries ~2^-16 tile-relative error:
             # its floor is a loose-early/tight-late SCHEDULE, ir/irq get
@@ -506,6 +546,14 @@ class ConjugateGradient:
         runs only once per refinement cycle), so that is what the CSV
         column times — avg_gemv_s x num_iters then tracks total_cg_s.
         The accurate matvec is reported separately as avg_gemv_acc_s."""
+        if self.outer == "host":
+            # the accurate matvec lives host-side (and the q1-only
+            # operator's device cascade correctly refuses); the hot
+            # gemv — what this CSV column exists to track — is still
+            # the inner q1 matvec
+            dt = self._time_matvec(self.op.as_f32(), repeats)
+            self.timings["avg_gemv_s"] = dt
+            return dt
         dt = self._time_matvec(self.op, repeats)
         if self.precision in ("ir", "irq", "irfq"):
             self.timings["avg_gemv_acc_s"] = dt

@@ -1074,6 +1074,74 @@ class DenseOperator(LinearOperator):
             path, "fq", check_symmetric, pack_cache)
 
     @staticmethod
+    def from_file_fq_q1(path, pack_cache=True):
+        """q1-ONLY fq operator for HOST-OUTER refinement
+        (solver/host_outer.cg_solve_ir_host): upload just the buffers
+        the irfq INNER matvec reads — the 2 B/element q1 plane, its
+        scales, and the df64 diagonal pair (4.9 of the 14.7 GB at
+        N=70000) — with q2/q3 riding as broadcast zero tiles (the
+        from_gen_fq representation). On a transfer-bound link the
+        operator is resident ~3x sooner; the outer residual is the
+        host's job against the exact f64 source.
+
+        The returned operator can ONLY serve as the inner engine
+        (`.as_f32()` — reads operand[0, 3, 6]); its accurate matvec
+        raises, because q2/q3 are zero and it would silently apply the
+        ~2^-16-coarse q1 reconstruction as if it were the cascade.
+
+        Warm path: partial read of the fq pack cache, seeking past
+        q2/q3/s2/s3 (pack_cache.load_device_fq_q1). Cold path: native
+        full pack (published back to the cache when pack_cache=True so
+        the NEXT load is the partial read), then upload of the q1
+        subset only."""
+        from lam_tpu import _native_io
+        from lam_tpu.ops import transfer
+        from lam_tpu.ops.gemv import SYMM_TB
+        from lam_tpu.solver import pack_cache as pc
+
+        path = str(path)
+        src_stat = os.stat(path)
+        if pack_cache:
+            hit = pc.load_device_fq_q1(path)
+            if hit is not None:
+                n, n_p, tb, (q1, s1, dh, dl) = hit
+                return DenseOperator._q1_only_operator(
+                    q1, s1, dh, dl, n, n_p, tb)
+        a, data_off = _open_matrix_memmap(path)
+        n = a.shape[0]
+        tb = SYMM_TB
+        n_p = padded_size(n, tb)
+        if _native_io.available() and _native_io.has_pack("fq"):
+            bufs = _native_io.pack_fq(path, data_off, n, n_p, tb)
+        else:
+            bufs = DenseOperator._host_pack_tri(a, "fq", tb)
+        if pack_cache:
+            pc.save(path, "fq", n, n_p, tb, bufs, src_stat=src_stat)
+        q1, s1, dh, dl = (transfer.to_device(bufs[i])
+                          for i in (0, 3, 6, 7))
+        return DenseOperator._q1_only_operator(q1, s1, dh, dl, n, n_p, tb)
+
+    @staticmethod
+    def _q1_only_operator(q1, s1, dh, dl, n, n_p, tb):
+        import jax.numpy as jnp
+        zero_tile = jnp.zeros((tb, tb), jnp.int16)
+        zero_sc = jnp.zeros(s1.shape, jnp.float32)
+        operand = (q1, zero_tile, zero_tile, s1, zero_sc, zero_sc,
+                   dh, dl)
+
+        def _no_accurate_matvec(operand, p):
+            raise NotImplementedError(
+                "q1-only fq operator: the accurate cascade matvec is "
+                "unavailable (q2/q3 were never loaded). Use .as_f32() "
+                "as the inner engine of solver/host_outer."
+                "cg_solve_ir_host, or load the full operator with "
+                "DenseOperator.from_file_fq")
+
+        out = DenseOperator(_no_accurate_matvec, operand, n, n_p,
+                            jnp.float64, "fq", "pallas_symm_packed")
+        return out
+
+    @staticmethod
     def from_file_f32(path, check_symmetric=False, pack_cache=False):
         """f32 packed-triangle operator straight from a matrix FILE —
         the unquantized sibling of from_file_dfq/from_file_fq, for

@@ -220,6 +220,39 @@ def load_device(src_path, precision):
         return None
 
 
+def load_device_fq_q1(src_path):
+    """Partial fq cache load for HOST-OUTER refinement
+    (solver/host_outer.py): stream to the device ONLY the buffers the
+    irfq INNER matvec reads — q1, s1, dh, dl — seeking past q2/q3 and
+    s2/s3. That is 4.9 of the 14.7 GB at N=70000: on a transfer-bound
+    link (the ~44 MB/s tunnel) residency arrives ~3x sooner, and the
+    outer residual is computed host-side against the exact f64 source
+    instead of the on-device cascade (results/HOST_OUTER_r05.log:
+    iteration count unchanged within +-1).
+
+    Returns (n, n_padded, tb, (q1_dev, s1_dev, dh_dev, dl_dev)) or
+    None with `load`'s no-usable-cache semantics."""
+    from lam_tpu.ops import transfer
+    path = cache_path(src_path, "fq")
+    try:
+        with open(path, "rb") as fh:
+            v = _validate(fh, src_path, "fq")
+            if v is None:
+                return None
+            n, n_padded, tb, specs = v
+            pos = fh.tell()
+        offs = []
+        for dtype, shape in specs:
+            offs.append(pos)
+            pos += int(np.prod(shape)) * np.dtype(dtype).itemsize
+        bufs = tuple(
+            transfer.stream_file_to_device(path, offs[i], *specs[i])
+            for i in (0, 3, 6, 7))   # q1, s1, dh, dl
+        return n, n_padded, tb, bufs
+    except (OSError, ValueError):
+        return None
+
+
 # -- per-shard cache (sharded / 2-D backends) --------------------------------
 #
 # The sharded quantized builds pack per CHIP (pcg_symm chip_pack(c),
