@@ -148,6 +148,50 @@ def _measure_big(n):
 
     b = gen.random_rhs(n, seed=SEED + 10)
     bnorm = np.linalg.norm(b)
+
+    # answer-from-cold leg FIRST (outer='host', round 5): only the q1
+    # plane crosses the link, outer residuals stream the f64 source
+    # host-side — measured 10.5x less time-to-answer than the full
+    # cascade load (results/N70K_HOST_OUTER_r05.log). Runs before the
+    # full load so its 4.9 GB q1 buffers are freed ahead of the
+    # 14.7 GB cascade upload (both never fit a 16 GB chip together).
+    host_outer = None
+    try:
+        from lam_tpu import cg_solve_ir_host
+        from lam_tpu.solver.host_outer import host_matvec
+        _progress(f"N={n}: outer=host leg — q1-only load")
+        t0 = time.perf_counter()
+        op_q1 = DenseOperator.from_file_fq_q1(cache_path,
+                                              pack_cache=True)
+        jax.block_until_ready(op_q1.operand)
+        ho_load = time.perf_counter() - t0
+        mv = host_matvec(np.load(cache_path, mmap_mode="r"))
+        cg_solve_ir_host(mv, op_q1, b, max_iters=0)  # compile
+        ho_best = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            ho_res = cg_solve_ir_host(mv, op_q1, b, max_iters=10000,
+                                      rel_error=TOL)
+            ho_dt = time.perf_counter() - t0
+            if ho_best is None or ho_dt < ho_best[0]:
+                ho_best = (ho_dt, ho_res)
+        ho_dt, ho_res = ho_best
+        # rel_residual IS a true residual here: r = b - A x against
+        # the exact f64 source (host_outer.py)
+        host_outer = {
+            "load_s": round(ho_load, 1), "s": round(ho_dt, 3),
+            "load_plus_solve_s": round(ho_load + ho_dt, 1),
+            "iters": int(ho_res.num_iters),
+            "true_rel": float(ho_res.rel_residual),
+            "converged": bool(ho_res.converged)}
+        _progress(f"N={n}: outer=host answered in "
+                  f"{ho_load + ho_dt:.1f} s (load {ho_load:.1f} + "
+                  f"solve {ho_dt:.1f}); loading the full cascade for "
+                  f"the resident-operator leg")
+        del op_q1, ho_res, ho_best, mv  # free q1 HBM before the upload
+    except Exception as e:  # never lose the headline leg to the extra
+        _progress(f"N={n}: outer=host leg failed ({e!r}); continuing")
+
     _progress(f"N={n}: loading fq planes (warm pack cache 92-380 s "
               f"depending on page cache, cold pack ~610 s)")
     t0 = time.perf_counter()
@@ -187,11 +231,14 @@ def _measure_big(n):
     # number alone hides that this tool is LOAD-bound at this size —
     # the reference's honest comparator is its own load+solve
     # (13.3 s MPI-IO + 1.672 s on 8x A100, MERGE_GPU_MPI.txt 70000,8 row)
-    return {"load_s": round(load_s, 1),
-            "load_plus_solve_s": round(load_s + dt, 1),
-            "irfq": {"s": round(dt, 4), "iters": int(res.num_iters),
-                     "true_rel": true_rel,
-                     "converged": bool(res.converged)}}
+    out = {"load_s": round(load_s, 1),
+           "load_plus_solve_s": round(load_s + dt, 1),
+           "irfq": {"s": round(dt, 4), "iters": int(res.num_iters),
+                    "true_rel": true_rel,
+                    "converged": bool(res.converged)}}
+    if host_outer is not None:
+        out["host_outer"] = host_outer
+    return out
 
 
 def _measure(n):
@@ -323,6 +370,8 @@ def main():
                 entry["load_s"] = res["load_s"]
             if "load_plus_solve_s" in res:
                 entry["load_plus_solve_s"] = res["load_plus_solve_s"]
+            if "host_outer" in res:
+                entry["host_outer"] = res["host_outer"]
             entry.update(_anchor_fields(n, v["s"]))
             secondary[f"N{n}"] = entry
 
@@ -362,6 +411,12 @@ def main():
             "ref_load_plus_solve_s_8xA100": 13.3 + 1.672,
             **_anchor_fields(NORTH_STAR_N, v["s"]),
         }
+        if "host_outer" in ns and ns["host_outer"].get("converged") \
+                and ns["host_outer"].get("true_rel", 1.0) <= 2e-9:
+            # answer-from-cold configuration (outer='host'): q1-only
+            # upload + host-exact outer residuals — the honest
+            # time-to-answer comparator against the reference's 15.0 s
+            out["north_star"]["host_outer"] = ns["host_outer"]
 
     print(json.dumps(out))
     return 0
